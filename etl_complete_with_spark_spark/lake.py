@@ -1,0 +1,161 @@
+"""Medallion lake layout: WORK (append) and TRUSTED (merged) zones.
+
+Replaces the reference's ``sness`` zone/bucket machinery (SURVEY §1.1,
+§2.2; reference: shared_etls/etls/cloud_utils.py:438-532 and the
+``Environment``/``Zone`` enums used at carga_date.py:189-195) with a plain
+path convention over any Hadoop-compatible filesystem:
+
+    <root>/<environment>/<zone>/<namespace>/<dataset>/
+
+- WORK zone  = append-only Parquet (K1, cloud_utils.py:459-467)
+- TRUSTED    = merge-upsert target (K2, cloud_utils.py:515-524).
+  When Delta Lake is on the classpath we use ``DeltaTable.merge`` (the
+  canonical Spark upsert); otherwise a versioned-Parquet fallback keeps
+  the same MERGE semantics via :func:`operators.merge.merge_upsert` and an
+  atomic pointer-file swap (readers never see a half-written table).
+
+Scale notes: production deployments use Delta (file-level rewrite, ACID
+log); the versioned-Parquet fallback exists so the engine is fully
+functional with zero extra jars, and its writer still partitions/sorts
+through normal Spark parallelism — no driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.merge import merge_upsert
+
+try:  # Delta is optional — not in the v1 image.
+    from delta.tables import DeltaTable  # type: ignore
+
+    _HAS_DELTA = True
+except Exception:  # pragma: no cover
+    DeltaTable = None
+    _HAS_DELTA = False
+
+WORK = "work"
+TRUSTED = "trusted"
+_POINTER = "_CURRENT"
+
+
+@dataclass(frozen=True)
+class Lake:
+    """A lake root + environment (reference Environment.PRODUCTION analogue)."""
+
+    root: str
+    environment: str = "production"
+
+    def path(self, zone: str, namespace: str, dataset: str) -> str:
+        return os.path.join(self.root, self.environment, zone, namespace, dataset)
+
+    # -- WORK zone (K1) -----------------------------------------------------
+
+    def write_work(self, df: DataFrame, namespace: str, dataset: str) -> str:
+        """Append a slice to the WORK zone (cloud_utils.py:459-467)."""
+        path = self.path(WORK, namespace, dataset)
+        df.write.mode("append").parquet(path)
+        return path
+
+    def read_work(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
+        """Read the staged dataset back (S7; utils.py:792-798)."""
+        return spark.read.parquet(self.path(WORK, namespace, dataset))
+
+    def clear_work(self, spark: SparkSession, namespace: str, dataset: str) -> None:
+        """Clear-prefix delete of a WORK dataset (cloud_utils.py:172-247)."""
+        self._rm(spark, self.path(WORK, namespace, dataset))
+
+    # -- TRUSTED zone (K2) --------------------------------------------------
+
+    def _trusted_current(self, spark: SparkSession, namespace: str, dataset: str) -> str | None:
+        base = self.path(TRUSTED, namespace, dataset)
+        ptr = os.path.join(base, _POINTER)
+        jvm_path, fs = self._fs(spark, ptr)
+        if not fs.exists(jvm_path):
+            return None
+        stream = fs.open(jvm_path)
+        try:
+            version = bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+        return os.path.join(base, version)
+
+    def read_trusted(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
+        if _HAS_DELTA:
+            return spark.read.format("delta").load(self.path(TRUSTED, namespace, dataset))
+        current = self._trusted_current(spark, namespace, dataset)
+        if current is None:
+            raise FileNotFoundError(
+                f"no TRUSTED data for {namespace}.{dataset} under {self.root}"
+            )
+        return spark.read.parquet(current)
+
+    def trusted_schema(self, spark: SparkSession, namespace: str, dataset: str):
+        """Schema-by-reflection from TRUSTED (S8; utils.py:96-140)."""
+        return self.read_trusted(spark, namespace, dataset).schema
+
+    def merge_trusted(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        namespace: str,
+        dataset: str,
+        key: str = "sk",
+        order_by: str | None = "timestamp_kafka",
+    ) -> None:
+        """MERGE upsert into TRUSTED on ``key`` (K2; cloud_utils.py:515-524).
+
+        whenMatchedUpdateAll + whenNotMatchedInsertAll semantics. With
+        Delta: the canonical ``DeltaTable.merge`` fluent chain. Without:
+        versioned-Parquet rewrite + atomic pointer swap.
+        """
+        base = self.path(TRUSTED, namespace, dataset)
+        if _HAS_DELTA:  # pragma: no cover - not in the v1 image
+            if DeltaTable.isDeltaTable(spark, base):
+                (
+                    DeltaTable.forPath(spark, base)
+                    .alias("lake")
+                    .merge(df.alias("df"), f"lake.{key} = df.{key}")
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            else:
+                df.write.format("delta").save(base)
+            return
+
+        current = self._trusted_current(spark, namespace, dataset)
+        if current is None:
+            merged = df
+            next_version = "v0"
+        else:
+            target = spark.read.parquet(current)
+            merged = merge_upsert(target, df, key=key, order_by=order_by)
+            next_version = f"v{int(os.path.basename(current)[1:]) + 1}"
+        merged.write.mode("overwrite").parquet(os.path.join(base, next_version))
+        self._write_pointer(spark, os.path.join(base, _POINTER), next_version)
+
+    # -- Hadoop FS helpers (work on any hadoop-compatible scheme) -----------
+
+    @staticmethod
+    def _fs(spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hadoop_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return hadoop_path, fs
+
+    def _write_pointer(self, spark: SparkSession, ptr: str, value: str) -> None:
+        jvm_path, fs = self._fs(spark, ptr)
+        out = fs.create(jvm_path, True)
+        try:
+            out.write(bytearray(value.encode()))
+        finally:
+            out.close()
+
+    def _rm(self, spark: SparkSession, path: str) -> None:
+        jvm_path, fs = self._fs(spark, path)
+        if fs.exists(jvm_path):
+            fs.delete(jvm_path, True)

@@ -1,0 +1,66 @@
+"""Merge-upsert operator (the reference's only join).
+
+Rebuilds the Delta-style MERGE of SURVEY §2.2-K2 / §2.4
+(reference: shared_etls/etls/cloud_utils.py:478-532, merge keys
+``lake.sk = df.sk``, whenMatchedUpdateAll / whenNotMatchedInsertAll) as a
+pure DataFrame operator, so it is usable against any storage (the lake
+layer decides how to persist the result — Delta when the jars are on the
+classpath, versioned Parquet rewrite otherwise).
+
+Semantics of ``merge_upsert(target, source, key)``:
+
+    result = dedup(source, key)                           # updates+inserts
+           UNION target rows whose key is NOT in source   # untouched rows
+
+which is exactly whenMatchedUpdateAll + whenNotMatchedInsertAll.
+
+Scale notes (100 TB): the anti-join shuffles both sides on ``key`` unless
+the source fits a broadcast — for incremental loads the source (one
+slice) is orders of magnitude smaller than the target, so we broadcast it
+below the configurable row threshold. Real Delta MERGE additionally
+rewrites only matched *files*; our Parquet fallback rewrites the table,
+which is fine at test scale and is replaced by Delta in production
+(lake.py gates on the import).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .transforms import dedup_by_key
+
+# Sources smaller than this many rows get broadcast to skip shuffling the
+# (huge) target side of the anti-join. ~1M rows of typical ETL width stays
+# well under Spark's 8GB broadcast hard cap.
+BROADCAST_SOURCE_MAX_ROWS = 1_000_000
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "sk",
+    order_by: str | None = "timestamp_kafka",
+    broadcast_source: bool | None = None,
+) -> DataFrame:
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll over ``key``.
+
+    ``source`` rows win over ``target`` rows on key collision; within the
+    source, latest ``order_by`` wins (deterministic — the reference's
+    ``dropDuplicates`` kept an arbitrary row, see SURVEY §2.11). Column
+    sets must match; the result keeps ``target``'s column order.
+
+    ``broadcast_source=None`` auto-decides via a cheap count.
+    """
+    missing = set(target.columns) ^ set(source.columns)
+    if missing:
+        raise ValueError(f"merge_upsert: column mismatch between target/source: {missing}")
+    source = dedup_by_key(source, [key], order_by=order_by)
+    source = source.select(*target.columns)
+
+    if broadcast_source is None:
+        broadcast_source = source.count() <= BROADCAST_SOURCE_MAX_ROWS
+    anti_side = F.broadcast(source) if broadcast_source else source
+
+    untouched = target.join(anti_side.select(key), on=key, how="left_anti")
+    return source.unionByName(untouched)

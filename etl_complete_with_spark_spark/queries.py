@@ -1,0 +1,326 @@
+"""Query catalog: every implemented operator exposed as (spark, sf_dir) -> DataFrame.
+
+This is the engine's public query surface and the driver's correctness
+gate: each entry in ``QUERIES`` has a matching DuckDB oracle in ``ORACLE``
+(same column aliases — the driver hash-compares values after sorting
+columns by name). Queries marked oracle-less (genuinely non-SQL ops) get
+a rows-only check.
+
+Organization mirrors SURVEY.md §2: reference-parity operators first
+(extraction predicates, probes, transforms, dedup/merge), then the
+analytics surface the rebuild exposes through Spark (joins, aggs,
+windows), then the large-scale training-data operators (dedup families,
+similarity search, text analysis, multimodal).
+
+Float discipline: any aggregate built from double arithmetic is
+``round(x, 2)``-ed in BOTH engines so the value-hash is stable across
+summation orders; pass-through doubles compare exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.transforms import (
+    dedup_by_key,
+    quality_check_dateformat,
+    with_surrogate_key,
+    work_to_trusted_transform,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+BATCH_TS = "2024-01-01 00:00:00"  # fixed batch timestamp for deterministic oracles
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos (see
+    # session.py nanosAsLong) and converted to a microsecond timestamp here
+    # (`div` keeps the arithmetic in exact int64 — nanos overflow doubles).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog entry (and its DuckDB oracle, if expressible)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Reference parity — extraction predicates & probes (SURVEY §2.1, §2.3)
+# ===========================================================================
+
+@query(
+    "filter_range_halfopen",
+    """
+    SELECT * FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def filter_range_halfopen(spark, sf_dir):
+    """P1: the half-open slice predicate `pc >= start AND pc < end` that the
+    reference compiles into its JDBC pushdown subquery
+    (reference: shared_etls/etls/utils.py:270-287). Expressed declaratively so
+    Catalyst pushes it into the parquet scan (or through JDBC at prod)."""
+    return load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+
+
+@query(
+    "filter_between_inclusive",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events WHERE event_id BETWEEN 1000 AND 2000
+    """,
+)
+def filter_between_inclusive(spark, sf_dir):
+    """P2: the *inclusive* BETWEEN slice used on the MongoDB read path
+    (reference: shared_etls/etls/load_utils.py:90,100)."""
+    return load(spark, sf_dir, "events").filter(F.col("event_id").between(1000, 2000))
+
+
+@query(
+    "probe_bounds_date",
+    "SELECT min(o_orderdate) AS min_pc, max(o_orderdate) AS max_pc FROM orders",
+)
+def probe_bounds_date(spark, sf_dir):
+    """S2/S3 (date mode): min/max partition-column probes the reference pushes
+    as `(select min(pc) from T) subs` (load_utils.py:343,497). With a DSv2
+    source Spark pushes this aggregate down; on parquet it's a
+    stats-only scan."""
+    return load(spark, sf_dir, "orders").agg(
+        F.min("o_orderdate").alias("min_pc"), F.max("o_orderdate").alias("max_pc")
+    )
+
+
+@query(
+    "probe_bounds_int",
+    """
+    SELECT min(event_id) AS min_pc, max(event_id) AS max_pc,
+           max(event_id) + 300000 AS max_with_headroom
+    FROM events
+    """,
+)
+def probe_bounds_int(spark, sf_dir):
+    """S5/S6 (int mode) incl. the +300000 safety headroom the reference adds
+    to the upper bound (load_utils.py:407,445,490,517) — harmless over-scan
+    under the half-open predicate."""
+    return load(spark, sf_dir, "events").agg(
+        F.min("event_id").alias("min_pc"),
+        F.max("event_id").alias("max_pc"),
+        (F.max("event_id") + F.lit(300000)).alias("max_with_headroom"),
+    )
+
+
+# ===========================================================================
+# Reference parity — transforms (SURVEY §2.7, §2.11)
+# ===========================================================================
+
+@query(
+    "sk_hyphen",
+    """
+    SELECT c_custkey,
+           md5(concat_ws('-', CAST(c_custkey AS VARCHAR), c_name)) AS sk
+    FROM customer
+    """,
+)
+def sk_hyphen(spark, sf_dir):
+    """F1-F3 hyphen mode: md5(concat_ws('-', keys)) surrogate key
+    (reference: utils.py:688-695). concat_ws skips NULL components."""
+    df = load(spark, sf_dir, "customer")
+    return with_surrogate_key(df, ["c_custkey", "c_name"]).select("c_custkey", "sk")
+
+
+@query(
+    "sk_concat",
+    # `||` (not DuckDB concat()) to mirror Spark concat's NULL-strictness.
+    "SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || c_name) AS sk FROM customer",
+)
+def sk_concat(spark, sf_dir):
+    """F1/F3 no-separator mode (reference: utils.py:698-700): NULL-strict,
+    boundary-collision-prone; kept for compatibility (SURVEY §2.11)."""
+    df = load(spark, sf_dir, "customer")
+    return with_surrogate_key(df, ["c_custkey", "c_name"], hyphen_separator=False).select(
+        "c_custkey", "sk"
+    )
+
+
+@query(
+    "quality_check_dates",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+           CASE WHEN year(o_orderdate) >= 10 THEN o_orderdate END AS o_orderdate
+    FROM orders
+    """,
+)
+def quality_check_dates(spark, sf_dir):
+    """P4: null out corrupt pre-year-10 date/timestamp values, columns
+    discovered by dtype (reference: utils.py:722-751, boundary at :741)."""
+    return quality_check_dateformat(load(spark, sf_dir, "orders"))
+
+
+@query(
+    "dedup_latest_per_key",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+        FROM events) t
+    WHERE __rn = 1
+    """,
+)
+def dedup_latest_per_key(spark, sf_dir):
+    """A3, deterministic variant: the reference's dropDuplicates(["sk"])
+    (utils.py:817) keeps an arbitrary row; the rebuild's testable form keeps
+    the latest by (ts, event_id) via one row_number window — a single
+    shuffle on the key, same as the hash-aggregate dedup."""
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+@query(
+    "pipeline_work_to_trusted",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+           CASE WHEN year(o_orderdate) >= 10 THEN o_orderdate END AS o_orderdate,
+           md5(concat_ws('-', CAST(o_orderkey AS VARCHAR))) AS sk,
+           TIMESTAMP '{BATCH_TS}' AS timestamp_kafka
+    FROM orders
+    """,
+)
+def pipeline_work_to_trusted(spark, sf_dir):
+    """SURVEY §2.11 — the flagship composite chain (reference:
+    utils.py:754-819): scan -> surrogate key -> batch timestamp ->
+    date-quality -> dedup-by-sk. All narrow steps fuse into one codegen
+    stage; the dedup is the single shuffle. o_orderkey is unique so the
+    dedup is a semantic no-op here (the oracle needs no window)."""
+    orders = load(spark, sf_dir, "orders")
+    return work_to_trusted_transform(orders, ["o_orderkey"], batch_ts=BATCH_TS)
+
+
+# ===========================================================================
+# Analytics surface (joins/aggs/windows the rebuild exposes via Spark —
+# SURVEY §2.4-§2.6 notes these absent in the reference; they're table
+# stakes for the engine and the bench headliners)
+# ===========================================================================
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan-side filter + partial/final hash
+    aggregate (map-side combine shrinks the shuffle to |groups| rows —
+    the shape that survives 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY n_name
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup (Q5-ish). nation (25 rows) is explicitly broadcast;
+    customer is small relative to lineitem so AQE picks broadcast for it at
+    these SFs, while the lineitem-orders join shuffles on the key — the
+    right 100 TB shape."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    """Top-K per group via rank window — one shuffle on the group key. At
+    scale Spark's WindowGroupLimit pushes the k-limit below the sort."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )

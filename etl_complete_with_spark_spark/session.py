@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Replaces the reference's proprietary ``SnessSpark`` wrapper
+(reference: resync_date/etls/carga_date.py:30, shared_etls/etls/load_utils.py:38)
+with a plain ``SparkSession.builder`` configured for:
+
+- AQE (adaptive query execution) so shuffle partition counts, skew joins
+  and join strategies re-plan at runtime — essential at 100 TB where
+  static ``spark.sql.shuffle.partitions`` is always wrong for someone.
+- Arrow-batched Python<->JVM transfer for the Pandas-UDF operators.
+- UTC session timezone so results are oracle-comparable (DuckDB is
+  UTC-naive).
+
+On a real cluster the ``master`` and memory settings come from
+spark-submit / the cluster manager; the env overrides here only matter
+for local runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Local-mode thread count (SPARK_GRAFT_CPUS env, else all cores)."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "etl-complete-with-spark-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local thread count — with AQE
+    coalescing enabled the exact number matters little locally, and on a
+    cluster AQE re-derives it from runtime statistics anyway.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event data) is
+        # unreadable by Spark's vectorized reader; read as int64 nanos and
+        # let the loader convert to microsecond timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

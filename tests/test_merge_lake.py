@@ -1,0 +1,77 @@
+"""Merge-upsert + lake zone tests (SURVEY §2.2 K1/K2, §2.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from etl_complete_with_spark_spark.lake import Lake
+from etl_complete_with_spark_spark.operators.merge import merge_upsert
+
+
+def _rows(batch_ts, *pairs):
+    return [Row(sk=k, v=v, timestamp_kafka=batch_ts) for k, v in pairs]
+
+
+class TestMergeUpsert:
+    def test_matched_update_not_matched_insert(self, spark):
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        target = spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2)))
+        source = spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30)))
+        out = {r.sk: r.v for r in merge_upsert(target, source).collect()}
+        assert out == {"a": 1, "b": 20, "c": 30}
+
+    def test_source_internal_dedup_latest_wins(self, spark):
+        target = spark.createDataFrame(_rows(dt.datetime(2024, 1, 1), ("a", 1)))
+        source = spark.createDataFrame(
+            _rows(dt.datetime(2024, 1, 2), ("a", 10))
+            + _rows(dt.datetime(2024, 1, 3), ("a", 99))
+        )
+        out = merge_upsert(target, source).collect()
+        assert len(out) == 1 and out[0].v == 99
+
+    def test_idempotent_reapply(self, spark):
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        target = spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2)))
+        source = spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30)))
+        once = merge_upsert(target, source)
+        twice = merge_upsert(once, source)
+        assert sorted((r.sk, r.v) for r in twice.collect()) == sorted(
+            (r.sk, r.v) for r in once.collect()
+        )
+
+    def test_column_mismatch_rejected(self, spark):
+        target = spark.createDataFrame([Row(sk="a", v=1)])
+        source = spark.createDataFrame([Row(sk="a", other=1)])
+        with pytest.raises(ValueError):
+            merge_upsert(target, source, order_by=None)
+
+
+class TestLake:
+    def test_work_append_and_readback(self, spark, tmp_path):
+        lake = Lake(str(tmp_path))
+        df = spark.createDataFrame([Row(a=1), Row(a=2)])
+        lake.write_work(df, "ns", "ds")
+        lake.write_work(df, "ns", "ds")  # append mode
+        assert lake.read_work(spark, "ns", "ds").count() == 4
+        lake.clear_work(spark, "ns", "ds")
+
+    def test_trusted_merge_versions_and_idempotency(self, spark, tmp_path):
+        lake = Lake(str(tmp_path))
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        lake.merge_trusted(spark, spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2))), "ns", "ds")
+        lake.merge_trusted(spark, spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30))), "ns", "ds")
+        out = {r.sk: r.v for r in lake.read_trusted(spark, "ns", "ds").collect()}
+        assert out == {"a": 1, "b": 20, "c": 30}
+        # re-running the same slice must not duplicate (sk-merge absorbs it)
+        lake.merge_trusted(spark, spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30))), "ns", "ds")
+        assert lake.read_trusted(spark, "ns", "ds").count() == 3
+
+    def test_trusted_schema_reflection(self, spark, tmp_path):
+        lake = Lake(str(tmp_path))
+        lake.merge_trusted(spark, spark.createDataFrame(_rows(dt.datetime(2024, 1, 1), ("a", 1))), "ns", "ds")
+        assert set(lake.trusted_schema(spark, "ns", "ds").fieldNames()) == {
+            "sk", "v", "timestamp_kafka",
+        }
