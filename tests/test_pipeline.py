@@ -1,0 +1,139 @@
+"""End-to-end resync pipeline tests (SURVEY §3, §2.10-D10, FIXTURES F-F)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_complete_with_spark_spark.lake import Lake
+from etl_complete_with_spark_spark.pipeline import ResyncConfig, ResyncPipeline
+from etl_complete_with_spark_spark.sources import ParquetSource
+
+
+class FlakySource(ParquetSource):
+    """Fails the first ``n_failures`` read_slice calls (FIXTURES F-F)."""
+
+    def __init__(self, path, pc, n_failures):
+        super().__init__(path, pc)
+        self.n_failures = n_failures
+        self.calls = 0
+
+    def read_slice(self, spark, interval):
+        self.calls += 1
+        if self.calls <= self.n_failures:
+            raise RuntimeError(f"injected failure #{self.calls}")
+        return super().read_slice(spark, interval)
+
+
+def make_pipeline(tmp_path, sf_dir, **cfg_over):
+    src = ParquetSource(f"{sf_dir}/events.parquet", "event_id")
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = ResyncConfig(
+        namespace="ns", dataset="events", partition_column="event_id",
+        mode="int", start=0, end=1000, amount=1000, **cfg_over,
+    )
+    return src, lake, ResyncPipeline(src, lake, cfg)
+
+
+class TestPlan:
+    def test_int_plan_uses_cli_bounds_and_tier(self, spark, tmp_path, sf_dir):
+        _, _, pipe = make_pipeline(tmp_path, sf_dir)
+        ivs = pipe.plan(spark)
+        assert ivs[0].start == 0 and ivs[-1].end == 1000
+        assert all(iv.end - iv.start <= 1000 for iv in ivs)
+
+    def test_probe_bounds_when_no_args(self, spark, tmp_path, sf_dir):
+        src, lake, _ = make_pipeline(tmp_path, sf_dir)
+        from etl_complete_with_spark_spark.pipeline import ResyncConfig, ResyncPipeline
+
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", amount=100,
+        )
+        ivs = ResyncPipeline(src, lake, cfg).plan(spark)
+        assert ivs[0].start == 0  # probed min
+        assert ivs[-1].end >= 999 + 300_000  # probed max + headroom
+
+
+class TestRun:
+    def test_parallel_run_lands_all_rows(self, spark, tmp_path, sf_dir):
+        src, lake, pipe = make_pipeline(tmp_path, sf_dir)
+        res = pipe.run(spark, parallel=True)
+        assert res.status == "success" and res.attempts == 1
+        expected = src.read_slice(spark, type(res.intervals[0])(0, 1000)).count()
+        assert lake.read_work(spark, "ns", "events").count() == expected
+
+    def test_sequential_equals_parallel(self, spark, tmp_path, sf_dir):
+        src, lake, pipe = make_pipeline(tmp_path / "a", sf_dir)
+        pipe.run(spark, parallel=False)
+        n_seq = pipe.lake.read_work(spark, "ns", "events").count()
+        _, lake2, pipe2 = make_pipeline(tmp_path / "b", sf_dir)
+        pipe2.run(spark, parallel=True)
+        assert n_seq == lake2.read_work(spark, "ns", "events").count()
+
+    def test_retry_recovers_from_transient_failures(self, spark, tmp_path, sf_dir):
+        src = FlakySource(f"{sf_dir}/events.parquet", "event_id", n_failures=2)
+        lake = Lake(str(tmp_path / "lake"))
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=1000, amount=1000, max_retries=4,
+        )
+        res = ResyncPipeline(src, lake, cfg).run(spark, parallel=False)
+        assert res.status == "success"
+        assert res.attempts > len(res.completed)  # retries happened
+
+    def test_exhausted_retries_fail_fast_with_status(self, spark, tmp_path, sf_dir):
+        src = FlakySource(f"{sf_dir}/events.parquet", "event_id", n_failures=99)
+        lake = Lake(str(tmp_path / "lake"))
+        statuses = []
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=500, amount=1000, max_retries=2,
+        )
+        pipe = ResyncPipeline(src, lake, cfg, status_callback=lambda i, p, v: statuses.append(v))
+        with pytest.raises(RuntimeError, match="injected"):
+            pipe.run(spark, parallel=False)
+        assert statuses == ["failed"]
+
+    def test_manifest_resume_skips_completed_slices(self, spark, tmp_path, sf_dir):
+        # fail mid-run, re-invoke, final WORK content == uninterrupted run
+        src = FlakySource(f"{sf_dir}/events.parquet", "event_id", n_failures=0)
+        lake = Lake(str(tmp_path / "lake"))
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=3000, amount=1000, max_retries=1,
+        )
+        pipe = ResyncPipeline(src, lake, cfg)
+        ivs = pipe.plan(spark)
+        assert len(ivs) == 3  # 1000-wide slices over [0, 3000)
+        # complete only the first slice, then crash on the second
+        src.n_failures = 0
+        pipe._run_sequential(spark, ivs[:1], __import__(
+            "etl_complete_with_spark_spark.pipeline", fromlist=["RunResult"]
+        ).RunResult())
+        src.calls, src.n_failures = 0, 1  # next read fails once; retries=1 -> crash
+        with pytest.raises(RuntimeError):
+            pipe.run(spark, parallel=False)
+        res = pipe.run(spark, parallel=False)  # resume
+        assert res.skipped and res.status == "success"
+        expected = ParquetSource(f"{sf_dir}/events.parquet", "event_id").read_slice(
+            spark, ivs[0].__class__(0, 3000)
+        ).count()
+        assert lake.read_work(spark, "ns", "events").count() == expected
+
+    def test_watermark_matches_max_loaded(self, spark, tmp_path, sf_dir):
+        src, lake, pipe = make_pipeline(tmp_path, sf_dir)
+        pipe.run(spark)
+        assert pipe.watermark(spark) == 999
+
+
+class TestPhase2:
+    def test_transform_and_merge_idempotent(self, spark, tmp_path, sf_dir):
+        src, lake, pipe = make_pipeline(tmp_path, sf_dir)
+        pipe.run(spark)
+        t1 = pipe.transform_and_merge(spark, ["event_id"], batch_ts="2024-01-01 00:00:00")
+        n1 = t1.count()
+        # re-run the same slice (duplicate WORK data) + merge again
+        pipe.run(spark)
+        t2 = pipe.transform_and_merge(spark, ["event_id"], batch_ts="2024-01-02 00:00:00")
+        assert t2.count() == n1  # sk-merge absorbed the duplicates
+        assert "sk" in t2.columns and "timestamp_kafka" in t2.columns
