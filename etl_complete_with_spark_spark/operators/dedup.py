@@ -1,0 +1,421 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star surface (BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-duplicate detection over a document
+corpus. The reference's only dedup is ``dropDuplicates(["sk"])``
+(SURVEY §2.5-A3); everything here is new engineering, designed for the
+shapes that survive 100 TB:
+
+- **Exact** — hash-groupBy on a content fingerprint: one shuffle, map-side
+  combine, the cheapest possible dedup.
+- **n-gram Jaccard** — inverted-index (posting-list) self-join on shingles
+  instead of an O(n²) cross join: explode distinct shingles, join docs
+  sharing a shingle, count common vs union. Super-common shingles are
+  capped (``max_shingle_freq``) exactly like web-dedup systems drop
+  stop-shingles, which bounds the quadratic blowup of hot postings.
+- **MinHash + LSH** — per-doc signatures (k independent hash mins), banded
+  into buckets; only same-bucket pairs are candidates. Turns all-pairs
+  similarity into a groupBy + within-bucket join. Hashes are md5-derived
+  (``H(shingle, seed) = int(md5(shingle||'#'||seed)[:15], 16)``) so Spark
+  and the DuckDB oracle agree bit-for-bit.
+- **SimHash** — 32-bit signature via per-bit weighted majority; near-dups
+  = small Hamming distance, found by 4-band exact-match blocking
+  (pigeonhole: hamming<=3 ⇒ ≥1 of 4 bands equal).
+- **Embedding cosine** — exact all-pairs above a threshold at test scale;
+  the scale path buckets by random-hyperplane sign sketches (LSH) first.
+
+Everything is built from DataFrame ops (explode/groupBy/join/bit ops) —
+no Python in the hot path except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalized_text, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+
+    One hash-aggregate shuffle on the fingerprint; deterministic winner.
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + deterministic cross-engine hashing
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+
+    Sliding window over whitespace tokens via ``transform`` on indices —
+    stays entirely in codegen; no UDF.
+    """
+    toks = tokens(normalized_text(text))
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(0, -1) would produce a *descending* [0, -1] array
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def md5_hash60(value: Column, seed: int) -> Column:
+    """Deterministic 60-bit integer hash, identical in Spark and DuckDB:
+    ``CAST(CONV(SUBSTR(MD5(v || '#seed'), 1, 15), 16, 10) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(value, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) posting list — the base relation for Jaccard/MinHash."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= threshold.
+
+    Plan shape: posting list -> (optional) drop shingles appearing in more
+    than ``max_shingle_freq`` docs (stop-shingle cap: a shingle shared by
+    f docs contributes f² join rows — the cap bounds the worst posting) ->
+    self-join on shingle with id1 < id2 -> count common -> Jaccard via
+    per-doc shingle counts. Returns (id1, id2, jaccard).
+    """
+    posting = explode_shingles(df, id_col, text_col, n)
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    if max_shingle_freq is not None:
+        freq = posting.groupBy("shingle").agg(F.count("*").alias("df_"))
+        posting = (
+            posting.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+            .drop("df_")
+        )
+    a = posting.select(F.col("id").alias("id1"), "shingle")
+    b = posting.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature: columns ``mh_0..mh_{k-1}``.
+
+    One explode + one groupBy with k ``min`` aggregates (map-side combined
+    — the shuffle carries k longs per doc, independent of doc length).
+    """
+    posting = explode_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5_hash60(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return posting.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, num_hashes: int = 16
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a MinHash signature table.
+
+    Each band's slice of the signature is hashed to a bucket key; docs
+    sharing any (band, bucket) become a candidate pair. Distinct pairs out.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = stacked.select(F.col("id").alias("id1"), "bucket")
+    b = stacked.select(F.col("id").alias("id2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: LSH candidates verified by estimated
+    Jaccard (fraction of agreeing minhashes) >= threshold.
+
+    The verify join touches only candidate pairs — the all-pairs matrix is
+    never materialized. Returns (id1, id2, est_jaccard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    s1 = sigs.select(F.col("id").alias("id1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    s2 = sigs.select(F.col("id").alias("id2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document -> (id, simhash).
+
+    Per-token 60-bit hash; bit j of the signature is the sign of
+    Σ_tokens (±1 by token's bit j). One explode + one groupBy with 32
+    conditional sums (all codegen'd)."""
+    posting = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5_hash60(F.col("tok"), 0))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = posting.groupBy("id").agg(*bit_sums)
+    sig = sum(
+        (F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)),
+        start=F.lit(0),
+    )
+    return sums.select("id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 32-bit signature into 4 bands of 8 bits; by
+    pigeonhole, hamming<=3 implies at least one identical band, so only
+    same-(band,value) pairs are joined. Returns (id1, id2, hamming).
+    """
+    sigs = simhash(df, id_col, text_col)
+    bands = 4
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    stacked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = stacked.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), "bucket")
+    b = stacked.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def hyperplane_sketch(vec: Column, bits: int) -> Column:
+    """k-bit random-hyperplane sign sketch of an array<double> column.
+
+    Hyperplane i has ±1 components derived per-dimension from
+    ``md5('hp-{i}-{dim}')`` — fully deterministic, no stored model. Two
+    vectors land in the same bucket iff they fall on the same side of all
+    k hyperplanes; P[same bit] = 1 - angle/π, so high-cosine pairs
+    collide with high probability. Pure codegen: the dot product against
+    a ±1 hyperplane is an ``aggregate`` fold with the sign looked up from
+    the element index.
+    """
+    def signed_dot(i: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x
+                * F.when(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"hp-{i}-"), j.cast("string"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    return sum(
+        (F.when(signed_dot(i) > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
+        start=F.lit(0),
+    )
+
+
+def l2_norm_expr(v: Column) -> Column:
+    """L2 norm of an array<double> column."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (zip_with + fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — pure column
+    expressions, no UDF.
+
+    NOTE for pairwise use: higher-order functions are *interpreted* (not
+    codegen'd), so in n² joins precompute each side's norm once
+    (:func:`l2_norm_expr` before the join) and combine with
+    ``dot_expr(a,b)/(na*nb)`` — same doubles, 3x fewer folds.
+    """
+    return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    lsh_bits: int = 0,
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold -> (id1, id2, cosine).
+
+    ``lsh_bits=0``: exact all-pairs (id1<id2) — O(n²), fine for corpus
+    slices / verification. ``lsh_bits=k``: random-hyperplane sign-sketch
+    blocking first — vectors only compare within their k-bit bucket, the
+    100 TB path (hyperplanes are md5-derived from dimension index, so the
+    sketch is deterministic).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm_expr(F.col("v")))
+    if lsh_bits:
+        vecs = vecs.withColumn("bucket", hyperplane_sketch(F.col("v"), lsh_bits))
+        a = vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "bucket")
+        b = vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id1") < F.col("id2"))
+    else:
+        a = vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+        b = vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+        pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    cos = dot_expr(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -324,3 +324,8 @@ def topk_orders_per_customer(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
+
+
+# Register the training-data operator catalog (text/dedup/similarity) into
+# the same QUERIES/ORACLE dicts. Import at module end to avoid a cycle.
+from . import queries_training  # noqa: E402,F401

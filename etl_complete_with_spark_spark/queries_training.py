@@ -1,0 +1,363 @@
+"""Catalog entries for the training-data operators (text/dedup/similarity).
+
+Registered into the same QUERIES/ORACLE dicts as queries.py. Every oracle
+here mirrors the Spark operator *exactly* — including the md5-derived
+60-bit hashes (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)` in DuckDB ==
+`conv(substring(md5(x),1,15),16,10)` in Spark), so MinHash/SimHash
+signatures agree bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators import text as TX
+from .queries import load, query
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (must mirror operators/text.py conventions)
+# ---------------------------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = rf"CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END"
+_NORM_TOKS = rf"CASE WHEN {_NORM} = '' THEN []::VARCHAR[] ELSE string_split({_NORM}, ' ') END"
+_STOPLIST = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hash60_sql(expr: str, seed: int) -> str:
+    return f"CAST('0x' || substr(md5({expr} || '#{seed}'), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT) AS n_tokens_bpe,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 4)
+           END AS avg_token_len,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE round(len(list_distinct(tk)) * 1.0 / len(tk), 4)
+           END AS type_token_ratio,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE round(len(list_filter(tk, x -> lower(x) IN ({_STOPLIST}))) * 1.0 / len(tk), 4)
+           END AS stopword_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + quality features over documents — a narrow,
+    shuffle-free, fully codegen'd projection (operators/text.py)."""
+    df = TX.with_token_stats(load(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        "avg_token_len",
+        "type_token_ratio",
+        "stopword_ratio",
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(tk) AS n,
+               len(list_distinct(tk)) AS nd,
+               len(list_filter(tk, x -> lower(x) IN ({_STOPLIST}))) AS sh
+        FROM t)
+    SELECT doc_id,
+           (least(n, 100) * 40
+            + CASE WHEN n = 0 THEN 0 ELSE floor(3000.0 * nd / n) END
+            + CASE WHEN n = 0 THEN 0 ELSE least(floor(30000.0 * sh / n), 3000) END
+           ) / 10000.0 AS quality_score
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite document quality score (length + lexical diversity +
+    stopword naturalness), for corpus filtering at ingest time."""
+    df = TX.with_quality_score(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "quality_score")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return f"len(list_filter(tk, x -> lower(x) IN ({words})))"
+
+
+@query(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    h AS (
+        SELECT doc_id,
+               len(tk) AS n,
+               len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+               {_lang_hits_sql("en")} AS en_h,
+               {_lang_hits_sql("de")} AS de_h,
+               {_lang_hits_sql("es")} AS es_h,
+               {_lang_hits_sql("fr")} AS fr_h
+        FROM t)
+    SELECT doc_id,
+           CASE WHEN cjk > 0 AND cjk * 2 >= n THEN 'zh'
+                WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                WHEN de_h = greatest(de_h, es_h, fr_h) THEN 'de'
+                WHEN es_h = greatest(es_h, fr_h) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword/charset language heuristic -> lang_pred (operators/text.py).
+    Ties favor earlier languages (en > de > es > fr); CJK-dominant -> zh."""
+    df = TX.with_language_id(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content md5 fingerprint (exact-dedup key)."""
+    df = TX.with_fingerprint(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: lowest doc_id survives per content fingerprint. One
+    hash-partitioned shuffle; at 100 TB this is the cheapest dedup pass."""
+    return D.exact_dedup(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+_TRIGRAMS = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]"
+
+_JACCARD_POSTING = f"""
+    WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
+    p AS (
+        SELECT id, unnest(list_distinct({_TRIGRAMS})) AS shingle
+        FROM norm),
+    sizes AS (SELECT id, count(*) AS n FROM p GROUP BY id),
+    common AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS c
+        FROM p a JOIN p b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    {_JACCARD_POSTING}
+    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes s1 ON id1 = s1.id
+    JOIN sizes s2 ON id2 = s2.id
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Trigram-shingle Jaccard near-dup pairs (>= 0.5) via inverted-index
+    self-join — never materializes the n² pair matrix. Trigrams (not
+    bigrams) because this corpus's 40-word vocabulary makes every bigram a
+    hot posting (the f² join blowup); real corpora instead use
+    ``max_shingle_freq`` to drop boilerplate shingles."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
+    )
+
+
+_MH_K, _MH_BANDS, _MH_N, _MH_T = 16, 4, 3, 0.5
+
+
+def _minhash_oracle() -> str:
+    trigram = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]"
+    mins = ",\n               ".join(
+        f"min({_hash60_sql('shingle', i)}) AS mh_{i}" for i in range(_MH_K)
+    )
+    rows = _MH_K // _MH_BANDS
+    bands = ",\n               ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(_MH_BANDS)
+    )
+    stacked = "\n        UNION ALL\n".join(
+        f"        SELECT id, concat_ws('|', '{b}', band_{b}) AS bucket FROM banded"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
+    p AS (SELECT id, unnest(list_distinct({trigram})) AS shingle FROM norm),
+    sig AS (
+        SELECT id,
+               {mins}
+        FROM p GROUP BY id),
+    banded AS (
+        SELECT id,
+               {bands}
+        FROM sig),
+    stacked AS (
+{stacked}),
+    cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.id < b.id)
+    SELECT id1, id2, round(({agree}) / {float(_MH_K)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig s1 ON id1 = s1.id
+    JOIN sig s2 ON id2 = s2.id
+    WHERE round(({agree}) / {float(_MH_K)}, 4) >= {_MH_T}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + 4-band LSH near-dup pairs, verified by signature
+    agreement >= 0.5. The oracle reproduces the md5-derived hashes exactly,
+    so candidates AND estimates match bit-for-bit."""
+    return D.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"),
+        n=_MH_N, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_T,
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
+    p AS (SELECT id, unnest(tk) AS tok FROM norm),
+    h AS (SELECT id, {_hash60_sql('tok', 0)} AS h FROM p),
+    s AS (SELECT id,
+               {sums}
+          FROM h GROUP BY id)
+    SELECT id AS doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signatures per document (near-dups = small Hamming
+    distance; pair extraction via banded blocking is simhash_neardup_pairs)."""
+    return D.simhash(load(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 2000)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline over a
+    bounded corpus slice (vec_id < 2000; all-pairs is O(n²) by definition —
+    the unbounded scale path is embedding_neardup_pairs(lsh_bits=k))."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return D.embedding_neardup_pairs(emb, threshold=0.3, lsh_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 4) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id
+           ) AS BIGINT) AS rank
+    FROM e q JOIN e c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id
+    ) <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors: broadcast queries x corpus
+    scan + windowed rank (ties broken by neighbor_id; cosine rounded before
+    ranking so both engines rank identically)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_lsh_topk")  # approximate -> no SQL oracle; rows-only + recall test
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (multi-probe hamming<=1). Approximate by
+    design — correctness is recall-vs-brute-force in tests, not an oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, bits=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (mapInPandas plumbing; codec stubbed -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+@query("mm_extract_features")  # Arrow-batched Python stage -> no SQL oracle
+def mm_extract_features(spark, sf_dir):
+    """Binary media column -> fixed-dim feature vectors via mapInPandas
+    (operators/multimodal.py). Deterministic fake decoder stands in for
+    the codec; the schema/batching/partitioning contract is the real path."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = MM.synthesize_media_table(spark, docs)
+    return MM.extract_features(media)
+
+
+@query("mm_frame_sample")  # fan-out mapInPandas -> no SQL oracle
+def mm_frame_sample(spark, sf_dir):
+    """Per-interval frame sampling with explode-style fan-out inside the
+    Pandas iterator (one row per sampled frame)."""
+    from .operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    media = MM.synthesize_media_table(spark, docs, media_type="video")
+    return MM.sample_frames(media, every_ms=1000)

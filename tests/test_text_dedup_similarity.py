@@ -1,0 +1,192 @@
+"""Tests for the training-data operators (text / dedup / similarity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from etl_complete_with_spark_spark.operators import dedup as D
+from etl_complete_with_spark_spark.operators import similarity as SIM
+from etl_complete_with_spark_spark.operators import text as TX
+
+
+def docs(spark, *texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+class TestTokenStats:
+    def test_counts_and_ratios(self, spark):
+        df = docs(spark, "the cat the cat sat")
+        r = TX.with_token_stats(df).first()
+        assert r.n_tokens == 5
+        assert r.avg_token_len == 3.0
+        assert r.type_token_ratio == 0.6  # {the, cat, sat} / 5
+        assert r.stopword_ratio == 0.4  # 'the' twice
+
+    def test_empty_text(self, spark):
+        r = TX.with_token_stats(docs(spark, "")).first()
+        assert r.n_tokens == 0 and r.avg_token_len == 0.0
+
+    def test_bpe_counts_subword_pieces(self, spark):
+        r = TX.with_token_stats(docs(spark, "can't stop2go")).first()
+        # can | ' | t | stop | 2 | go
+        assert r.n_tokens_bpe == 6
+
+    def test_quality_score_bounds(self, spark):
+        rows = TX.with_quality_score(
+            docs(spark, "the of and to in a is that for on it " * 20, "x")
+        ).collect()
+        assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+
+class TestLangId:
+    def test_marker_based_prediction(self, spark):
+        df = docs(
+            spark,
+            "the cat is in the house and it is warm",
+            "der hund ist nicht das problem und die katze",
+            "el perro es que la casa y los gatos",
+            "le chien est que les chats et une maison",
+            "完全 中文 文本 没有 空格 问题",
+        )
+        out = {r.doc_id: r.lang_pred for r in TX.with_language_id(df).collect()}
+        assert out == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh"}
+
+    def test_no_markers_is_und(self, spark):
+        assert TX.with_language_id(docs(spark, "zzz qqq www")).first().lang_pred == "und"
+
+
+class TestFingerprint:
+    def test_normalization_collapses(self, spark):
+        df = docs(spark, "Hello   World", "hello world", "hello  world!")
+        fps = [r.fingerprint for r in TX.with_fingerprint(df).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, spark):
+        df = docs(spark, "a b c", "A  b C", "different text")
+        out = D.exact_dedup(df)
+        assert sorted(r.doc_id for r in out.collect()) == [0, 2]
+
+
+class TestShinglesJaccard:
+    def test_shingle_window(self, spark):
+        out = docs(spark, "a b c d").select(D.shingles(F.col("text"), 2).alias("s")).first().s
+        assert sorted(out) == ["a b", "b c", "c d"]
+
+    def test_short_text_no_shingles(self, spark):
+        out = docs(spark, "a b").select(D.shingles(F.col("text"), 3).alias("s")).first().s
+        assert out == []
+
+    def test_jaccard_exact_value(self, spark):
+        # 2-shingles: {a b, b c, c d} vs {a b, b c, c x} -> J = 2/4 = 0.5
+        df = docs(spark, "a b c d", "a b c x")
+        pair = D.ngram_jaccard_pairs(df, n=2, threshold=0.1).first()
+        assert (pair.id1, pair.id2, pair.jaccard) == (0, 1, 0.5)
+
+    def test_identical_docs_jaccard_one(self, spark):
+        df = docs(spark, "x y z w v", "x y z w v")
+        assert D.ngram_jaccard_pairs(df, n=3, threshold=0.9).first().jaccard == 1.0
+
+    def test_disjoint_docs_no_pairs(self, spark):
+        df = docs(spark, "a b c d e", "v w x y z")
+        assert D.ngram_jaccard_pairs(df, n=2, threshold=0.01).count() == 0
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self, spark):
+        df = docs(spark, "one two three four five", "one two three four five")
+        sigs = D.minhash_signatures(df, num_hashes=8).collect()
+        s0 = [r for r in sigs if r.id == 0][0]
+        s1 = [r for r in sigs if r.id == 1][0]
+        assert all(s0[f"mh_{i}"] == s1[f"mh_{i}"] for i in range(8))
+
+    def test_lsh_finds_neardups_not_disjoint(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = docs(spark, base, base + " extra", "totally different words entirely here now")
+        pairs = D.minhash_dedup_pairs(df, num_hashes=16, bands=4, threshold=0.3)
+        got = {(r.id1, r.id2) for r in pairs.collect()}
+        assert (0, 1) in got
+        assert all(2 not in p for p in got)
+
+
+class TestSimHash:
+    def test_deterministic_and_close_for_neardups(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = docs(spark, base, base + " lambda", "omega psi chi phi upsilon tau")
+        sigs = {r.id: r.simhash for r in D.simhash(df).collect()}
+        ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+        ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+        assert ham01 < ham02
+
+    def test_neardup_pairs_by_hamming(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = docs(spark, base, base, "omega psi chi phi upsilon tau")
+        pairs = D.simhash_neardup_pairs(df, max_hamming=0).collect()
+        assert [(p.id1, p.id2, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def vec_rows(spark, vectors):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vectors)]
+    )
+
+
+class TestEmbeddingOps:
+    def test_cosine_expr_known_value(self, spark):
+        df = vec_rows(spark, [[1, 0], [0.6, 0.8]])
+        a = df.filter("vec_id=0").select(F.col("embedding").cast("array<double>").alias("a"))
+        b = df.filter("vec_id=1").select(F.col("embedding").cast("array<double>").alias("b"))
+        v = a.crossJoin(b).select(D.cosine_expr(F.col("a"), F.col("b")).alias("c")).first().c
+        assert math.isclose(v, 0.6, abs_tol=1e-9)
+
+    def test_neardup_pairs_exact(self, spark):
+        df = vec_rows(spark, [[1, 0, 0], [0.999, 0.01, 0], [0, 1, 0]])
+        pairs = D.embedding_neardup_pairs(df, threshold=0.95)
+        got = [(r.id1, r.id2) for r in pairs.collect()]
+        assert got == [(0, 1)]
+
+    def test_topk_bruteforce_ordering(self, spark):
+        corpus = vec_rows(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+        queries = vec_rows(spark, [[1, 0]]).filter("vec_id = 0")
+        out = SIM.cosine_topk(corpus, queries, k=2).collect()
+        assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+    def test_lsh_topk_recall_on_clustered_data(self, spark):
+        # LSH recall is only meaningful on clustered vectors (on uniform
+        # random data — like the synthetic embeddings table, top-1 cosine
+        # ~0.3 — no sketch can beat chance). 10 tight clusters in R^16.
+        import random
+
+        rng = random.Random(42)
+        centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(10)]
+        vectors = []
+        for ci, c in enumerate(centers):
+            for _ in range(20):
+                vectors.append([x + rng.gauss(0, 0.05) for x in c])
+        corpus = vec_rows(spark, vectors)
+        queries = corpus.filter("vec_id IN (0, 20, 40, 60, 80)")
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.cosine_topk(corpus, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.lsh_topk(corpus, queries, k=5, bits=8, probe_hamming=1).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        assert recall >= 0.9, f"LSH recall too low on clustered data: {recall}"
+
+    def test_lsh_topk_prunes_candidates_on_real_embeddings(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 3")
+        out = SIM.lsh_topk(emb, queries, k=5, bits=6, probe_hamming=1)
+        # shape contract: ranked, deduped, <= k per query
+        rows = out.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+        assert all(len(v) <= 5 for v in per_q.values())
