@@ -123,3 +123,76 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BLAS fast path (Arrow -> numpy matmul), for dense corpora
+# ---------------------------------------------------------------------------
+
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via numpy matmul inside mapInPandas.
+
+    Spark's higher-order array functions are interpreted per element, so
+    the pure-expression :func:`cosine_topk` pays ~10µs per pair. Here each
+    Arrow batch becomes one `Q @ C.T` BLAS call (~ns per pair):
+
+    - queries (assumed small: a probe set, not the corpus) are collected
+      once and broadcast to executors,
+    - each corpus batch emits only its *local* top-k per query,
+    - a final window rank reduces k·|queries|·n_batches rows to k.
+
+    Output matches :func:`cosine_topk` (query_id, neighbor_id, cosine,
+    rank) with cosine rounded to 4; last-ulp float differences vs the
+    expression path can flip ranks of near-exact ties only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("cosine_topk_blas: empty query set")
+    q_ids = np.array([r.qid for r in q_rows])
+    q_mat = np.array([r.qv for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["cid"].to_numpy()
+            c_mat = np.stack(pdf["cv"].to_numpy())
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qm @ c_mat.T  # |Q| x |batch| in one BLAS call
+            top = min(k + 1, sims.shape[1])  # +1 headroom for self-match
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out = {
+                "query_id": np.repeat(ids, top),
+                "neighbor_id": c_ids[idx].ravel(),
+                "cosine": np.round(np.take_along_axis(sims, idx, axis=1).ravel(), 4),
+            }
+            yield pd.DataFrame(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = c.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

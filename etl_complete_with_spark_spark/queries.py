@@ -329,3 +329,4 @@ def topk_orders_per_customer(spark, sf_dir):
 # Register the training-data operator catalog (text/dedup/similarity) into
 # the same QUERIES/ORACLE dicts. Import at module end to avoid a cycle.
 from . import queries_training  # noqa: E402,F401
+from . import queries_analytics  # noqa: E402,F401

@@ -1,0 +1,190 @@
+"""Analytics catalog: the relational surface the reference lacks entirely
+(SURVEY §2.4-§2.6 record joins/windows/set-ops/grouping as absent) but any
+user of a Spark-based engine expects. Each entry is the idiomatic
+Catalyst-friendly formulation with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+
+@query(
+    "set_ops_users",
+    """
+    SELECT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        GROUP BY user_id HAVING count(*) >= 14
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+        GROUP BY user_id HAVING count(*) >= 14
+    ) t
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 14
+    """,
+)
+def set_ops_users(spark, sf_dir):
+    """Set algebra (INTERSECT/EXCEPT): heavily-engaged-but-not-heavily-
+    converting users. Spark plans set ops as semi/anti hash joins over the
+    (already aggregated, small) key sets."""
+    ev = load(spark, sf_dir, "events")
+
+    def heavy(event_type: str):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 14)
+            .select("user_id")
+        )
+
+    return heavy("click").intersect(heavy("view")).exceptAll(heavy("purchase"))
+
+
+@query(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    """CUBE grouping-sets rollup — Spark expands to a single Expand +
+    hash aggregate (one shuffle for all 2^k grouping sets)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    """Exact distinct aggregation (Spark: two-phase partial-distinct
+    aggregate). The approximate variant for 100 TB cardinalities is
+    approx_count_distinct (HLL, one pass, no distinct shuffle) — kept out
+    of the oracle set since HLL estimates are engine-specific."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark, sf_dir):
+    """Pivot to a per-user feature matrix. Pivot values are pinned
+    explicitly — at scale an unpinned pivot triggers an extra
+    distinct-scan job to discover them."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "sessionize_batch",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark, sf_dir):
+    """Batch sessionization: lag-gap flag + running sum = session id, then
+    aggregate. Two window passes over one (user) shuffle partitioning —
+    Catalyst reuses the exchange. (Streaming twin: session_window in
+    streaming/ingest.py.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1))
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    """
+    SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """As-of join (Spark has no native one): every click matched to the
+    user's latest purchase at-or-before it. Implemented as the union-tag +
+    last(ignorenulls) running window — ONE shuffle on user_id, no range
+    explosion; the classic Spark formulation of merge_asof. DuckDB's
+    native ASOF JOIN is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), F.lit(None).cast("timestamp").alias("p_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),  # ordering column for the union
+        F.col("ts").alias("p_ts"),
+    )
+    unioned = clicks.unionByName(buys)
+    # order purchases *before* clicks at identical ts so ts-ties count as
+    # "at-or-before" (mirrors the oracle's c.ts >= p.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("click_ts").asc(), F.col("p_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "click_ts", "last_purchase_ts")
+    )

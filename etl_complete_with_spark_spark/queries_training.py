@@ -361,3 +361,50 @@ def mm_frame_sample(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(50)
     media = MM.synthesize_media_table(spark, docs, media_type="video")
     return MM.sample_frames(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (Structured Streaming run to completion on the bounded source;
+# result is the final materialized table — oracle = batch window agg)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts via Structured Streaming, driven
+    to completion on the bounded file source (streaming/ingest.py). The
+    oracle is the equivalent batch window agg — stream-batch parity is the
+    correctness contract."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import stream_source, windowed_event_counts
+
+    # file streams need a *directory* source; stage the bounded input
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = stream_source(spark, stage)
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,139 @@
+"""Structured Streaming ingest + windowed analytics.
+
+The reference has no streaming (SURVEY §2.8), but its data model is built
+for a streaming sibling: every TRUSTED row carries ``timestamp_kafka``
+and the merge key ``sk`` precisely so a Kafka ingest ("Geralt",
+reference utils.py:706-713) can upsert into the same table. This module
+is that sibling, built on Structured Streaming:
+
+- ``stream_source``: file-stream over the events table (swap for
+  ``format("kafka")`` in production — the downstream graph is identical).
+- ``windowed_event_counts``: watermarked tumbling/sliding window agg —
+  late data beyond the watermark is dropped, state is bounded.
+- ``sessionize``: session windows per user (gap-based).
+- ``stream_upsert_to_trusted``: foreachBatch -> the §2.11 transform chain
+  -> idempotent sk-merge into TRUSTED. foreachBatch + deterministic sk
+  gives effective exactly-once on replays (re-merged micro-batches
+  upsert the same keys).
+
+Scale notes: windowed aggs shuffle on (window, key) with partial
+aggregation; watermarks bound state size; ``maxFilesPerTrigger``/Kafka
+``maxOffsetsPerTrigger`` bound micro-batch size so ingest throughput is
+flow-controlled instead of OOMing on backlog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake import Lake
+from ..operators.transforms import work_to_trusted_transform
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos (see session nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream (stand-in for Kafka; same downstream graph).
+
+    ``ts`` arrives as int64 nanos (the parquet writes TIMESTAMP(NANOS))
+    and is converted to a microsecond timestamp exactly like the batch
+    loader (queries.load).
+    """
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts/sums per event_type.
+
+    Output: window_start, window_end, event_type, n_events, sum_value.
+    State for windows older than the watermark is evicted — bounded
+    memory under unbounded input.
+    """
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user: one row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_upsert_to_trusted(
+    events: DataFrame,
+    lake: Lake,
+    namespace: str,
+    dataset: str,
+    id_columns: list[str],
+    checkpoint_dir: str,
+):
+    """Continuous upsert into the TRUSTED zone via foreachBatch.
+
+    Each micro-batch runs the §2.11 transform chain (sk, batch timestamp,
+    quality, dedup) and the sk-merge — the same code path as batch
+    phase 2, so stream and batch rows are indistinguishable downstream.
+    Idempotent on replay: a re-processed micro-batch merges the same sks.
+    """
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        transformed = work_to_trusted_transform(
+            batch_df, id_columns, deterministic_dedup=True
+        )
+        lake.merge_trusted(spark, transformed, namespace, dataset)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

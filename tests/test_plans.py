@@ -1,0 +1,63 @@
+"""Plan-shape assertions: the scale contract (SURVEY §4) as tests.
+
+Correct answers at sf0.01 don't prove a query survives 100 TB; these
+tests pin the physical properties that do: pushdown, pruning, broadcast,
+map-side combine, bounded shuffle counts.
+"""
+
+from __future__ import annotations
+
+from etl_complete_with_spark_spark import plans as P
+from etl_complete_with_spark_spark.queries import QUERIES
+
+
+class TestPushdownAndPruning:
+    def test_halfopen_filter_reaches_parquet_scan(self, spark, sf_dir):
+        df = QUERIES["filter_range_halfopen"](spark, sf_dir)
+        assert P.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate")
+
+    def test_projection_prunes_scan_columns(self, spark, sf_dir):
+        df = QUERIES["sk_hyphen"](spark, sf_dir)  # selects 2 of 5 customer cols
+        cols = P.read_schema_columns(df)
+        assert cols == {"c_custkey", "c_name"}
+
+    def test_probe_reads_single_column(self, spark, sf_dir):
+        df = QUERIES["probe_bounds_date"](spark, sf_dir)
+        assert P.read_schema_columns(df) == {"o_orderdate"}
+
+
+class TestJoinStrategies:
+    def test_nation_join_broadcasts(self, spark, sf_dir):
+        df = QUERIES["join_revenue_by_nation"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
+
+    def test_ann_corpus_not_shuffled(self, spark, sf_dir):
+        # broadcast of the query side means the corpus never moves
+        df = QUERIES["ann_cosine_topk"](spark, sf_dir)
+        assert P.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in P.physical_plan(df)
+
+
+class TestAggregateShape:
+    def test_pricing_summary_partial_aggregates(self, spark, sf_dir):
+        df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+        assert P.has_partial_aggregate(df)
+
+    def test_pricing_summary_single_shuffle(self, spark, sf_dir):
+        df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 1
+
+    def test_narrow_transform_chain_fuses(self, spark, sf_dir):
+        # scan -> sk -> ts -> quality is narrow; only the dedup shuffles
+        df = QUERIES["pipeline_work_to_trusted"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 1
+
+    def test_text_scoring_is_shuffle_free(self, spark, sf_dir):
+        df = QUERIES["text_quality_score"](spark, sf_dir)
+        assert P.count_exchanges(df) == 0
+
+
+class TestExplainSummary:
+    def test_summary_shape(self, spark, sf_dir):
+        s = P.explain_summary(QUERIES["agg_pricing_summary"](spark, sf_dir))
+        assert set(s) == {"exchanges", "codegen_stages", "broadcast_join", "read_columns"}
+        assert s["read_columns"]  # pruned scan lists its columns

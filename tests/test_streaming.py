@@ -1,0 +1,119 @@
+"""Structured Streaming tests: stream-batch parity + trusted upsert."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_complete_with_spark_spark.lake import Lake
+from etl_complete_with_spark_spark.queries import load
+from etl_complete_with_spark_spark.streaming.ingest import (
+    sessionize,
+    stream_source,
+    stream_upsert_to_trusted,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Copy the events parquet into a stream-source directory."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "part-0.parquet")
+    return str(d)
+
+
+def run_to_memory(spark, stream_df, name, output_mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestWindowedCounts:
+    def test_stream_equals_batch(self, spark, sf_dir, events_dir):
+        stream = stream_source(spark, events_dir)
+        got = run_to_memory(
+            spark, windowed_event_counts(stream, window="1 hour"), "win_counts"
+        )
+        batch = (
+            load(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value",
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_sliding_window_multiplicity(self, spark, events_dir):
+        stream = stream_source(spark, events_dir)
+        slid = run_to_memory(
+            spark,
+            windowed_event_counts(stream, window="2 hours", slide="1 hour"),
+            "win_slide",
+        )
+        # every event belongs to exactly 2 sliding windows
+        total_tumbling = run_to_memory(
+            spark, windowed_event_counts(stream_source(spark, events_dir), window="1 hour"),
+            "win_tumble",
+        )
+        assert (
+            slid.agg(F.sum("n_events")).first()[0]
+            == 2 * total_tumbling.agg(F.sum("n_events")).first()[0]
+        )
+
+
+class TestSessionize:
+    def test_sessions_nonoverlapping_per_user(self, spark, events_dir):
+        stream = stream_source(spark, events_dir)
+        got = run_to_memory(spark, sessionize(stream, gap="10 minutes"), "sessions")
+        rows = got.orderBy("user_id", "session_start").collect()
+        assert rows
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+        for spans in by_user.values():
+            for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+                assert e1 <= s2  # closed before next opens
+
+
+class TestStreamingUpsert:
+    def test_upsert_matches_batch_phase2(self, spark, sf_dir, events_dir, tmp_path):
+        lake = Lake(str(tmp_path / "lake"))
+        stream = stream_source(spark, events_dir)
+        writer = stream_upsert_to_trusted(
+            stream, lake, "ns", "events", ["event_id"], str(tmp_path / "ckpt")
+        )
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        trusted = lake.read_trusted(spark, "ns", "events")
+        batch_n = load(spark, sf_dir, "events").count()
+        assert trusted.count() == batch_n
+        assert {"sk", "timestamp_kafka"} <= set(trusted.columns)
+        # replaying the same data must not duplicate (sk-merge idempotency)
+        q2 = stream_upsert_to_trusted(
+            stream_source(spark, events_dir), lake, "ns", "events",
+            ["event_id"], str(tmp_path / "ckpt2"),
+        ).start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert lake.read_trusted(spark, "ns", "events").count() == batch_n

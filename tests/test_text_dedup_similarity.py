@@ -190,3 +190,22 @@ class TestEmbeddingOps:
             per_q.setdefault(r.query_id, []).append(r.rank)
         assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
         assert all(len(v) <= 5 for v in per_q.values())
+
+
+class TestBlasTopK:
+    def test_blas_matches_expression_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5")
+        expr = {(r.query_id, r.neighbor_id) for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+        blas = {(r.query_id, r.neighbor_id) for r in SIM.cosine_topk_blas(emb, queries, k=5).collect()}
+        overlap = len(expr & blas) / len(expr)
+        assert overlap >= 0.95, f"BLAS/expression mismatch: {overlap}"
+
+    def test_blas_cosines_numerically_close(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 2")
+        expr = {(r.query_id, r.neighbor_id): r.cosine for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+        blas = {(r.query_id, r.neighbor_id): r.cosine for r in SIM.cosine_topk_blas(emb, queries, k=5).collect()}
+        common = set(expr) & set(blas)
+        assert common
+        assert all(abs(expr[p] - blas[p]) <= 1e-3 for p in common)
