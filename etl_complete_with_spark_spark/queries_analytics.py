@@ -188,3 +188,56 @@ def asof_join_last_purchase(spark, sf_dir):
         .filter(F.col("event_id").isNotNull())
         .select("event_id", "user_id", "click_ts", "last_purchase_ts")
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH user_stats AS (
+        SELECT user_id, count(*) AS n_user_events,
+               round(sum(value), 2) AS user_value
+        FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type, s.n_user_events, s.user_value
+    FROM events e JOIN user_stats s ON e.user_id = s.user_id
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact-to-dim join (operators/skew.py): the events fact salted
+    on event_id, the per-user dim replicated across 8 salts — result is
+    row-identical to the plain join (the oracle IS the plain join). At
+    100 TB this spreads a hot user over 8 tasks instead of one straggler."""
+    from .operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events"),
+        F.round(F.sum("value"), 2).alias("user_value"),
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id", "event_type"), dim, on="user_id",
+        salt_factor=8, salt_source="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "n_user_events", "user_value")
+
+
+@query(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact continuous quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation). The 100 TB variant
+    is `percentile_approx` (t-digest sketch, one pass, no sort) — excluded
+    from the oracle set because sketch estimates are engine-specific."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )
