@@ -88,16 +88,37 @@ def md5_hash60(value: Column, seed: int) -> Column:
 def explode_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) posting list — the base relation for Jaccard/MinHash."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    """(id, shingle) posting list — the base relation for Jaccard/MinHash.
+
+    Performance-shaped version of :func:`shingles`: the token array is
+    materialized as a column first (evaluated once per row, not once per
+    lambda element), and each shingle is built from n O(1)
+    ``element_at`` lookups instead of a per-shingle ``slice`` array copy —
+    higher-order functions are interpreted, so per-element cost dominates.
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    cnt = F.size("__toks") - F.lit(n - 1)
+    shingle_list = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
+                ),
+            )
+        )
     )
+    return base.select("id", F.explode(shingle_list).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted-index join)
 # ---------------------------------------------------------------------------
+
+# Seed for the posting-list shingle hash (distinct from MinHash seeds 0..k).
+JACCARD_HASH_SEED = 99
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -109,13 +130,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with shingle-Jaccard >= threshold.
 
-    Plan shape: posting list -> (optional) drop shingles appearing in more
-    than ``max_shingle_freq`` docs (stop-shingle cap: a shingle shared by
-    f docs contributes f² join rows — the cap bounds the worst posting) ->
-    self-join on shingle with id1 < id2 -> count common -> Jaccard via
-    per-doc shingle counts. Returns (id1, id2, jaccard).
+    Plan shape: posting list with shingles *hashed to int64*
+    (8-byte join keys instead of ~25-byte strings — halves the shuffle and
+    speeds the equality; 60-bit hashes make collisions negligible and the
+    DuckDB oracle uses the identical hash) -> (optional) drop shingles
+    appearing in more than ``max_shingle_freq`` docs (stop-shingle cap: a
+    shingle shared by f docs contributes f² join rows) -> self-join on
+    shingle hash with id1 < id2 -> count common -> Jaccard via per-doc
+    shingle counts. Returns (id1, id2, jaccard).
     """
-    posting = explode_shingles(df, id_col, text_col, n)
+    posting = explode_shingles(df, id_col, text_col, n).select(
+        "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
+    )
+    # The posting list feeds three consumers (sizes, both join sides); the
+    # shingle construction is interpreted higher-order-function work, so
+    # materialize it once instead of recomputing per consumer.
+    posting = posting.cache()
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df_"))

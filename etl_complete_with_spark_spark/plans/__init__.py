@@ -64,9 +64,10 @@ def count_exchanges(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans — narrow chains should fuse
-    into few, wide ones break at exchanges."""
+    into few, wide ones break at exchanges. Spark's plan text marks
+    codegen'd operators with a ``*(N)`` prefix (N = codegen stage id)."""
     plan = physical_plan(df)
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids)
 
 

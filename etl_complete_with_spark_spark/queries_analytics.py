@@ -241,3 +241,79 @@ def agg_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
     )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Scalar JSON extraction from a string payload column (absent in the
+    reference, SURVEY §2.7). `get_json_object` evaluates JVM-side per row —
+    no Python, no shuffle; for repeated multi-field extraction prefer one
+    `from_json` with an explicit schema over N path probes."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@query(
+    "rollup_revenue_by_nation_region",
+    """
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue_by_nation_region(spark, sf_dir):
+    """Hierarchical ROLLUP (region -> nation -> grand total) over a
+    broadcast dim chain — one Expand + one shuffle for all levels."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "running_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def running_revenue_per_customer(spark, sf_dir):
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING) + sequence
+    number in one window partitioning — a single shuffle on the customer
+    key serves both functions."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )

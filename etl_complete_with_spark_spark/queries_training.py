@@ -159,9 +159,10 @@ _TRIGRAMS = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk
 
 _JACCARD_POSTING = f"""
     WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
-    p AS (
-        SELECT id, unnest(list_distinct({_TRIGRAMS})) AS shingle
+    p0 AS (
+        SELECT id, unnest(list_distinct({_TRIGRAMS})) AS sh
         FROM norm),
+    p AS (SELECT id, {_hash60_sql('sh', 99)} AS shingle FROM p0),
     sizes AS (SELECT id, count(*) AS n FROM p GROUP BY id),
     common AS (
         SELECT a.id AS id1, b.id AS id2, count(*) AS c
