@@ -449,3 +449,56 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def embedding_neardup_pairs_blas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """BLAS implementation of exact all-pairs cosine near-dup.
+
+    Same output contract as :func:`embedding_neardup_pairs` (id1 < id2,
+    cosine rounded to 4, >= threshold), but each Arrow batch scores
+    against the whole corpus in one numpy matmul instead of interpreted
+    per-element folds — ~10x faster on dense vectors.
+
+    Scale shape: the normalized corpus matrix is broadcast (fine to ~1M
+    vectors x 64 dims = 0.5 GB; beyond that, tile the corpus into blocks
+    and join batches to blocks instead of broadcasting). Each task holds
+    one |batch| x |corpus| similarity tile — bound batch size via
+    spark.sql.execution.arrow.maxRecordsPerBatch for wide corpora.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    ids = np.array([r.id for r in rows])
+    mat = np.array([r.v for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["id"].to_numpy()
+            b_mat = np.stack(pdf["v"].to_numpy())
+            b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = np.round(b_mat @ c_mat.T, 4)
+            bi, ci = np.where(sims >= threshold)
+            keep = b_ids[bi] < c_ids[ci]  # id1 < id2, no self-pairs
+            yield pd.DataFrame(
+                {
+                    "id1": b_ids[bi][keep],
+                    "id2": c_ids[ci][keep],
+                    "cosine": sims[bi, ci][keep],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return src.mapInPandas(score, "id1 long, id2 long, cosine double")

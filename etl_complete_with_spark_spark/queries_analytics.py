@@ -317,3 +317,87 @@ def running_revenue_per_customer(spark, sf_dir):
         F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+@query(
+    "left_outer_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_outer_order_counts(spark, sf_dir):
+    """Left-outer + count (TPC-H Q13 shape): customers kept at zero
+    orders. count(col) skips the nulls the outer join introduces."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    """,
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    """NOT EXISTS as a left_anti hash join — one shuffle, no row
+    multiplication (the set-difference workhorse at scale). Scoped to
+    1996 orders so the anti set is non-trivial (every customer has SOME
+    order in this data)."""
+    cust = load(spark, sf_dir, "customer")
+    orders_96 = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return cust.join(
+        orders_96, cust.c_custkey == orders_96.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               floor(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w * 1.0
+                     / count(*) OVER w) / 100.0 AS cust_avg,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey)) t
+    WHERE price_cents > CAST(round(cust_avg * 100) AS BIGINT)
+    """,
+)
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery shape (orders above their customer's average)
+    decorrelated into one analytic window — a single shuffle instead of a
+    per-row subquery or a self-join."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # prices are exact cents, so averages sit exactly on half-cent round
+    # boundaries where Spark (HALF_UP on shortest repr) and DuckDB
+    # (binary-faithful) disagree — compute entirely in integer cents
+    # (floor of an exact integer ratio) so both engines agree bit-for-bit
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust_avg = F.floor(F.sum(cents).over(w) / F.count(F.lit(1)).over(w)) / F.lit(100.0)
+    return (
+        orders.withColumn("price_cents", cents)
+        .withColumn("cust_avg", cust_avg)
+        .filter(F.col("price_cents") > F.round(F.col("cust_avg") * 100).cast("long"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )

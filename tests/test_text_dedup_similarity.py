@@ -209,3 +209,12 @@ class TestBlasTopK:
         common = set(expr) & set(blas)
         assert common
         assert all(abs(expr[p] - blas[p]) <= 1e-3 for p in common)
+
+
+class TestBlasNearDup:
+    def test_blas_identical_to_expression_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        expr = {(r.id1, r.id2): r.cosine for r in D.embedding_neardup_pairs(emb, threshold=0.3).collect()}
+        blas = {(r.id1, r.id2): r.cosine for r in D.embedding_neardup_pairs_blas(emb, threshold=0.3).collect()}
+        assert set(expr) == set(blas)
+        assert all(expr[k] == blas[k] for k in expr)
