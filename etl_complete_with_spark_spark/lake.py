@@ -83,15 +83,68 @@ class Lake:
             stream.close()
         return os.path.join(base, version)
 
-    def read_trusted(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
+    def read_trusted(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        dataset: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read TRUSTED — latest by default, or time-travel to ``version``.
+
+        Every merge writes a new ``v{n}`` directory and swaps the pointer
+        (old versions stay until vacuumed), so ``version=`` reads any
+        retained snapshot — the same contract as Delta's
+        ``versionAsOf`` (which is used directly when Delta is present).
+        """
         if _HAS_DELTA:
-            return spark.read.format("delta").load(self.path(TRUSTED, namespace, dataset))
+            reader = spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            return reader.load(self.path(TRUSTED, namespace, dataset))
+        if version is not None:
+            target = os.path.join(self.path(TRUSTED, namespace, dataset), f"v{version}")
+            jvm_path, fs = self._fs(spark, target)
+            if not fs.exists(jvm_path):
+                raise FileNotFoundError(
+                    f"TRUSTED version v{version} not found for {namespace}.{dataset}"
+                )
+            return spark.read.parquet(target)
         current = self._trusted_current(spark, namespace, dataset)
         if current is None:
             raise FileNotFoundError(
                 f"no TRUSTED data for {namespace}.{dataset} under {self.root}"
             )
         return spark.read.parquet(current)
+
+    def trusted_versions(self, spark: SparkSession, namespace: str, dataset: str) -> list[int]:
+        """Retained TRUSTED snapshot versions, ascending."""
+        base = self.path(TRUSTED, namespace, dataset)
+        jvm_path, fs = self._fs(spark, base)
+        if not fs.exists(jvm_path):
+            return []
+        versions = []
+        for status in fs.listStatus(jvm_path):
+            name = status.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                versions.append(int(name[1:]))
+        return sorted(versions)
+
+    def vacuum_trusted(
+        self, spark: SparkSession, namespace: str, dataset: str, keep: int = 2
+    ) -> list[int]:
+        """Drop all but the newest ``keep`` TRUSTED versions (the
+        72h-retention analogue of the reference's merge,
+        cloud_utils.py:523). Returns the versions removed. Never removes
+        the current pointer's version."""
+        versions = self.trusted_versions(spark, namespace, dataset)
+        current = self._trusted_current(spark, namespace, dataset)
+        current_v = int(os.path.basename(current)[1:]) if current else None
+        removable = [v for v in versions[:-keep] if v != current_v] if keep else []
+        base = self.path(TRUSTED, namespace, dataset)
+        for v in removable:
+            self._rm(spark, os.path.join(base, f"v{v}"))
+        return removable
 
     def trusted_schema(self, spark: SparkSession, namespace: str, dataset: str):
         """Schema-by-reflection from TRUSTED (S8; utils.py:96-140)."""

@@ -137,3 +137,54 @@ def stream_upsert_to_trusted(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful per-user running totals via applyInPandasWithState.
+
+    The custom-operator escape hatch the built-in windowed aggs can't
+    express (cross-batch mutable state with per-key lifecycle): state is
+    one (count, sum) pair per user, updated each micro-batch, emitting the
+    running totals downstream. State lives in the state store (checkpoint-
+    backed, partitioned by key) — per-executor memory is bounded by its
+    key shard, not the stream length.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

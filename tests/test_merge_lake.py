@@ -75,3 +75,30 @@ class TestLake:
         assert set(lake.trusted_schema(spark, "ns", "ds").fieldNames()) == {
             "sk", "v", "timestamp_kafka",
         }
+
+
+class TestTimeTravel:
+    def test_version_reads_and_vacuum(self, spark, tmp_path):
+        import datetime as dt
+
+        lake = Lake(str(tmp_path))
+        for day, rows in [(1, [("a", 1)]), (2, [("a", 10), ("b", 2)]), (3, [("c", 3)])]:
+            lake.merge_trusted(
+                spark,
+                spark.createDataFrame(_rows(dt.datetime(2024, 1, day), *rows)),
+                "ns", "ds",
+            )
+        assert lake.trusted_versions(spark, "ns", "ds") == [0, 1, 2]
+        v0 = {r.sk: r.v for r in lake.read_trusted(spark, "ns", "ds", version=0).collect()}
+        v1 = {r.sk: r.v for r in lake.read_trusted(spark, "ns", "ds", version=1).collect()}
+        latest = {r.sk: r.v for r in lake.read_trusted(spark, "ns", "ds").collect()}
+        assert v0 == {"a": 1}
+        assert v1 == {"a": 10, "b": 2}
+        assert latest == {"a": 10, "b": 2, "c": 3}
+        removed = lake.vacuum_trusted(spark, "ns", "ds", keep=2)
+        assert removed == [0]
+        assert lake.trusted_versions(spark, "ns", "ds") == [1, 2]
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            lake.read_trusted(spark, "ns", "ds", version=0)

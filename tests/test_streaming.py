@@ -117,3 +117,23 @@ class TestStreamingUpsert:
         finally:
             q2.stop()
         assert lake.read_trusted(spark, "ns", "events").count() == batch_n
+
+
+class TestStatefulOperator:
+    def test_running_totals_match_batch(self, spark, sf_dir, events_dir):
+        from etl_complete_with_spark_spark.streaming.ingest import running_user_totals
+
+        stream = stream_source(spark, events_dir)
+        got = run_to_memory(spark, running_user_totals(stream), "run_totals", "update")
+        # final state per user == plain batch aggregation
+        import pyspark.sql.functions as SF
+
+        latest = got.groupBy("user_id").agg(
+            SF.max("n_events").alias("n_events"), SF.max("sum_value").alias("sum_value")
+        )
+        batch = (
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(SF.count(SF.lit(1)).alias("n_events"), SF.round(SF.sum("value"), 2).alias("sum_value"))
+        )
+        assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
