@@ -401,3 +401,19 @@ def orders_above_customer_avg(spark, sf_dir):
         .filter(F.col("price_cents") > F.round(F.col("cust_avg") * 100).cast("long"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+@query("agg_approx_stats")  # sketch estimates are engine-specific -> rows-only
+def agg_approx_stats(spark, sf_dir):
+    """The one-pass approximate aggregates used instead of exact
+    distinct/quantiles at 100 TB: approx_count_distinct (HLL++, no
+    distinct shuffle) and percentile_approx (t-digest). No SQL oracle —
+    sketch estimates differ by engine; the exact twins
+    (distinct_users_per_type, agg_quantiles) are the oracle-checked
+    baselines these approximate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

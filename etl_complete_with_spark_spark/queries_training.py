@@ -412,3 +412,71 @@ def stream_windowed_counts(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composite: corpus cleaning (the full LLM-data pass)
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+        SELECT doc_id,
+               (least(len(tk), 100) * 40
+                + CASE WHEN len(tk) = 0 THEN 0 ELSE floor(3000.0 * len(list_distinct(tk)) / len(tk)) END
+                + CASE WHEN len(tk) = 0 THEN 0 ELSE least(floor(30000.0 * len(list_filter(tk, x -> lower(x) IN ({_STOPLIST}))) / len(tk)), 3000) END
+               ) / 10000.0 AS quality_score
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) t
+"""
+
+
+@query(
+    "corpus_clean_pipeline",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    kept AS (
+        SELECT d.doc_id, d.text, q.quality_score
+        FROM documents d JOIN q USING (doc_id)
+        WHERE q.quality_score >= 0.5),
+    exact AS (
+        SELECT doc_id, text, quality_score FROM kept
+        QUALIFY row_number() OVER (
+            PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1),
+    norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM exact),
+    p0 AS (SELECT id, unnest(list_distinct({_TRIGRAMS})) AS sh FROM norm),
+    p AS (SELECT id, {_hash60_sql('sh', 99)} AS shingle FROM p0),
+    sizes AS (SELECT id, count(*) AS n FROM p GROUP BY id),
+    common AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS c
+        FROM p a JOIN p b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2),
+    neardup AS (
+        SELECT DISTINCT id2 FROM common
+        JOIN sizes s1 ON id1 = s1.id
+        JOIN sizes s2 ON id2 = s2.id
+        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5)
+    SELECT doc_id, quality_score FROM exact
+    WHERE doc_id NOT IN (SELECT id2 FROM neardup)
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The full training-corpus cleaning pass, end to end:
+
+    quality scoring (shuffle-free projection) -> quality filter (>= 0.5)
+    -> exact dedup (hash shuffle on fingerprint, lowest id wins) ->
+    trigram-Jaccard near-dup pairs among survivors (inverted-index join)
+    -> drop the higher id of every near-dup pair. One oracle covers the
+    whole chain, so stage composition errors (e.g. pairing against
+    pre-filter docs) are caught, not just per-stage correctness.
+    """
+    from .operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from .operators.text import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        with_quality_score(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "text", "quality_score")
+    )
+    unique = exact_dedup(kept).select("doc_id", "text", "quality_score")
+    pairs = ngram_jaccard_pairs(unique, n=3, threshold=0.5, max_shingle_freq=None)
+    dup_ids = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return unique.join(dup_ids, "doc_id", "left_anti").select("doc_id", "quality_score")
