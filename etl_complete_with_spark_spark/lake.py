@@ -54,11 +54,52 @@ class Lake:
 
     # -- WORK zone (K1) -----------------------------------------------------
 
-    def write_work(self, df: DataFrame, namespace: str, dataset: str) -> str:
-        """Append a slice to the WORK zone (cloud_utils.py:459-467)."""
+    def write_work(
+        self,
+        df: DataFrame,
+        namespace: str,
+        dataset: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Append a slice to the WORK zone (cloud_utils.py:459-467).
+
+        ``partition_by`` hive-partitions the landing zone (e.g. by load
+        date) so downstream scans prune whole directories — at 100 TB the
+        difference between scanning one day and scanning the lake.
+        """
         path = self.path(WORK, namespace, dataset)
-        df.write.mode("append").parquet(path)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         return path
+
+    def compact_work(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        dataset: str,
+        target_files: int = 8,
+    ) -> int:
+        """Rewrite the WORK dataset into ``target_files`` files.
+
+        Slice-by-slice appends accumulate small files (one-per-task-per-
+        append); small files are the classic lake scan killer (per-file
+        open cost + tiny row groups). Rewrite via a temp dir + atomic-ish
+        swap; returns the file count before compaction.
+        """
+        import uuid
+
+        path = self.path(WORK, namespace, dataset)
+        df = spark.read.parquet(path)
+        before = df.rdd.getNumPartitions()
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        self._rm(spark, path)
+        src_path, fs = self._fs(spark, tmp)
+        dst_path, _ = self._fs(spark, path)
+        fs.rename(src_path, dst_path)
+        return before
 
     def read_work(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
         """Read the staged dataset back (S7; utils.py:792-798)."""

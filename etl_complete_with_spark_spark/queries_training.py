@@ -480,3 +480,57 @@ def corpus_clean_pipeline(spark, sf_dir):
     pairs = ngram_jaccard_pairs(unique, n=3, threshold=0.5, max_shingle_freq=None)
     dup_ids = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return unique.join(dup_ids, "doc_id", "left_anti").select("doc_id", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Chunking + PII (training-data preparation passes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "chunk_documents_windows",
+    f"""
+    WITH t AS (SELECT doc_id, tk, len(tk) AS n
+               FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) x),
+    c AS (SELECT doc_id, tk, n,
+                 unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT))) AS i
+          FROM t)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(tk[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+           CAST(least(n - i*24, 32) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents_windows(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap -> stride 24): the context-length-bound split every training
+    pipeline runs before tokenization. Shuffle-free explode fan-out."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@query(
+    "scrub_pii_text",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?[0-9]{1,4}[()\-\s][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]{9,}', '<NUM>', 'g') AS text_scrubbed
+    FROM documents
+    """,
+)
+def scrub_pii_text(spark, sf_dir):
+    """PII redaction pass (emails / phones / long digit runs), JVM-side
+    regexp_replace chain — lookaround-free patterns so Spark's Java regex
+    and the oracle's engine agree. (This corpus is synthetic and clean,
+    so the pass is an identity here; behavior is pinned by unit tests
+    with planted PII.)"""
+    from .operators.chunking import scrub_pii
+
+    return scrub_pii(load(spark, sf_dir, "documents")).select("doc_id", "text_scrubbed")

@@ -102,3 +102,31 @@ class TestTimeTravel:
 
         with _pytest.raises(FileNotFoundError):
             lake.read_trusted(spark, "ns", "ds", version=0)
+
+
+class TestPartitionedWorkAndCompaction:
+    def test_partitioned_write_prunes_scan(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark import plans as P
+
+        lake = Lake(str(tmp_path))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "bucket", (F.col("event_id") % 4).cast("int")
+        )
+        lake.write_work(ev, "ns", "ev", partition_by=["bucket"])
+        scan = lake.read_work(spark, "ns", "ev").filter(F.col("bucket") == 2)
+        plan = P.formatted_plan(scan)
+        assert "PartitionFilters" in plan and "bucket" in plan
+        assert scan.count() == ev.filter("event_id % 4 = 2").count()
+
+    def test_compaction_preserves_data(self, spark, sf_dir, tmp_path):
+        lake = Lake(str(tmp_path))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        for lo, hi in [(0, 300), (300, 600), (600, 10_000)]:
+            lake.write_work(ev.filter(f"event_id >= {lo} and event_id < {hi}"), "ns", "ev")
+        before_rows = lake.read_work(spark, "ns", "ev").count()
+        lake.compact_work(spark, "ns", "ev", target_files=2)
+        after = lake.read_work(spark, "ns", "ev")
+        assert after.count() == before_rows
+        assert after.rdd.getNumPartitions() <= 2

@@ -218,3 +218,57 @@ class TestBlasNearDup:
         blas = {(r.id1, r.id2): r.cosine for r in D.embedding_neardup_pairs_blas(emb, threshold=0.3).collect()}
         assert set(expr) == set(blas)
         assert all(expr[k] == blas[k] for k in expr)
+
+
+class TestChunking:
+    def test_chunks_cover_with_overlap(self, spark):
+        from etl_complete_with_spark_spark.operators.chunking import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        df = docs(spark, text)
+        out = chunk_documents(df, chunk_tokens=32, overlap=8).orderBy("chunk_idx").collect()
+        # stride 24: starts 0,24,48,72 — start 96 is redundant (72+32 >= 100)
+        assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+        assert out[0].chunk_text.startswith("w0 ") and out[1].chunk_text.startswith("w24 ")
+        assert out[0].n_tokens == 32 and out[-1].n_tokens == 28
+        # full coverage: last chunk reaches the last token
+        assert out[-1].chunk_text.split()[-1] == "w99"
+        # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+        assert out[0].chunk_text.split()[-8:] == out[1].chunk_text.split()[:8]
+
+    def test_short_and_empty_docs_one_chunk(self, spark):
+        from etl_complete_with_spark_spark.operators.chunking import chunk_documents
+
+        out = chunk_documents(docs(spark, "a b c", ""), chunk_tokens=32, overlap=8).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        assert len(per_doc[0]) == 1 and per_doc[0][0].n_tokens == 3
+        assert len(per_doc[1]) == 1 and per_doc[1][0].n_tokens == 0
+
+    def test_invalid_overlap_rejected(self, spark):
+        import pytest as _pytest
+
+        from etl_complete_with_spark_spark.operators.chunking import chunk_documents
+
+        with _pytest.raises(ValueError):
+            chunk_documents(docs(spark, "x"), chunk_tokens=8, overlap=8)
+
+
+class TestPiiScrub:
+    def test_patterns_redacted(self, spark):
+        from etl_complete_with_spark_spark.operators.chunking import scrub_pii
+
+        df = docs(
+            spark,
+            "contact me at john.doe+spam@example.co.uk or +1 (555) 123-4567 id 123456789012",
+        )
+        out = scrub_pii(df).first().text_scrubbed
+        assert "<EMAIL>" in out and "@" not in out
+        assert "<PHONE>" in out
+        assert "<NUM>" in out and "123456789012" not in out
+
+    def test_clean_text_untouched(self, spark):
+        from etl_complete_with_spark_spark.operators.chunking import scrub_pii
+
+        assert scrub_pii(docs(spark, "nothing personal here")).first().text_scrubbed == "nothing personal here"
