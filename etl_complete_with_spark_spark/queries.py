@@ -39,6 +39,11 @@ BATCH_TS = "2024-01-01 00:00:00"  # fixed batch timestamp for deterministic orac
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS) — unreadable without this
+        # (runtime-settable) conf. Set defensively: the caller's session
+        # (e.g. the driver's) may not come from our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos (see
     # session.py nanosAsLong) and converted to a microsecond timestamp here

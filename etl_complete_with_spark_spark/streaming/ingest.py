@@ -52,6 +52,7 @@ def stream_source(
     and is converted to a microsecond timestamp exactly like the batch
     loader (queries.load).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see queries.load
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
