@@ -39,6 +39,10 @@ BATCH_TS = "2024-01-01 00:00:00"  # fixed batch timestamp for deterministic orac
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The whole oracle contract assumes UTC timestamps (DuckDB is
+    # UTC-naive); pin it on the caller's session — the driver's session
+    # may not come from our factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS) — unreadable without this
         # (runtime-settable) conf. Set defensively: the caller's session
