@@ -60,7 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
 def _parse_bound(value: str | None, mode: str):
     if value is None:
         return None
-    return int(value) if mode == "int" else _dt.date.fromisoformat(value)
+    try:
+        return int(value) if mode == "int" else _dt.date.fromisoformat(value)
+    except ValueError as exc:
+        expected = "an integer" if mode == "int" else "an ISO date (YYYY-MM-DD)"
+        raise SystemExit(
+            f"error: --start_process/--end_process must be {expected} "
+            f"in --mode {mode}; got {value!r}"
+        ) from exc
 
 
 def build_source(args, spark=None):
@@ -86,6 +93,9 @@ def build_source(args, spark=None):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # validate bounds before paying JVM startup
+    start = _parse_bound(args.start, args.mode)
+    end = _parse_bound(args.end, args.mode)
     spark = get_spark(app_name=f"resync-{args.namespace}-{args.dataset}")
     status = http_status_callback(args.status_endpoint) if args.status_endpoint else null_status
 
@@ -94,8 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         dataset=args.dataset,
         partition_column=args.partition_column,
         mode=args.mode,
-        start=_parse_bound(args.start, args.mode),
-        end=_parse_bound(args.end, args.mode),
+        start=start,
+        end=end,
         amount=args.amount,
         id_request=args.id_request,
     )

@@ -502,3 +502,105 @@ def embedding_neardup_pairs_blas(
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     return src.mapInPandas(score, "id1 long, id2 long, cosine double")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (continual ingest against a stored corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_neardup_filter(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-ingested corpus.
+
+    The continual-ingest shape: the corpus is represented only by its
+    MinHash signature table (k longs per doc — ~128 bytes/doc at k=16,
+    billions of docs fit a modest table), never by its text. New docs are
+    signed, LSH-bucketed against the stored signatures, candidates
+    verified by signature agreement, and survivors returned along with
+    their signatures (ready to append to the corpus table).
+
+    Returns ``(kept_new_docs, kept_signatures)``. Within-batch near-dups
+    are also collapsed (lowest id wins) so a batch can't smuggle in two
+    copies of a novel document.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes).cache()
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        stacked = sigs.select("id", *cols).select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        return stacked.withColumnRenamed("id", f"{side}_id")
+
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+
+    def verify(cands: DataFrame, s1: DataFrame, s2: DataFrame) -> DataFrame:
+        a = s1.select(F.col("id").alias("new_id"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+        b = s2.select(F.col("id").alias("old_id"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+        return (
+            cands.join(a, "new_id")
+            .join(b, "old_id")
+            .withColumn("est", agree / F.lit(float(num_hashes)))
+            .filter(F.col("est") >= threshold)
+            .select("new_id")
+            .distinct()
+        )
+
+    # vs the stored corpus
+    cand_old = (
+        banded(new_sigs, "new")
+        .join(banded(corpus_signatures, "old"), "bucket")
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    dup_vs_corpus = verify(cand_old, new_sigs, corpus_signatures)
+
+    # within the new batch (keep the lowest id of each near-dup pair)
+    cand_new = (
+        banded(new_sigs, "new")
+        .join(banded(new_sigs, "old"), "bucket")
+        .filter(F.col("new_id") > F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    dup_in_batch = verify(cand_new, new_sigs, new_sigs)
+
+    dup_ids = dup_vs_corpus.unionByName(dup_in_batch).distinct()
+    kept = new_docs.join(
+        dup_ids.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+    )
+    kept_sigs = new_sigs.join(
+        dup_ids.withColumnRenamed("new_id", "id"), "id", "left_anti"
+    )
+    return kept, kept_sigs

@@ -417,3 +417,103 @@ def agg_approx_stats(spark, sf_dir):
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "semi_join_priority_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_join_priority_orders(spark, sf_dir):
+    """EXISTS as a left_semi join (TPC-H Q4 shape): orders with at least
+    one late-shipping lineitem, counted by priority. Semi joins never
+    multiply rows — the probe side streams past the build side once."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "case_agg_priority_split",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def case_agg_priority_split(spark, sf_dir):
+    """Conditional-sum aggregation over a join (TPC-H Q12 shape): CASE
+    folded into the aggregate, so one pass computes both branches."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "top10_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top10_orders_global(spark, sf_dir):
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject — each
+    partition keeps its local top-10, the driver merges k·n_partitions
+    rows; no global sort ever materializes. The shape that makes top-N
+    over 100 TB cheap."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "unpivot_event_matrix",
+    """
+    WITH m AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'purchase') AS purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM m
+    UNPIVOT (n FOR kind IN (click, purchase))
+    """,
+)
+def unpivot_event_matrix(spark, sf_dir):
+    """Unpivot (melt) wide columns back to long form via ``stack`` — the
+    inverse of pivot, needed whenever feature matrices feed long-format
+    consumers."""
+    wide = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.selectExpr(
+        "user_id", "stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"
+    )

@@ -272,3 +272,45 @@ class TestPiiScrub:
         from etl_complete_with_spark_spark.operators.chunking import scrub_pii
 
         assert scrub_pii(docs(spark, "nothing personal here")).first().text_scrubbed == "nothing personal here"
+
+
+class TestIncrementalDedup:
+    def test_new_batch_filtered_against_corpus_and_itself(self, spark):
+        corpus = docs(
+            spark,
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "completely unrelated text about spark query engines and shuffles",
+        )
+        corpus_sigs = D.minhash_signatures(corpus, num_hashes=16)
+        new = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 0 -> must be dropped
+                (10, "the quick brown fox jumps over the lazy dog again and again today extra"),
+                # novel -> kept
+                (11, "a genuinely new document with different words entirely here now"),
+                # near-dup of 11 within the batch -> dropped (11 < 12)
+                (12, "a genuinely new document with different words entirely here now plus"),
+            ],
+            "doc_id long, text string",
+        )
+        kept, kept_sigs = D.incremental_neardup_filter(new, corpus_sigs, threshold=0.3)
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [11]
+        assert sorted(r.id for r in kept_sigs.collect()) == [11]
+
+    def test_appending_kept_sigs_blocks_future_dups(self, spark):
+        corpus = docs(spark, "seed document with some words in it for the corpus table")
+        sigs = D.minhash_signatures(corpus, num_hashes=16)
+        b1 = spark.createDataFrame(
+            [(20, "first novel batch document with plenty of distinct tokens inside")],
+            "doc_id long, text string",
+        )
+        kept1, s1 = D.incremental_neardup_filter(b1, sigs, threshold=0.3)
+        sigs = sigs.unionByName(s1)
+        # batch 2 re-sends the same doc under a new id -> dropped
+        b2 = spark.createDataFrame(
+            [(30, "first novel batch document with plenty of distinct tokens inside")],
+            "doc_id long, text string",
+        )
+        kept2, _ = D.incremental_neardup_filter(b2, sigs, threshold=0.3)
+        assert kept1.count() == 1 and kept2.count() == 0
