@@ -1,0 +1,76 @@
+"""Hypothesis property tests over the core operators.
+
+Spark-backed property tests are expensive per example, so each property
+uses a small, focused example budget — the point is hitting structural
+edge cases (empty docs, chunk==text length, single-row merges), not
+volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+
+from etl_complete_with_spark_spark.operators.chunking import chunk_documents
+from etl_complete_with_spark_spark.operators.merge import merge_upsert
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+
+
+class TestChunkingProperties:
+    @SETTINGS
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=120),
+        chunk=st.integers(min_value=2, max_value=40),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def test_reconstruction_and_bounds(self, spark, n_tokens, chunk, overlap_frac):
+        overlap = min(int(chunk * overlap_frac), chunk - 1)
+        stride = chunk - overlap
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([Row(doc_id=0, text=text)])
+        out = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert out, "every doc yields at least one chunk"
+        # chunk sizes: all <= chunk; all but the edges exactly chunk when long enough
+        assert all(r.n_tokens <= chunk for r in out)
+        # reconstruction: drop the overlap from every chunk after the first
+        toks = out[0].chunk_text.split()
+        for r in out[1:]:
+            toks.extend(r.chunk_text.split()[overlap:])
+        assert toks == text.split()
+        # no redundant trailing window: second-to-last chunk must not
+        # already reach the end
+        if len(out) > 1:
+            assert (len(out) - 2) * stride + chunk < max(n_tokens, 1)
+
+
+class TestMergeProperties:
+    @SETTINGS
+    @given(
+        target_keys=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6, unique=True),
+        source_keys=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6, unique=True),
+    )
+    def test_upsert_key_algebra(self, spark, target_keys, source_keys):
+        ts0, ts1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        target = spark.createDataFrame(
+            [Row(sk=k, v=0, timestamp_kafka=ts0) for k in target_keys]
+        )
+        source = spark.createDataFrame(
+            [Row(sk=k, v=1, timestamp_kafka=ts1) for k in source_keys]
+        )
+        out = {r.sk: r.v for r in merge_upsert(target, source).collect()}
+        # keys = union; source wins on intersection; untouched targets keep v=0
+        assert set(out) == set(target_keys) | set(source_keys)
+        assert all(out[k] == 1 for k in source_keys)
+        assert all(out[k] == 0 for k in set(target_keys) - set(source_keys))
