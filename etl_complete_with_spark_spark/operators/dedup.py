@@ -293,15 +293,19 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
     ).withColumn("h", md5_hash60(F.col("tok"), 0))
+    # Σ(±1 by bit j) > 0  ⇔  2·Σ(bit j) > count: plain bit sums keep the
+    # per-aggregate expression tree small (the 32 CASE variants cost
+    # seconds of driver-side analysis per invocation).
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{j}")
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = posting.groupBy("id").agg(*bit_sums)
+    sums = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
     sig = sum(
-        (F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)),
+        (
+            F.when(F.col(f"b_{j}") * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ),
         start=F.lit(0),
     )
     return sums.select("id", sig.cast("bigint").alias("simhash"))
@@ -356,36 +360,40 @@ def simhash_neardup_pairs(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def hyperplane_sketch(vec: Column, bits: int) -> Column:
+def _hyperplane_sign(i: int, j: int) -> float:
+    """±1 component j of hyperplane i: parity of md5('hp-{i}-{j}')[:8].
+
+    Computed driver-side with hashlib (bit-identical to the previous
+    in-plan ``md5`` expression) so the executors multiply against literal
+    sign arrays instead of hashing per element per row.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"hp-{i}-{j}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplane_sketch(vec: Column, bits: int, dim: int = 64) -> Column:
     """k-bit random-hyperplane sign sketch of an array<double> column.
 
     Hyperplane i has ±1 components derived per-dimension from
     ``md5('hp-{i}-{dim}')`` — fully deterministic, no stored model. Two
     vectors land in the same bucket iff they fall on the same side of all
     k hyperplanes; P[same bit] = 1 - angle/π, so high-cosine pairs
-    collide with high probability. Pure codegen: the dot product against
-    a ±1 hyperplane is an ``aggregate`` fold with the sign looked up from
-    the element index.
+    collide with high probability.
+
+    ``dim`` must be >= the vector length; the sign array is sliced to the
+    vector's actual size per row (zip_with null-pads the shorter side,
+    which would poison the fold). The sign tables are baked in as literal
+    arrays: hashing them in-plan would cost dim·bits md5 calls per ROW;
+    here the per-row work is one zip_with multiply + fold per bit.
     """
     def signed_dot(i: int) -> Column:
+        signs = F.array(*[F.lit(_hyperplane_sign(i, j)) for j in range(dim)])
         return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, j: x
-                * F.when(
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"hp-{i}-"), j.cast("string"))), 1, 8),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, F.slice(signs, 1, F.size(vec)), lambda x, s: x * s),
             F.lit(0.0),
-            lambda s, x: s + x,
+            lambda acc, x: acc + x,
         )
 
     return sum(
