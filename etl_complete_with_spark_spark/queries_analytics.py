@@ -517,3 +517,100 @@ def unpivot_event_matrix(spark, sf_dir):
     return wide.selectExpr(
         "user_id", "stack(2, 'click', click, 'purchase', purchase) AS (kind, n)"
     )
+
+
+@query(
+    "part_name_search",
+    """
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_name LIKE '%widget%' AND p_size >= 10
+    """,
+)
+def part_name_search(spark, sf_dir):
+    """LIKE-pattern + range filter on the part dim. A contains-pattern
+    compiles to a StringContains scan filter (pushed to parquet); anchored
+    prefixes would push as StartsWith."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%") & (F.col("p_size") >= 10))
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_balance,
+           round(max(s_acctbal), 2) AS max_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_by_nation(spark, sf_dir):
+    """Supplier dim rollup over a broadcast nation join."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.max("s_acctbal"), 2).alias("max_balance"),
+        )
+    )
+
+
+@query(
+    "orders_monthly_rollup",
+    """
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_monthly_rollup(spark, sf_dir):
+    """Calendar bucketing via date_trunc — the partition-friendly time
+    rollup (at scale the month usually IS the partition column, making
+    this a metadata-only aggregation)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+           round(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_val,
+           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark, sf_dir):
+    """Per-vector array statistics (dim, L2 norm, min/max) — the array
+    function surface (size/aggregate/array_min/array_max) as pure
+    codegen-free-rider columns on the scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    from .operators.dedup import l2_norm_expr
+
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm_expr(v), 4).alias("l2_norm"),
+        F.round(F.array_min(v), 4).alias("min_val"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+    )
