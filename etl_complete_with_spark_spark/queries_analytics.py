@@ -614,3 +614,25 @@ def embedding_vector_stats(spark, sf_dir):
         F.round(F.array_min(v), 4).alias("min_val"),
         F.round(F.array_max(v), 4).alias("max_val"),
     )
+
+
+@query(
+    "stats_price_quantity",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark, sf_dir):
+    """Statistical aggregates (Pearson correlation, sample stddev/variance)
+    per group — single-pass co-moment accumulation, one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
+    )
