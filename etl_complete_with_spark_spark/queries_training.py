@@ -300,6 +300,47 @@ def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_neardup_pairs_blas(emb, threshold=0.3)
 
 
+@query(
+    "dedup_cluster_keep",
+    f"""
+    {_JACCARD_POSTING.replace("WITH norm", "WITH RECURSIVE norm", 1)},
+    pairs AS (
+        SELECT id1, id2
+        FROM common
+        JOIN sizes s1 ON id1 = s1.id
+        JOIN sizes s2 ON id2 = s2.id
+        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5),
+    sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    reach(id, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+    SELECT id AS doc_id, min(r) AS component, (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_keep(spark, sf_dir):
+    """Cluster-correct near-dup dedup: trigram-Jaccard pairs (>= 0.5) as
+    edges -> connected components (operators/graph.py, iterative min-label
+    propagation with per-round lineage truncation) -> keep the minimum
+    doc_id per component. Correct where pairwise drop-id2 over-deletes
+    chains (A~B, B~C with A!~C must keep exactly A). The oracle computes
+    the same components via DuckDB's recursive transitive closure — an
+    exact cross-engine check of an iterative distributed algorithm."""
+    from .operators.graph import connected_components
+
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
+    ).select("id1", "id2")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

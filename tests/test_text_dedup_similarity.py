@@ -314,3 +314,24 @@ class TestIncrementalDedup:
         )
         kept2, _ = D.incremental_neardup_filter(b2, sigs, threshold=0.3)
         assert kept1.count() == 1 and kept2.count() == 0
+
+
+class TestConnectedComponents:
+    def test_chain_cycle_isolated(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+            "id1 long, id2 long",
+        )
+        verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "id long")
+        out = {r.id: r.component for r in connected_components(edges, verts).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 99: 99}
+
+    def test_long_chain_converges(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import connected_components
+
+        # a 12-vertex chain needs several label-propagation rounds
+        edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "id1 long, id2 long")
+        out = {r.id: r.component for r in connected_components(edges).collect()}
+        assert set(out.values()) == {0} and len(out) == 13
