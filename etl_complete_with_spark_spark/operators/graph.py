@@ -45,6 +45,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: every iteration joins sym, and without this the
+        # whole upstream (e.g. a shingle-posting self-join producing the
+        # near-dup edges) would re-execute per round
+        .localCheckpoint()
     )
     verts = sym.select(F.col("a").alias("id")).distinct()
     if vertices is not None:
