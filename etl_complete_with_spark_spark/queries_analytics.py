@@ -191,6 +191,70 @@ def asof_join_last_purchase(spark, sf_dir):
 
 
 @query(
+    "grouped_user_stats",
+    """
+    WITH x AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 3.6e9 AS xh, value
+        FROM events),
+    pre AS (
+        SELECT user_id, median(value) AS med, avg(xh) AS xbar
+        FROM x GROUP BY user_id)
+    SELECT x.user_id, count(*) AS n,
+           round(any_value(pre.med), 4) AS median_value,
+           round(median(abs(x.value - pre.med)), 4) AS mad_value,
+           round(coalesce(regr_slope(x.value, x.xh - pre.xbar), 0.0), 4) AS trend
+    FROM x JOIN pre USING (user_id)
+    GROUP BY x.user_id
+    """,
+)
+def grouped_user_stats(spark, sf_dir):
+    """Per-user robust stats (median, MAD, hourly value trend) via
+    applyInPandas (operators/grouped.py) — the grouped Arrow-batched
+    Python stage, exact-checked three ways: against the built-in
+    median/regr_slope expression twin (tests) and this DuckDB oracle."""
+    from .operators.grouped import grouped_robust_stats
+
+    return grouped_robust_stats(load(spark, sf_dir, "events"))
+
+
+@query(
+    "range_join_event_windows",
+    """
+    WITH w AS (
+        SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS ws,
+               CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS we
+        FROM events WHERE event_type = 'signup' AND event_id % 31 = 0)
+    SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM w JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= w.ws AND CAST(e.ts AS TIMESTAMP) < w.we
+    GROUP BY w.window_id
+    """,
+)
+def range_join_event_windows(spark, sf_dir):
+    """Interval join (operators/range_join.py): activity during the 6 hours
+    after each sampled signup. Spark's naive inequality join here is a
+    BroadcastNestedLoopJoin (|events| x |windows| comparisons); the binned
+    formulation turns it into an equi hash join on a time bin + an exact
+    residual filter — the plan that survives 100 TB. DuckDB's native IEJoin
+    on the raw inequality is the oracle."""
+    from .operators.range_join import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    windows = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 31 == 0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("we"),
+    )
+    joined = interval_join(ev, windows, ts_col="ts", start_col="ws", end_col="we")
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "skew_salted_join",
     """
     WITH user_stats AS (
