@@ -700,3 +700,153 @@ def stats_price_quantity(spark, sf_dir):
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
     )
+
+
+@query(
+    "rolling_24h_user_value",
+    """
+    WITH x AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           round(CAST(sum(cents) OVER w AS BIGINT) / 100.0, 2) AS value_24h
+    FROM x
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY t
+        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_24h_user_value(spark, sf_dir):
+    """Time-RANGE window frame: per event, the user's trailing-24h event
+    count and value total. rangeBetween over epoch seconds — the frame is
+    defined by TIME distance, not row counts, which row-frame windows
+    can't express. The dollar values are summed as exact integer cents
+    (doubles accumulate in engine-specific orders inside window frames;
+    cents are associative-exact, see orders_above_customer_avg)."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("t")))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return x.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_24h"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("value_24h"),
+    )
+
+
+@query(
+    "gapfill_hourly_counts",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events),
+    grid AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT g.hour_ts, t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour_ts = g.hour_ts AND a.event_type = t.event_type
+    """,
+)
+def gapfill_hourly_counts(spark, sf_dir):
+    """Time-series gap filling: a dense hour x event_type grid with zeros
+    where nothing happened (downstream rolling/anomaly jobs need explicit
+    zeros). The grid is sequence()+explode from the aggregated bounds —
+    a 1-row cross join, so the only real shuffle is the count itself."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["hour_ts", "event_type"], "left")
+        .select(
+            "hour_ts",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under cube/rollup) +
+    grouping() to disambiguate real NULLs from subtotal rows — one Expand
+    node, one shuffle for all three sets."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "first_last_event_per_user",
+    """
+    WITH x AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+               printf('%016d-%010d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS k
+        FROM events)
+    SELECT user_id,
+           arg_min(event_type, k) AS first_type,
+           arg_max(event_type, k) AS last_type,
+           min(t) AS first_ts,
+           max(t) AS last_ts
+    FROM x GROUP BY user_id
+    """,
+)
+def first_last_event_per_user(spark, sf_dir):
+    """min_by/max_by (argmin/argmax) aggregates: each user's first and last
+    event type in one pass — no self-join, no window sort. The order key is
+    a zero-padded '(epoch_us)-(event_id)' string, lexicographically equal
+    to the (ts, event_id) composite in both engines (tuple-valued arg_min
+    isn't portable)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.format_string("%016d-%010d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
