@@ -850,3 +850,67 @@ def first_last_event_per_user(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+    s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN t END) AS signup_ts
+        FROM e GROUP BY user_id),
+    c AS (
+        SELECT s.user_id, s.signup_ts,
+               min(CASE WHEN e.event_type = 'click' AND e.t > s.signup_ts THEN e.t END)
+                   AS first_click_ts
+        FROM s JOIN e USING (user_id)
+        GROUP BY s.user_id, s.signup_ts),
+    p AS (
+        SELECT c.user_id, c.signup_ts, c.first_click_ts,
+               min(CASE WHEN e.event_type = 'purchase' AND e.t > c.first_click_ts THEN e.t END)
+                   AS first_purchase_ts
+        FROM c JOIN e USING (user_id)
+        GROUP BY c.user_id, c.signup_ts, c.first_click_ts)
+    SELECT * FROM p WHERE signup_ts IS NOT NULL
+    """,
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered funnel: first signup -> first click AFTER it -> first
+    purchase AFTER that, per user. Each stage is a conditional min that
+    depends on the previous stage's timestamp, so it's two re-join+agg
+    passes over the (already small) per-user frontier — never a window
+    sort over the raw events. NULL stages propagate (no click => no
+    purchase counted), identical three-valued logic in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").alias("t")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t"))).alias("signup_ts")
+    )
+    c = (
+        s.join(ev, "user_id")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") > F.col("signup_ts")),
+                    F.col("t"),
+                )
+            ).alias("first_click_ts")
+        )
+    )
+    p = (
+        c.join(ev, "user_id")
+        .groupBy("user_id", "signup_ts", "first_click_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("first_click_ts")),
+                    F.col("t"),
+                )
+            ).alias("first_purchase_ts")
+        )
+    )
+    return p.filter(F.col("signup_ts").isNotNull())

@@ -9,6 +9,7 @@ signatures agree bit-for-bit across engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -575,3 +576,108 @@ def scrub_pii_text(spark, sf_dir):
     from .operators.chunking import scrub_pii
 
     return scrub_pii(load(spark, sf_dir, "documents")).select("doc_id", "text_scrubbed")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (vocabulary, TF-IDF) + reproducible sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS term FROM documents)
+    SELECT term,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY term
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, term) <= 50
+    """,
+)
+def vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary: top-50 terms by total frequency with document
+    frequency — the pre-pass for tokenizer/vocab builds. Partial
+    aggregation makes the explode cheap; the global top-k is a
+    TakeOrderedAndProject on the (small) distinct-term set."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+    SELECT doc_id, term,
+           round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) DESC, term
+    ) <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))+1,
+    sklearn's convention). The document-frequency table is tiny after
+    aggregation -> broadcast back onto the term-frequency table; scores
+    are rounded BEFORE the rank so both engines break ties identically."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    WITH h AS (
+        SELECT event_id, event_type,
+               {_hash60_sql("CAST(event_id AS VARCHAR)", 7)} % 100 AS bucket
+        FROM events)
+    SELECT event_id, event_type FROM h
+    WHERE bucket < (CASE WHEN event_type = 'purchase' THEN 50 ELSE 5 END)
+    """,
+)
+def sample_stratified_hash(spark, sf_dir):
+    """Reproducible stratified sampling: md5-hash buckets per row id, with
+    per-stratum rates (50% purchases, 5% everything else). Unlike
+    df.sample()/sampleBy(), the same row set comes back on every engine,
+    every run, every partitioning — the property training-data pipelines
+    need for auditable subsets. Pure projection+filter: no shuffle."""
+    from .operators.dedup import md5_hash60
+
+    ev = load(spark, sf_dir, "events")
+    bucket = md5_hash60(F.col("event_id").cast("string"), 7) % 100
+    rate = F.when(F.col("event_type") == "purchase", 50).otherwise(5)
+    return ev.filter(bucket < rate).select("event_id", "event_type")
