@@ -914,3 +914,34 @@ def funnel_signup_click_purchase(spark, sf_dir):
         )
     )
     return p.filter(F.col("signup_ts").isNotNull())
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import morton_code_sql
+
+    code = morton_code_sql(["x", "y"], bits=10)
+    return f"""
+    WITH q AS (
+        SELECT event_id,
+               user_id % 1024 AS x,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 1024 AS y
+        FROM events)
+    SELECT event_id, x, y, {code} AS zcode FROM q
+    """
+
+
+@query("zorder_morton_codes", _zorder_oracle())
+def zorder_morton_codes(spark, sf_dir):
+    """Morton/Z-curve codes over (user bucket, hour bucket)
+    (operators/layout.py): the clustering key that makes parquet min/max
+    stats prune on BOTH columns after zorder_write. Pure bit-interleave
+    projection — bit-exact against the SQL twin."""
+    from .operators.layout import morton_code
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 1024).alias("y"),
+    )
+    return q.select("event_id", "x", "y", morton_code([F.col("x"), F.col("y")], 10).alias("zcode"))
