@@ -945,3 +945,113 @@ def zorder_morton_codes(spark, sf_dir):
         (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 1024).alias("y"),
     )
     return q.select("event_id", "x", "y", morton_code([F.col("x"), F.col("y")], 10).alias("zcode"))
+
+
+@query(
+    "dq_orders_expectations",
+    """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_key,
+               CAST(sum(CASE WHEN o_totalprice IS NULL OR (o_totalprice >= 0.0 AND o_totalprice <= 1000000.0) THEN 0 ELSE 1 END) AS BIGINT) AS c_price,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL OR regexp_matches(o_orderstatus, '^[OFP]$') THEN 0 ELSE 1 END) AS BIGINT) AS c_status,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_date
+        FROM orders),
+    s AS (
+        SELECT 'o_orderkey_not_null' AS check_name, n_rows, c_key AS n_violations FROM a
+        UNION ALL SELECT 'o_totalprice_in_range', n_rows, c_price FROM a
+        UNION ALL SELECT 'o_orderstatus_matches', n_rows, c_status FROM a
+        UNION ALL SELECT 'o_orderdate_not_null', n_rows, c_date FROM a)
+    SELECT check_name, n_rows, n_violations,
+           CAST(floor(n_violations * 10000 / n_rows) AS BIGINT) AS violation_rate_bp
+    FROM s
+    """,
+)
+def dq_orders_expectations(spark, sf_dir):
+    """Expectations suite over orders (operators/quality.py): every
+    row-level check folds into ONE aggregation pass (conditional sums),
+    then stack()s into a per-check report. Rates in integer basis points
+    — exact cross-engine, no float division."""
+    from .operators import quality as Q
+
+    orders = load(spark, sf_dir, "orders")
+    return Q.run_checks(
+        orders,
+        [
+            Q.not_null("o_orderkey"),
+            Q.in_range("o_totalprice", 0.0, 1_000_000.0),
+            Q.matches("o_orderstatus", "^[OFP]$"),
+            Q.not_null("o_orderdate"),
+        ],
+    )
+
+
+@query(
+    "dq_fk_orphan_events",
+    """
+    SELECT user_id, count(*) AS n_rows
+    FROM events e
+    WHERE user_id IS NOT NULL
+      AND NOT EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 0)
+    GROUP BY user_id
+    """,
+)
+def dq_fk_orphan_events(spark, sf_dir):
+    """Referential-integrity audit: events whose user has no row in the
+    in-good-standing account dim (c_acctbal >= 0) — a broadcast LEFT ANTI
+    join on the (small, distinct) parent key set, aggregated per orphan
+    key. (The raw events->customer FK is clean in this dataset; auditing
+    against the restricted dim is what makes the check discriminating.)"""
+    from .operators.quality import fk_violations
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0)
+    orphans = fk_violations(ev, "user_id", cust, "c_custkey")
+    return orphans.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "scd2_customer_versions",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    unchanged AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01' AS valid_from,
+               TIMESTAMP '2200-01-01' AS valid_to,
+               true AS is_current
+        FROM c WHERE c_custkey % 10 <> 0),
+    closed AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', false
+        FROM c WHERE c_custkey % 10 = 0),
+    opened AS (
+        SELECT c_custkey, c_name, c_acctbal + 100, TIMESTAMP '2024-02-01',
+               TIMESTAMP '2200-01-01', true
+        FROM c WHERE c_custkey % 10 = 0)
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+)
+def scd2_customer_versions(spark, sf_dir):
+    """SCD Type 2 end-to-end (operators/scd2.py): bootstrap the customer
+    dim, then apply a batch that bumps every 10th customer's balance —
+    changed keys get a closed version + an open one, unchanged keys are
+    NOT re-versioned. The oracle declares the expected version table
+    directly, so the operator's change detection, closing and opening
+    logic are all checked against the spec rather than a reimplementation."""
+    from .operators.scd2 import scd2_apply, scd2_init
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    batch = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    dim = scd2_init(cust, "2024-01-01 00:00:00")
+    return scd2_apply(
+        dim, batch, "c_custkey", ["c_name", "c_acctbal"], "2024-02-01 00:00:00"
+    )
