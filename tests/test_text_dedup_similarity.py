@@ -335,3 +335,25 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "id1 long, id2 long")
         out = {r.id: r.component for r in connected_components(edges).collect()}
         assert set(out.values()) == {0} and len(out) == 13
+
+
+class TestSketchBlasTwin:
+    def test_blas_sketch_identical_to_expression(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.dedup import hyperplane_sketch
+        from etl_complete_with_spark_spark.operators.similarity import (
+            hyperplane_sketch_blas,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        expr = {
+            r.vec_id: r.b
+            for r in emb.withColumn("b", hyperplane_sketch(F.col("v"), 6)).collect()
+        }
+        blas = {
+            r.vec_id: r.bucket
+            for r in hyperplane_sketch_blas(emb, "v", 6).collect()
+        }
+        assert expr == blas
