@@ -681,3 +681,46 @@ def sample_stratified_hash(spark, sf_dir):
     bucket = md5_hash60(F.col("event_id").cast("string"), 7) % 100
     rate = F.when(F.col("event_type") == "purchase", 50).otherwise(5)
     return ev.filter(bucket < rate).select("event_id", "event_type")
+
+
+@query(
+    "stream_click_attribution",
+    """
+    SELECT c.event_id AS click_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) < CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
+    """,
+)
+def stream_click_attribution(spark, sf_dir):
+    """Watermarked stream-stream join (streaming/ingest.attribute_purchases)
+    driven to completion on the bounded file source: purchases attributed
+    to same-user clicks in the preceding hour. Both sides watermarked +
+    time-bounded join condition = bounded state; the oracle is the batch
+    inequality join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import attribute_purchases, stream_source
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = stream_source(spark, stage)
+    name = f"sca_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribute_purchases(stream, 60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -189,3 +189,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def attribute_purchases(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each purchase attributed to every click by the
+    same user in the preceding ``window_minutes``.
+
+    Both sides are watermarked and the join condition carries an explicit
+    time bound — that pair is what lets Structured Streaming expire join
+    state (an unbounded stream-stream join would buffer both streams
+    forever). Inner join => append output mode. Batch parity: the same
+    join expression over static frames (asserted in tests); semantically
+    it is interval_join (operators/range_join.py) with the purchase as
+    the probe and per-click windows, plus the user equi-key.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return clicks.join(buys, cond).select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )

@@ -137,3 +137,18 @@ class TestStatefulOperator:
             .agg(SF.count(SF.lit(1)).alias("n_events"), SF.round(SF.sum("value"), 2).alias("sum_value"))
         )
         assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
+
+
+class TestStreamStreamJoin:
+    def test_attribution_matches_batch_join(self, spark, sf_dir, events_dir):
+        from etl_complete_with_spark_spark.streaming.ingest import attribute_purchases
+
+        stream = stream_source(spark, events_dir)
+        got = run_to_memory(
+            spark, attribute_purchases(stream, 60), "attrib", output_mode="append"
+        )
+        ev = load(spark, sf_dir, "events")
+        batch = attribute_purchases(ev, 60)  # same operator over static frames
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        assert a == b and len(a) > 0
