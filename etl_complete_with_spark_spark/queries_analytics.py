@@ -1055,3 +1055,152 @@ def scd2_customer_versions(spark, sf_dir):
     return scd2_apply(
         dim, batch, "c_custkey", ["c_name", "c_acctbal"], "2024-02-01 00:00:00"
     )
+
+
+@query(
+    "table_diff_customer_batches",
+    """
+    WITH old AS (SELECT * FROM customer),
+    new AS (
+        SELECT c_custkey,
+               c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+               c_nationkey, c_mktsegment
+        FROM customer WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, c_nationkey, c_mktsegment
+        FROM customer WHERE c_custkey % 13 = 0)
+    SELECT * FROM (
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_name <> n.c_name OR o.c_acctbal <> n.c_acctbal
+                     OR o.c_nationkey <> n.c_nationkey
+                     OR o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    ) t WHERE change_type <> 'unchanged'
+    """,
+)
+def table_diff_customer_batches(spark, sf_dir):
+    """Snapshot reconciliation (operators/diff.py): old = customer; new =
+    customer with every 11th key dropped (removed), every 7th balance
+    bumped (changed) and every 13th cloned to a fresh key (added). One
+    full-outer join on md5 fingerprints classifies every key; the oracle
+    does the same classification by comparing columns directly, so the
+    fingerprint shortcut is checked against literal column equality."""
+    from .operators.diff import table_diff
+
+    cust = load(spark, sf_dir, "customer")
+    new = cust.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 50).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    clones = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    return table_diff(cust, new.unionByName(clones), key="c_custkey")
+
+
+@query(
+    "order_price_distribution",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_distribution(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist) over a
+    deterministic total order (price, key). One global sort — at scale
+    you'd ntile within partitions or use approx quantile cutpoints; this
+    pins the exact semantics."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-table join (customer filter broadcast into the
+    fact join), grouped revenue, global top-10 — Catalyst plans the limit
+    as TakeOrderedAndProject, never a full result sort."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global average, broadcast as a
+    1-row cross join) + anti join against orders + aggregate — the
+    decorrelation pattern Catalyst needs for EXISTS-free plans. The anti
+    side is restricted to urgent orders so the result is non-trivial (every
+    customer in this dataset has SOME order)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
