@@ -74,3 +74,83 @@ class TestMergeProperties:
         assert set(out) == set(target_keys) | set(source_keys)
         assert all(out[k] == 1 for k in source_keys)
         assert all(out[k] == 0 for k in set(target_keys) - set(source_keys))
+
+
+class TestConnectedComponentsProperties:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from etl_complete_with_spark_spark.operators.graph import connected_components
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        # driver-side union-find oracle
+        parent = {v: v for e in edges for v in e}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {}
+        for v in parent:
+            root = find(v)
+            expected.setdefault(root, set()).add(v)
+        want = {v: min(c) for c in expected.values() for v in c}
+
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == want
+
+
+class TestIntervalJoinProperties:
+    @SETTINGS
+    @given(
+        pts=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+        wins=st.lists(
+            st.tuples(st.integers(0, 500), st.integers(0, 120)),
+            min_size=1,
+            max_size=6,
+        ),
+        bin_width=st.integers(1, 200),
+    )
+    def test_matches_naive_semantics(self, spark, pts, wins, bin_width):
+        import datetime as dt
+
+        from etl_complete_with_spark_spark.operators.range_join import interval_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i, base + dt.timedelta(seconds=p)) for i, p in enumerate(pts)],
+            "pid long, ts timestamp",
+        )
+        windows = spark.createDataFrame(
+            [
+                (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+                for j, (s, d) in enumerate(wins)
+            ],
+            "wid long, ws timestamp, we timestamp",
+        )
+        got = sorted(
+            (r.pid, r.wid)
+            for r in interval_join(
+                left, windows, "ts", "ws", "we", bin_width_seconds=bin_width
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, p in enumerate(pts)
+            for j, (s, d) in enumerate(wins)
+            if s <= p < s + d
+        )
+        assert got == want
