@@ -1204,3 +1204,95 @@ def q22_idle_rich_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+@query(
+    "calendar_dim",
+    """
+    WITH days AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                      INTERVAL 1 DAY)) AS d)
+    SELECT CAST(d AS TIMESTAMP) AS date_key,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(date_trunc('month', d) AS TIMESTAMP) AS month_start
+    FROM days
+    """,
+)
+def calendar_dim(spark, sf_dir):
+    """Generated calendar dimension (one year of date attributes) — the
+    standard broadcast-side table for date-logic joins, built from
+    sequence() with zero input scans. ISO day/week numbering matches
+    across engines (dayofweek does NOT: Spark is Sunday=1)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.col("d").cast("timestamp").alias("date_key"),
+        F.year("d").cast("long").alias("year"),
+        F.quarter("d").cast("long").alias("quarter"),
+        F.month("d").cast("long").alias("month"),
+        F.dayofweek("d").cast("long").alias("iso_dow"),  # fixed below
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        F.lit(False).alias("is_weekend"),
+        F.trunc("d", "month").cast("timestamp").alias("month_start"),
+    ).select(
+        "date_key",
+        "year",
+        "quarter",
+        "month",
+        # Spark dayofweek: Sunday=1..Saturday=7 -> ISO Monday=1..Sunday=7
+        ((F.col("iso_dow") + 5) % 7 + 1).alias("iso_dow"),
+        "iso_week",
+        (((F.col("iso_dow") + 5) % 7 + 1) >= 6).alias("is_weekend"),
+        "month_start",
+    )
+
+
+@query(
+    "histogram_order_prices",
+    """
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+               o_totalprice
+        FROM orders)
+    SELECT bucket,
+           bucket * 50000.0 AS bucket_lo,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_order_prices(spark, sf_dir):
+    """Fixed-width histogram (50k buckets, top-clamped) of order prices —
+    the single-shuffle profile that drives partition sizing and skew
+    decisions; integer bucket math, no float boundary ambiguity."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("long")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
