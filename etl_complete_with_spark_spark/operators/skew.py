@@ -55,3 +55,37 @@ def salted_join(
 
     out = salted_large.join(salted_small, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution profile: the diagnosis step before salting.
+
+    -> top ``top_n`` keys by row count with exact integer shares:
+    (key, n, share_bp, ratio_to_avg_bp, rank). ``share_bp`` = the key's
+    share of all rows in basis points; ``ratio_to_avg_bp`` = 10000 means
+    the key holds exactly an average share — a hot key shows as, e.g.,
+    80000 (8x average). Integer floor math keeps it engine-exact.
+
+    One groupBy (map-side combined) + one tiny aggregate cross-joined
+    back; sorting only the distinct-key table, never the data.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(key).asc())
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n",
+            F.floor(F.col("n") * 10000 / F.col("total_rows")).alias("share_bp"),
+            F.floor(F.col("n") * F.col("n_keys") * 10000 / F.col("total_rows")).alias(
+                "ratio_to_avg_bp"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -1296,3 +1296,26 @@ def histogram_order_prices(spark, sf_dir):
             "max_price",
         )
     )
+
+
+@query(
+    "skew_key_profile_events",
+    """
+    WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows, count(*) AS n_keys FROM counts)
+    SELECT user_id, n,
+           CAST(floor(n * 10000 / t.total_rows) AS BIGINT) AS share_bp,
+           CAST(floor(n * t.n_keys * 10000 / t.total_rows) AS BIGINT) AS ratio_to_avg_bp,
+           CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank
+    FROM counts, t
+    QUALIFY row_number() OVER (ORDER BY n DESC, user_id) <= 10
+    """,
+)
+def skew_key_profile_events(spark, sf_dir):
+    """Key-distribution diagnosis (operators/skew.key_profile): top-10
+    users by event count with exact basis-point shares and
+    ratio-to-average — the measurement that decides between plain join,
+    AQE skew handling, and explicit salting (skew_salted_join)."""
+    from .operators.skew import key_profile
+
+    return key_profile(load(spark, sf_dir, "events"), "user_id", top_n=10)

@@ -724,3 +724,73 @@ def stream_click_attribution(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _incremental_oracle() -> str:
+    trigram = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]"
+    rows = _MH_K // _MH_BANDS
+    mins = ",\n               ".join(
+        f"min({_hash60_sql('shingle', i)}) AS mh_{i}" for i in range(_MH_K)
+    )
+    bands = ",\n               ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f")) AS band_{b}"
+        for b in range(_MH_BANDS)
+    )
+    stacked = "\n        UNION ALL\n".join(
+        f"        SELECT id, concat_ws('|', '{b}', band_{b}) AS bucket FROM banded"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
+    p AS (SELECT id, unnest(list_distinct({trigram})) AS shingle FROM norm),
+    sig AS (
+        SELECT id,
+               {mins}
+        FROM p GROUP BY id),
+    banded AS (
+        SELECT id,
+               {bands}
+        FROM sig),
+    stacked AS (
+{stacked}),
+    newb AS (SELECT * FROM stacked WHERE id % 2 = 1),
+    oldb AS (SELECT * FROM stacked WHERE id % 2 = 0),
+    cand AS (
+        SELECT DISTINCT n.id AS new_id, o.id AS old_id
+        FROM newb n JOIN oldb o USING (bucket)
+        UNION
+        SELECT DISTINCT a.id AS new_id, b.id AS old_id
+        FROM newb a JOIN newb b ON a.bucket = b.bucket AND a.id > b.id),
+    dup AS (
+        SELECT DISTINCT c.new_id
+        FROM cand c
+        JOIN sig s1 ON c.new_id = s1.id
+        JOIN sig s2 ON c.old_id = s2.id
+        WHERE ({agree}) / {float(_MH_K)} >= {_MH_T})
+    SELECT id AS doc_id FROM norm
+    WHERE id % 2 = 1 AND id NOT IN (SELECT new_id FROM dup)
+    """
+
+
+@query("dedup_incremental_batch", _incremental_oracle())
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental corpus dedup (operators/dedup.incremental_neardup_filter):
+    even doc_ids form the already-ingested corpus (present ONLY as a
+    MinHash signature table, never text), odd ids arrive as the new batch;
+    the result is the batch ids that survive both the vs-corpus and the
+    within-batch near-dup checks. The oracle reproduces the md5-derived
+    signatures, banding and agreement verification bit-for-bit — the
+    continual-ingest path gets the same exact gate as the batch one."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_sigs = D.minhash_signatures(corpus, n=_MH_N, num_hashes=_MH_K)
+    kept, _sigs = D.incremental_neardup_filter(
+        batch, corpus_sigs, n=_MH_N, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_T
+    )
+    return kept.select("doc_id")

@@ -154,3 +154,53 @@ class TestIntervalJoinProperties:
             if s <= p < s + d
         )
         assert got == want
+
+
+class TestScd2Properties:
+    @SETTINGS
+    @given(
+        batches=st.lists(
+            st.dictionaries(
+                st.integers(0, 3),  # keys
+                st.sampled_from("pqrs"),  # tracked value
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_versioning_invariants(self, spark, batches):
+        import datetime as dt
+
+        from etl_complete_with_spark_spark.operators.scd2 import (
+            OPEN_END,
+            scd2_apply,
+            scd2_init,
+        )
+
+        t = [f"2024-0{i + 1}-01 00:00:00" for i in range(len(batches))]
+        mk = lambda b: spark.createDataFrame(  # noqa: E731
+            [(k, v) for k, v in sorted(b.items())], "id long, city string"
+        )
+        dim = scd2_init(mk(batches[0]), t[0])
+        state = dict(batches[0])  # expected latest value per key
+        for i, b in enumerate(batches[1:], start=1):
+            dim = scd2_apply(dim, mk(b), "id", ["city"], t[i])
+            state.update(b)
+
+        rows = dim.collect()
+        current = [r for r in rows if r.is_current]
+        # exactly one current row per live key, holding the latest value
+        assert sorted((r.id, r.city) for r in current) == sorted(state.items())
+        # per-key validity chains: contiguous, ending open
+        open_end = dt.datetime.fromisoformat(OPEN_END)
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.id, []).append(r)
+        for vs in by_key.values():
+            vs.sort(key=lambda r: r.valid_from)
+            for a, b2 in zip(vs, vs[1:]):
+                assert a.valid_to == b2.valid_from, "gap or overlap in history"
+            assert vs[-1].valid_to == open_end and vs[-1].is_current
+            assert all(not v.is_current for v in vs[:-1])
