@@ -563,6 +563,10 @@ def incremental_neardup_filter(
     copies of a novel document.
     """
     new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes).cache()
+    # both signature tables feed TWO consumers each (banding + agreement
+    # verification); without a cache the corpus side — typically a scan of
+    # billions of stored signatures — is read and shuffled twice
+    corpus_signatures = corpus_signatures.cache()
 
     def banded(sigs: DataFrame, side: str) -> DataFrame:
         rows_per_band = num_hashes // bands

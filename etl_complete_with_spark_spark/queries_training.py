@@ -712,17 +712,25 @@ def stream_click_attribution(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
     stream = stream_source(spark, stage)
     name = f"sca_{uuid.uuid4().hex[:8]}"
-    q = (
-        attribute_purchases(stream, 60)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    # stream-stream join state = 4 state stores PER shuffle partition;
+    # size the partition count to the bounded local input (a cluster job
+    # sizes it to executor count x state volume instead)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            attribute_purchases(stream, 60)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
