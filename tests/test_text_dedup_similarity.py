@@ -357,3 +357,39 @@ class TestSketchBlasTwin:
             for r in hyperplane_sketch_blas(emb, "v", 6).collect()
         }
         assert expr == blas
+
+
+class TestIvf:
+    def test_full_probe_equals_brute_force(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        full = sorted(map(tuple, ivf_topk(emb, q, k=10, n_centroids=8, nprobe=8).collect()))
+        brute = sorted(map(tuple, cosine_topk(emb, q, k=10).collect()))
+        assert full == brute
+
+    def test_partial_probe_recall_floor(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = set(
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=10).collect()
+        )
+        part = set(
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4).collect()
+        )
+        # nprobe/n_centroids = 25% of lists; spherical clustering must beat
+        # random-list chance by a wide margin even on near-uniform vectors
+        assert len(part & brute) / len(brute) >= 0.5
