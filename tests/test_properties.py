@@ -204,3 +204,34 @@ class TestScd2Properties:
                 assert a.valid_to == b2.valid_from, "gap or overlap in history"
             assert vs[-1].valid_to == open_end and vs[-1].is_current
             assert all(not v.is_current for v in vs[:-1])
+
+
+class TestTableDiffProperties:
+    @SETTINGS
+    @given(
+        old=st.dictionaries(st.integers(0, 7), st.sampled_from("xyz"), max_size=6),
+        new=st.dictionaries(st.integers(0, 7), st.sampled_from("xyz"), max_size=6),
+    )
+    def test_partition_of_keyspace(self, spark, old, new):
+        from etl_complete_with_spark_spark.operators.diff import table_diff
+
+        if not old and not new:
+            return
+        mk = lambda d: spark.createDataFrame(  # noqa: E731
+            [(k, v) for k, v in sorted(d.items())], "id long, v string"
+        )
+        got = {
+            r.id: r.change_type
+            for r in table_diff(mk(old), mk(new), "id", include_unchanged=True).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "added"
+            elif k not in new:
+                want[k] = "removed"
+            elif old[k] != new[k]:
+                want[k] = "changed"
+            else:
+                want[k] = "unchanged"
+        assert got == want
