@@ -145,3 +145,20 @@ class TestUrlMunging:
     def test_database_from_url(self):
         assert S.database_from_url("mongodb://h/?database=shop", "ns") == "shop"
         assert S.database_from_url("mongodb://h/", "ns") == "ns"
+
+
+class TestCatalogCli:
+    def test_list_names_every_query(self, capsys):
+        from etl_complete_with_spark_spark.cli.catalog import main
+        from etl_complete_with_spark_spark.queries import ORACLE, QUERIES
+
+        assert main(["list"]) == 0
+        out = capsys.readouterr().out
+        for name in QUERIES:
+            assert name in out
+        assert out.count("exact-oracle") == len(ORACLE)
+
+    def test_unknown_query_rejected(self, capsys):
+        from etl_complete_with_spark_spark.cli.catalog import main
+
+        assert main(["explain", "nope_not_a_query"]) == 2
