@@ -386,11 +386,42 @@ def ann_lsh_topk(spark, sf_dir):
 # Multimodal (mapInPandas plumbing; codec stubbed -> rows-only checks)
 # ---------------------------------------------------------------------------
 
-@query("mm_extract_features")  # Arrow-batched Python stage -> no SQL oracle
+def _mm_features_oracle() -> str:
+    from .operators.multimodal import FEATURE_DIM
+
+    accs = ",\n           ".join(
+        f"sum(CASE WHEN (i - 1) % {FEATURE_DIM} = {j} THEN b ELSE 0 END) AS a_{j}"
+        for j in range(FEATURE_DIM)
+    )
+    feats = ", ".join(
+        f"CAST(round_even(coalesce(a_{j}, 0) * 1.0 / greatest(m.nb, 1), 6) AS FLOAT)"
+        for j in range(FEATURE_DIM)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
+               FROM documents),
+    ch AS (
+        SELECT media_id, CAST(u.i AS BIGINT) AS i,
+               unicode(substr(text, CAST(u.i AS INTEGER), 1)) AS b
+        FROM m, UNNEST(generate_series(1, m.nb)) AS u(i)),
+    acc AS (
+        SELECT media_id,
+               {accs}
+        FROM ch GROUP BY media_id)
+    SELECT m.media_id, CAST(m.nb AS BIGINT) AS n_bytes, [{feats}] AS feature
+    FROM m LEFT JOIN acc USING (media_id)
+    """
+
+
+@query("mm_extract_features", _mm_features_oracle())
 def mm_extract_features(spark, sf_dir):
     """Binary media column -> fixed-dim feature vectors via mapInPandas
-    (operators/multimodal.py). Deterministic fake decoder stands in for
-    the codec; the schema/batching/partitioning contract is the real path."""
+    (operators/multimodal.py). The deterministic byte-histogram decoder
+    stands in for the codec — and because it's pure byte arithmetic the
+    Python stage gets an EXACT SQL oracle (the corpus is ASCII, so
+    per-position code points are the payload bytes; round_even matches
+    Python's banker's rounding; floats compared as float32). A real
+    decoder plugs in via ``decoder=``; schema/batching stay identical."""
     from .operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents")
@@ -398,15 +429,37 @@ def mm_extract_features(spark, sf_dir):
     return MM.extract_features(media)
 
 
-@query("mm_frame_sample")  # fan-out mapInPandas -> no SQL oracle
+@query(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               length(text) * 10 AS duration_ms
+        FROM documents WHERE doc_id < 50),
+    n AS (
+        SELECT media_id, text,
+               CASE WHEN duration_ms = 0 THEN 1
+                    ELSE greatest(duration_ms // 1000, 1) END AS n_frames
+        FROM m)
+    SELECT media_id,
+           CAST(u.i AS INTEGER) AS frame_idx,
+           hex(encode(substr(text, CAST(u.i * 16 + 1 AS INTEGER), 16))) AS frame_hex
+    FROM n, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    """,
+)
 def mm_frame_sample(spark, sf_dir):
     """Per-interval frame sampling with explode-style fan-out inside the
-    Pandas iterator (one row per sampled frame)."""
+    Pandas iterator (one row per sampled frame). The deterministic stub
+    slices 16-byte pseudo-frames, so the fan-out row set has an exact SQL
+    twin (doc_id < 50 keeps the fixture deterministic — limit() isn't; the
+    frame goes out hex-encoded because binary columns collect as bytearray
+    on one engine and bytes on the other, which hash differently)."""
     from .operators import multimodal as MM
 
-    docs = load(spark, sf_dir, "documents").limit(50)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = MM.synthesize_media_table(spark, docs, media_type="video")
-    return MM.sample_frames(media, every_ms=1000)
+    frames = MM.sample_frames(media, every_ms=1000)
+    return frames.select("media_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
 # ---------------------------------------------------------------------------
