@@ -869,3 +869,68 @@ def ann_ivf_topk(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "text_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKS} AS tk FROM documents),
+    base AS (
+        SELECT doc_id, len(tk) AS n,
+               CASE WHEN len(tk) >= 2
+                    THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+                    ELSE []::VARCHAR[] END AS bigrams
+        FROM t),
+    bg AS (SELECT doc_id, unnest(bigrams) AS g FROM base),
+    freq AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM bg GROUP BY doc_id, g),
+    agg AS (
+        SELECT doc_id,
+               max(c) AS top_c,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tokens
+        FROM freq GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(floor(a.top_c * 10000 / a.total), 0) AS BIGINT) AS top_bigram_bp,
+           CAST(coalesce(floor(a.dup_tokens * 10000 / a.total), 0) AS BIGINT) AS dup_bigram_bp
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Repetition quality signals in the style of the published Gopher /
+    MassiveText filters: the most-frequent bigram's share of all bigrams,
+    and the share of bigram occurrences that are repeats — high values
+    flag boilerplate/spam for corpus filtering. Exact integer basis
+    points; one explode + two aggregations, all map-side combined."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", TX.tokens(TX.normalized_text(F.col("text"))).alias("tk")
+    )
+    # bigrams via posexplode + lead window, NOT transform(sequence(...)):
+    # an interpreted HOF as a generator child re-evaluates the whole array
+    # per EMITTED row (quadratic in doc length — measured 30s vs 1s at
+    # sf0.1); posexplode+lead stays in whole-stage codegen and its doc_id
+    # shuffle is reused by the groupBy below
+    pos = t.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        pos.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("g"))
+    )
+    freq = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_tokens"),
+    )
+    return t.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.floor(F.col("top_c") * 10000 / F.col("total")), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_bp"),
+        F.coalesce(F.floor(F.col("dup_tokens") * 10000 / F.col("total")), F.lit(0))
+        .cast("long")
+        .alias("dup_bigram_bp"),
+    )
