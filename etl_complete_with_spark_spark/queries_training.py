@@ -934,3 +934,45 @@ def text_repetition_signals(spark, sf_dir):
         .cast("long")
         .alias("dup_bigram_bp"),
     )
+
+
+@query(
+    "dedup_chunks_exact",
+    f"""
+    WITH t AS (SELECT doc_id, tk, len(tk) AS n
+               FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) x),
+    c AS (SELECT doc_id, tk, n,
+                 unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT))) AS i
+          FROM t),
+    ch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(tk[i*24 + 1 : i*24 + 32], ' ')) AS fp
+        FROM c),
+    keep AS (
+        SELECT doc_id, chunk_idx, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1 AS kept
+        FROM ch)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keep GROUP BY doc_id
+    """,
+)
+def dedup_chunks_exact(spark, sf_dir):
+    """Chunk-level exact dedup: split every document into overlapping
+    token windows (operators/chunking.py), fingerprint each chunk, keep
+    the corpus-wide first occurrence per fingerprint — the pass that
+    catches copy-pasted passages inside otherwise-distinct documents
+    (doc-level dedup can't). Output: per-doc chunk count and survivors.
+    One chunk-fingerprint shuffle; windows never leave the executor."""
+    from .operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select("doc_id", "chunk_idx", F.md5(F.col("chunk_text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn("kept", F.row_number().over(w) == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
