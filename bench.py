@@ -4,7 +4,10 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
 
 Each query is forced end-to-end with a `noop`-format write (computes every
-row/column, no sink cost, no driver collect).
+row/column, no sink cost, no driver collect). Every query runs twice and
+the MINIMUM is reported: the first run absorbs JIT/codegen/FS-cache
+warmup, and min-of-N is the standard way to keep shared-box load spikes
+out of the trend line (the driver compares rounds against each other).
 """
 
 from __future__ import annotations
@@ -29,11 +32,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, FS cache)
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs = []
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
