@@ -355,3 +355,35 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage quantization (int8)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization -> (id, scale, qvec, max_err).
+
+    ``q_i = floor(x_i * 127 / scale)`` with ``scale = max|x_i|`` — floor,
+    not round, so the math is bit-identical across engines (round() ties
+    differ). 4x smaller storage than float32 embedding columns; the
+    dequantization error is bounded by scale/127 per component
+    (max_err column reports the per-vector actual). At 100 TB of
+    embeddings this is the difference between a 25 TB and a 100 TB
+    similarity index; rerank the top candidates against the original
+    vectors when the last ulps matter.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x * 127 / scale).cast("int"))
+    deq_err = F.array_max(
+        F.transform(v, lambda x: F.abs(x - F.floor(x * 127 / scale) * scale / 127))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+        F.round(deq_err, 6).alias("max_err"),
+    )

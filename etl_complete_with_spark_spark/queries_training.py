@@ -976,3 +976,26 @@ def dedup_chunks_exact(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           list_transform(v, x -> CAST(floor(x * 127 / scale) AS INTEGER)) AS qvec,
+           round(list_max(list_transform(v,
+                 x -> abs(x - floor(x * 127 / scale) * scale / 127))), 6) AS max_err
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.quantize_embeddings_int8): 4x storage cut for
+    the similarity index, exact per-vector error bound reported. floor
+    (not round) keeps the quantized codes bit-identical across engines."""
+    return SIM.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))

@@ -393,3 +393,30 @@ class TestIvf:
         # nprobe/n_centroids = 25% of lists; spherical clustering must beat
         # random-list chance by a wide margin even on near-uniform vectors
         assert len(part & brute) / len(brute) >= 0.5
+
+
+class TestQuantization:
+    def test_error_bound_and_cosine_preservation(self, spark, sf_dir):
+        import math
+
+        from etl_complete_with_spark_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = quantize_embeddings_int8(emb)
+        rows = q.join(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            "vec_id",
+        ).collect()
+        assert rows
+        for r in rows[:50]:
+            # per-component error bound: |x - dq(x)| <= scale/127
+            assert r.max_err <= r.scale / 127 + 1e-9
+            # dequantized vector stays close in cosine to the original
+            dq = [c * r.scale / 127 for c in r.qvec]
+            dot = sum(a * b for a, b in zip(dq, r.v))
+            na = math.sqrt(sum(a * a for a in dq))
+            nb = math.sqrt(sum(b * b for b in r.v))
+            assert dot / (na * nb) > 0.995
