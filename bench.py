@@ -8,6 +8,13 @@ row/column, no sink cost, no driver collect). Every query runs twice and
 the MINIMUM is reported: the first run absorbs JIT/codegen/FS-cache
 warmup, and min-of-N is the standard way to keep shared-box load spikes
 out of the trend line (the driver compares rounds against each other).
+
+The driver captures only the LAST 2000 CHARS of stdout and parses the
+final line as JSON (BENCH_r01 failed with parsed=null because the full
+81-query line was front-truncated at that cap).  The printed line is
+therefore budgeted to fit: the heaviest queries are listed explicitly
+until the budget runs out, and the complete per-query map is always
+written to BENCH_FULL.json next to this script.
 """
 
 from __future__ import annotations
@@ -40,17 +47,40 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    full = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Budget the printed line to stay inside the driver's 2000-char stdout
+    # tail: include the slowest queries first, drop the fastest until the
+    # serialized line fits with headroom.
+    line_budget = 1800
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    for name, sec in by_cost:
+        candidate = dict(shown)
+        candidate[name] = sec
+        probe = dict(full)
+        probe["queries"] = candidate
+        probe["queries_shown"] = len(candidate)
+        probe["detail"] = "BENCH_FULL.json"
+        if len(json.dumps(probe)) > line_budget:
+            break
+        shown = candidate
+    out = dict(full)
+    out["queries"] = shown
+    out["queries_shown"] = len(shown)
+    out["detail"] = "BENCH_FULL.json"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

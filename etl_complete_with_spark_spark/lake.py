@@ -85,20 +85,55 @@ class Lake:
 
         Slice-by-slice appends accumulate small files (one-per-task-per-
         append); small files are the classic lake scan killer (per-file
-        open cost + tiny row groups). Rewrite via a temp dir + atomic-ish
-        swap; returns the file count before compaction.
+        open cost + tiny row groups). Returns the data-file count before
+        compaction.
+
+        Crash-safety & metadata: underscore-prefixed sidecar files (the
+        ``_SLICES.json`` resume manifest in particular — ``spark.read
+        .parquet`` ignores them, so a plain rewrite would drop them) are
+        copied into the rewritten directory BEFORE the swap, and the swap
+        itself renames the old directory aside first — a crash mid-swap
+        leaves either the old data live or the old data parked at
+        ``<path>__preswap_*`` (recoverable), never a deleted dataset.
         """
         import uuid
 
         path = self.path(WORK, namespace, dataset)
         df = spark.read.parquet(path)
-        before = df.rdd.getNumPartitions()
-        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        src_jp, fs = self._fs(spark, path)
+
+        # Count actual data files (recursive — the dataset may be hive-
+        # partitioned), not rdd partitions (one in-memory split can span
+        # or merge files).
+        before = 0
+        it = fs.listFiles(src_jp, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                before += 1
+
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{path}__compact_{token}"
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-        self._rm(spark, path)
-        src_path, fs = self._fs(spark, tmp)
-        dst_path, _ = self._fs(spark, path)
-        fs.rename(src_path, dst_path)
+
+        # Preserve sidecar metadata (e.g. _SLICES.json) in the new layout.
+        tmp_jp, _ = self._fs(spark, tmp)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for status in fs.listStatus(src_jp):
+            name = status.getPath().getName()
+            if status.isFile() and name.startswith("_") and name != "_SUCCESS":
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, status.getPath(), fs,
+                    jvm.org.apache.hadoop.fs.Path(tmp, name),
+                    False, True, conf,
+                )
+
+        old = f"{path}__preswap_{token}"
+        old_jp, _ = self._fs(spark, old)
+        fs.rename(src_jp, old_jp)   # park the live dir (recoverable)
+        fs.rename(tmp_jp, src_jp)   # publish the compacted dir
+        fs.delete(old_jp, True)     # only now drop the old data
         return before
 
     def read_work(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
@@ -138,11 +173,15 @@ class Lake:
         retained snapshot — the same contract as Delta's
         ``versionAsOf`` (which is used directly when Delta is present).
         """
-        if _HAS_DELTA:
+        base = self.path(TRUSTED, namespace, dataset)
+        if _HAS_DELTA and DeltaTable.isDeltaTable(spark, base):  # pragma: no cover
+            # Only route to Delta when the path actually IS a Delta table;
+            # a table written by fallback-mode runs (v*/ dirs + _CURRENT
+            # pointer) stays readable after Delta appears on the classpath.
             reader = spark.read.format("delta")
             if version is not None:
                 reader = reader.option("versionAsOf", version)
-            return reader.load(self.path(TRUSTED, namespace, dataset))
+            return reader.load(base)
         if version is not None:
             target = os.path.join(self.path(TRUSTED, namespace, dataset), f"v{version}")
             jvm_path, fs = self._fs(spark, target)
@@ -217,8 +256,23 @@ class Lake:
                     .whenNotMatchedInsertAll()
                     .execute()
                 )
+                return
+            # First Delta write at this path.  If fallback-mode runs left a
+            # versioned-Parquet table here (v*/ dirs + _CURRENT pointer),
+            # MIGRATE it: merge the incoming batch with the current
+            # snapshot, convert the result to Delta, then drop the old
+            # layout so the two formats never coexist at one path.  A bare
+            # errorifexists save would otherwise fail on _CURRENT/v0.
+            current = self._trusted_current(spark, namespace, dataset)
+            if current is not None:
+                target = spark.read.parquet(current)
+                out = merge_upsert(target, df, key=key, order_by=order_by)
+                out.write.format("delta").mode("overwrite").save(base)
+                for v in self.trusted_versions(spark, namespace, dataset):
+                    self._rm(spark, os.path.join(base, f"v{v}"))
+                self._rm(spark, os.path.join(base, _POINTER))
             else:
-                df.write.format("delta").save(base)
+                df.write.format("delta").mode("overwrite").save(base)
             return
 
         current = self._trusted_current(spark, namespace, dataset)

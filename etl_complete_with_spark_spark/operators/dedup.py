@@ -145,7 +145,14 @@ def ngram_jaccard_pairs(
     # The posting list feeds three consumers (sizes, both join sides); the
     # shingle construction is interpreted higher-order-function work, so
     # materialize it once instead of recomputing per consumer.
-    posting = posting.cache()
+    # localCheckpoint (lazy), not cache(): cached plans sit in the
+    # CacheManager until an explicit unpersist that no caller of a
+    # plan-building function can issue, so repeated invocations in a
+    # long-lived session accumulate stale blocks; checkpoint blocks are
+    # GC'd with the DataFrame reference.  (Trade-off: lineage is
+    # truncated, so a lost executor fails the stage instead of
+    # recomputing — acceptable for a short-lived intermediate.)
+    posting = posting.localCheckpoint(eager=False)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df_"))
@@ -258,7 +265,11 @@ def minhash_dedup_pairs(
     The verify join touches only candidate pairs — the all-pairs matrix is
     never materialized. Returns (id1, id2, est_jaccard).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # lazy localCheckpoint, not cache(): see ngram_jaccard_pairs — blocks
+    # free with the reference instead of leaking in the CacheManager.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(sigs, bands, num_hashes)
     s1 = sigs.select(F.col("id").alias("id1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
     s2 = sigs.select(F.col("id").alias("id2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
@@ -562,11 +573,16 @@ def incremental_neardup_filter(
     are also collapsed (lowest id wins) so a batch can't smuggle in two
     copies of a novel document.
     """
-    new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes).cache()
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, n, num_hashes
+    ).localCheckpoint(eager=False)
     # both signature tables feed TWO consumers each (banding + agreement
-    # verification); without a cache the corpus side — typically a scan of
-    # billions of stored signatures — is read and shuffled twice
-    corpus_signatures = corpus_signatures.cache()
+    # verification); without materialization the corpus side — typically a
+    # scan of billions of stored signatures — is read and shuffled twice.
+    # Lazy localCheckpoint, not cache(): under repeated batch ingest a
+    # cache() here would pin every batch's corpus snapshot in the
+    # CacheManager forever; checkpoint blocks free with the reference.
+    corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
 
     def banded(sigs: DataFrame, side: str) -> DataFrame:
         rows_per_band = num_hashes // bands

@@ -377,10 +377,22 @@ def quantize_embeddings_int8(
     """
     v = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(x * 127 / scale).cast("int"))
-    deq_err = F.array_max(
-        F.transform(v, lambda x: F.abs(x - F.floor(x * 127 / scale) * scale / 127))
-    )
+    # floor(x*127/scale) is provably in [-127, 127] (|x| <= scale), so the
+    # codes are stored as real int8 (tinyint) — that's the actual 4x-vs-
+    # float32 cut at the schema level, not just in spirit.  An all-zero
+    # vector would make scale=0 and x*127/0 NaN; guard it to all-zero codes
+    # (the mathematically exact quantization of the zero vector).
+    q = F.when(
+        scale > 0, F.transform(v, lambda x: F.floor(x * 127 / scale).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    deq_err = F.when(
+        scale > 0,
+        F.array_max(
+            F.transform(
+                v, lambda x: F.abs(x - F.floor(x * 127 / scale) * scale / 127)
+            )
+        ),
+    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
         F.round(scale, 6).alias("scale"),

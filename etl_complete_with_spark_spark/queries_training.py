@@ -393,8 +393,16 @@ def _mm_features_oracle() -> str:
         f"sum(CASE WHEN (i - 1) % {FEATURE_DIM} = {j} THEN b ELSE 0 END) AS a_{j}"
         for j in range(FEATURE_DIM)
     )
+    # Each element mirrors the Python decoder bit-for-bit (round_even ==
+    # numpy half-even, cast to float32), then the float32 is re-widened to
+    # double and scaled to integer micro-units for the CSV serialization —
+    # the exact projection the Spark side applies, so the strings match
+    # byte-for-byte.  (Values are non-negative, so Spark's HALF_UP round
+    # and DuckDB's half-away-from-zero agree.)
     feats = ", ".join(
+        "CAST(round(CAST("
         f"CAST(round_even(coalesce(a_{j}, 0) * 1.0 / greatest(m.nb, 1), 6) AS FLOAT)"
+        " AS DOUBLE) * 1000000) AS BIGINT)"
         for j in range(FEATURE_DIM)
     )
     return f"""
@@ -408,7 +416,9 @@ def _mm_features_oracle() -> str:
         SELECT media_id,
                {accs}
         FROM ch GROUP BY media_id)
-    SELECT m.media_id, CAST(m.nb AS BIGINT) AS n_bytes, [{feats}] AS feature
+    SELECT m.media_id, CAST(m.nb AS BIGINT) AS n_bytes,
+           array_to_string(list_transform([{feats}],
+               x -> CAST(x AS VARCHAR)), ',') AS feature_csv
     FROM m LEFT JOIN acc USING (media_id)
     """
 
@@ -421,12 +431,31 @@ def mm_extract_features(spark, sf_dir):
     Python stage gets an EXACT SQL oracle (the corpus is ASCII, so
     per-position code points are the payload bytes; round_even matches
     Python's banker's rounding; floats compared as float32). A real
-    decoder plugs in via ``decoder=``; schema/batching stay identical."""
+    decoder plugs in via ``decoder=``; schema/batching stay identical.
+
+    Catalog-facing projection: the float32 feature vector is serialized
+    to integer micro-units CSV (round(f64(f32) * 1e6)) because the
+    driver's pandas canonicalizer can't hash list cells
+    (CORRECTNESS_r01 err 'unhashable type: list'); the operator API
+    keeps the raw array<float>."""
     from .operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents")
     media = MM.synthesize_media_table(spark, docs)
-    return MM.extract_features(media)
+    out = MM.extract_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x.cast("double") * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+        ).alias("feature_csv"),
+    )
 
 
 @query(
@@ -987,9 +1016,14 @@ def dedup_chunks_exact(spark, sf_dir):
           FROM e)
     SELECT vec_id,
            round(scale, 6) AS scale,
-           list_transform(v, x -> CAST(floor(x * 127 / scale) AS INTEGER)) AS qvec,
-           round(list_max(list_transform(v,
-                 x -> abs(x - floor(x * 127 / scale) * scale / 127))), 6) AS max_err
+           CASE WHEN scale > 0
+                THEN array_to_string(list_transform(v,
+                     x -> CAST(CAST(floor(x * 127 / scale) AS INTEGER) AS VARCHAR)), ',')
+                ELSE array_to_string(list_transform(v, x -> '0'), ',') END AS qvec_csv,
+           CASE WHEN scale > 0
+                THEN round(list_max(list_transform(v,
+                     x -> abs(x - floor(x * 127 / scale) * scale / 127))), 6)
+                ELSE 0.0 END AS max_err
     FROM s
     """,
 )
@@ -997,5 +1031,16 @@ def emb_quantize_int8(spark, sf_dir):
     """Symmetric int8 embedding quantization
     (operators/similarity.quantize_embeddings_int8): 4x storage cut for
     the similarity index, exact per-vector error bound reported. floor
-    (not round) keeps the quantized codes bit-identical across engines."""
-    return SIM.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+    (not round) keeps the quantized codes bit-identical across engines.
+    The catalog-facing projection serializes the code array to a CSV
+    string (the driver's pandas canonicalizer can't hash list cells —
+    CORRECTNESS_r01 recorded err 'unhashable type: list'); the operator
+    API keeps the raw array<tinyint>."""
+    q = SIM.quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(F.col("qvec"), lambda x: x.cast("string")))
+        .alias("qvec_csv"),
+        "max_err",
+    )

@@ -32,8 +32,15 @@ def canon(v) -> str:
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # The DRIVER's canonicalizer (pandas sort_values) dies on list
+        # cells ("unhashable type: 'list'", CORRECTNESS_r01) — so any
+        # catalog query emitting an array column must serialize it.  Fail
+        # here too instead of silently handling what the gate cannot.
+        raise TypeError(
+            "array-typed result cell — driver's canonicalizer cannot hash "
+            "lists; serialize (concat_ws / array_to_string) in the catalog query"
+        )
     return str(v)
 
 

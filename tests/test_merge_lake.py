@@ -121,12 +121,28 @@ class TestPartitionedWorkAndCompaction:
         assert scan.count() == ev.filter("event_id % 4 = 2").count()
 
     def test_compaction_preserves_data(self, spark, sf_dir, tmp_path):
+        import glob
+        import os
+
         lake = Lake(str(tmp_path))
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         for lo, hi in [(0, 300), (300, 600), (600, 10_000)]:
             lake.write_work(ev.filter(f"event_id >= {lo} and event_id < {hi}"), "ns", "ev")
+        work_dir = lake.path("work", "ns", "ev")
+        # the sequential-resume manifest must survive compaction
+        manifest = os.path.join(work_dir, "_SLICES.json")
+        with open(manifest, "w") as f:
+            f.write('{"done": [1, 2, 3]}')
+        n_data_files = len(
+            [p for p in glob.glob(f"{work_dir}/**/*.parquet", recursive=True)]
+        )
         before_rows = lake.read_work(spark, "ns", "ev").count()
-        lake.compact_work(spark, "ns", "ev", target_files=2)
+        before = lake.compact_work(spark, "ns", "ev", target_files=2)
+        assert before == n_data_files  # documented: file count, not partitions
         after = lake.read_work(spark, "ns", "ev")
         assert after.count() == before_rows
         assert after.rdd.getNumPartitions() <= 2
+        with open(manifest) as f:
+            assert f.read() == '{"done": [1, 2, 3]}'
+        # no leftover temp/parked dirs from the swap
+        assert glob.glob(f"{work_dir}__*") == []

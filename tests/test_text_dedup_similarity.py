@@ -420,3 +420,23 @@ class TestQuantization:
             na = math.sqrt(sum(a * a for a in dq))
             nb = math.sqrt(sum(b * b for b in r.v))
             assert dot / (na * nb) > 0.995
+
+    def test_zero_vector_and_tinyint_schema(self, spark):
+        from etl_complete_with_spark_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0]), (1, [1.0, -1.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        q = quantize_embeddings_int8(df)
+        # codes are REAL int8 at the schema level (the advertised 4x cut)
+        assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+        rows = {r.vec_id: r for r in q.collect()}
+        # all-zero vector: zero codes / zero error, never NaN or null
+        assert rows[0].qvec == [0, 0, 0] and rows[0].max_err == 0.0
+        assert rows[0].scale == 0.0
+        assert rows[1].qvec == [127, -127, 63]
+        # floor(x*127/scale) is in [-127, 127] for every |x| <= scale
+        assert all(-128 <= c <= 127 for c in rows[1].qvec)
