@@ -186,6 +186,26 @@ def ngram_jaccard_pairs(
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
+# Universal-hash family for MinHash permutations, exactly reproducible in
+# any engine with 64-bit integer math: the shingle is md5-hashed ONCE to a
+# 31-bit base value h, and permutation i is (a_i*h + b_i) mod P with
+# P = 2^31-1.  a_i*h + b_i < 2^62 never overflows a signed 64-bit int.
+# (The previous implementation computed one md5 PER PERMUTATION — 16x the
+# hash work per shingle; md5 dominated the whole signature cost.)
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the permutation family — shared
+    with the DuckDB oracle SQL so signatures match bit-for-bit."""
+    out = []
+    for i in range(num_hashes):
+        a = ((2 * i + 1) * 2_654_435_761) % MINHASH_P  # odd multiplier, a != 0
+        b = (i * 40_503 + 12_345) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -195,14 +215,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: columns ``mh_0..mh_{k-1}``.
 
-    One explode + one groupBy with k ``min`` aggregates (map-side combined
-    — the shuffle carries k longs per doc, independent of doc length).
+    One explode + one md5 per shingle + one groupBy with k ``min``
+    aggregates over codegen'd integer permutations (map-side combined —
+    the shuffle carries k longs per doc, independent of doc length).
     """
     posting = explode_shingles(df, id_col, text_col, n)
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    hashed = posting.select("id", h.alias("__h"))
     aggs = [
-        F.min(md5_hash60(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)
+        F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return posting.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

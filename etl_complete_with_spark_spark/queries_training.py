@@ -197,11 +197,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _MH_K, _MH_BANDS, _MH_N, _MH_T = 16, 4, 3, 0.5
 
 
+def _minhash_mins_sql() -> str:
+    """min-aggregate list mirroring dedup.minhash_signatures bit-for-bit:
+    one md5 -> 31-bit base hash, then (a_i*h + b_i) mod P permutations."""
+    P = D.MINHASH_P
+    base = f"(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {P})"
+    return ",\n               ".join(
+        f"min(({base} * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(_MH_K))
+    )
+
+
 def _minhash_oracle() -> str:
     trigram = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]"
-    mins = ",\n               ".join(
-        f"min({_hash60_sql('shingle', i)}) AS mh_{i}" for i in range(_MH_K)
-    )
+    mins = _minhash_mins_sql()
     rows = _MH_K // _MH_BANDS
     bands = ",\n               ".join(
         "md5(concat_ws(',', "
@@ -524,17 +533,26 @@ def stream_windowed_counts(spark, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
     stream = stream_source(spark, stage)
     name = f"swc_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_counts(stream, window="1 hour")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
+    # State-store commits happen once per shuffle partition per micro-batch
+    # — size the stateful-agg partition count to the bounded local input
+    # (a cluster job sizes it to executor count x window-key cardinality;
+    # the setting is baked into the checkpoint at first start).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            windowed_event_counts(stream, window="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -819,9 +837,7 @@ def stream_click_attribution(spark, sf_dir):
 def _incremental_oracle() -> str:
     trigram = "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]"
     rows = _MH_K // _MH_BANDS
-    mins = ",\n               ".join(
-        f"min({_hash60_sql('shingle', i)}) AS mh_{i}" for i in range(_MH_K)
-    )
+    mins = _minhash_mins_sql()
     bands = ",\n               ".join(
         "md5(concat_ws(',', "
         + ", ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
