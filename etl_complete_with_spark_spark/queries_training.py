@@ -1060,3 +1060,212 @@ def emb_quantize_int8(spark, sf_dir):
         .alias("qvec_csv"),
         "max_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding analytics: second-order stats, quantized retrieval, label stats
+# ---------------------------------------------------------------------------
+
+_Q_INT8_SQL = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS rscale
+           FROM e),
+    q AS (SELECT vec_id, rscale,
+                 CASE WHEN rscale > 0
+                      THEN list_transform(v, x -> CAST(floor(x * 127 / rscale) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+          FROM sc)
+"""
+
+
+@query(
+    "emb_gram_int8",
+    f"""
+    WITH {_Q_INT8_SQL},
+    u AS (SELECT vec_id, t.i AS i, qv[t.i] AS qi
+          FROM q, unnest(generate_series(1, len(qv))) AS t(i))
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+           CAST(sum(a.qi * b.qi) AS BIGINT) AS g
+    FROM u a JOIN u b USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def emb_gram_int8(spark, sf_dir):
+    """Exact d x d Gram matrix over int8-quantized embeddings
+    (operators/pca.gram_int8): per-partition numpy partial matmuls, one
+    tiny (partitions x d²) reduce — the shuffle never carries row data.
+    Integer accumulation makes the result order-independent, so the
+    SQL oracle (which must explode to rows x d² — the shape Spark
+    deliberately avoids) matches bit-for-bit."""
+    from .operators.pca import gram_int8
+
+    g = gram_int8(load(spark, sf_dir, "embeddings"))
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("g").alias("g"),
+    )
+
+
+@query(
+    "ann_int8_topk",
+    f"""
+    WITH {_Q_INT8_SQL},
+    qry AS (SELECT vec_id AS query_id, rscale AS q_rscale, qv AS q_qv
+            FROM q WHERE vec_id < 5),
+    p AS (
+        SELECT r.query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(CAST(c.qv AS DOUBLE[]),
+                                     CAST(r.q_qv AS DOUBLE[])) AS BIGINT) AS qdot,
+               c.rscale, r.q_rscale
+        FROM q c, qry r
+        WHERE c.vec_id != r.query_id)
+    SELECT query_id, neighbor_id, qdot,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY qdot * rscale * q_rscale DESC, neighbor_id) AS BIGINT) AS rank
+    FROM p
+    QUALIFY rank <= 10
+    """,
+)
+def ann_int8_topk(spark, sf_dir):
+    """Quantized similarity search: top-10 neighbors scored on int8 codes
+    (operators/similarity.quantize_embeddings_int8). The integer dot
+    product is exact on both engines; ranking dequantizes with the RAW
+    per-vector scale (identical float64 on both sides — no rounding in
+    the sort key). Output carries only integers, so the oracle hash is
+    exact. This is the memory-bound retrieval pattern: scan 4x less data
+    than float32, rerank survivors against the originals if needed."""
+    emb = load(spark, sf_dir, "embeddings")
+    raw = emb.select(
+        "vec_id",
+        F.array_max(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: F.abs(x))
+        ).alias("rscale"),
+    )
+    q = (
+        SIM.quantize_embeddings_int8(emb)
+        .select("vec_id", "qvec")
+        .join(raw, "vec_id")
+    )
+    qry = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("rscale").alias("q_rscale"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            qdot.alias("qdot"),
+            "rscale",
+            "q_rscale",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (F.col("qdot") * F.col("rscale") * F.col("q_rscale")).desc(),
+        F.col("neighbor_id").asc(),
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
+@query(
+    "emb_label_centroids",
+    f"""
+    WITH {_Q_INT8_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    u AS (SELECT l.label, t.pos AS pos, q.qv[t.pos] AS code
+          FROM q JOIN lab l USING (vec_id),
+               unnest(generate_series(1, len(q.qv))) AS t(pos)),
+    agg AS (SELECT label, pos,
+                   CAST(sum(code) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, n,
+           (s - ((s % n) + n) % n) // n AS centroid_code
+    FROM agg
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid in int8 code space: one row per (label, dim).
+    Map-side partial aggregation means the shuffle carries labels x d
+    rows per partition, not the vectors. floor(s/n) is computed with an
+    explicit non-negative remainder ((s%n)+n)%n because Spark's DIV and
+    DuckDB's // disagree on negative dividends (truncate vs floor) —
+    subtracting the remainder first makes the division exact in both."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings_int8(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    ex = q.select("label", F.posexplode("qvec").alias("pos", "code"))
+    agg = ex.groupBy("label", "pos").agg(
+        F.sum("code").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    r = ((F.col("s") % F.col("n")) + F.col("n")) % F.col("n")
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("n"),
+        F.expr("(s - (((s % n) + n) % n)) DIV n").alias("centroid_code"),
+    )
+
+
+@query(
+    "text_unigram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+    fb AS (SELECT tok, (1000000000 * c) // total AS fppb FROM tf, tot),
+    d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(fppb) AS BIGINT) AS s
+          FROM ex JOIN fb USING (tok) GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(d.n, 0) AS n_tokens,
+           CASE WHEN coalesce(d.n, 0) = 0 THEN 0 ELSE d.s // d.n END AS mean_tf_ppb
+    FROM t LEFT JOIN d USING (doc_id)
+    """,
+)
+def text_unigram_lm_score(spark, sf_dir):
+    """Unigram language-model score per document: mean corpus frequency
+    of the document's tokens, in parts-per-billion — the cheap rare-token
+    / gibberish detector (low score = many corpus-rare tokens). All
+    ratios are floored exact-integer math, so the oracle matches
+    bit-for-bit. One token shuffle for the frequency table (map-side
+    combined), one join back (AQE broadcasts the frequency table when it
+    is small), one per-doc aggregation."""
+    from .operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    ex = t.select("doc_id", F.explode("tk").alias("tok"))
+    tf = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("total"))
+    fb = tf.crossJoin(F.broadcast(tot)).select(
+        "tok", F.expr("(1000000000 * c) DIV total").alias("fppb")
+    )
+    d = (
+        ex.join(fb, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fppb").alias("s"))
+    )
+    return t.join(d, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_tokens"),
+        F.when(F.coalesce(F.col("n"), F.lit(0)) == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("s DIV n"))
+        .alias("mean_tf_ppb"),
+    )
