@@ -31,19 +31,49 @@ from etl_complete_with_spark_spark.queries import QUERIES  # noqa: E402
 from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 
 
+def _shuffle_totals(spark):
+    """(read_bytes, write_bytes) across all completed stages, via the UI
+    REST API (bench enables the UI for exactly this). Returns None when
+    unavailable — instrumentation must never fail the benchmark."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
     timings: dict[str, float] = {}
+    shuffle: dict[str, dict[str, float]] = {}
     for name, fn in QUERIES.items():
         runs = []
+        before = _shuffle_totals(spark)
         for _ in range(2):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+        after = _shuffle_totals(spark)
+        if before is not None and after is not None:
+            # totals cover BOTH runs; halve for a per-run figure
+            shuffle[name] = {
+                "read_mb": round((after[0] - before[0]) / 2 / 1e6, 2),
+                "write_mb": round((after[1] - before[1]) / 2 / 1e6, 2),
+            }
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -56,6 +86,8 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
     }
+    if shuffle:
+        full["shuffle_mb_per_run"] = shuffle
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -64,19 +96,20 @@ def main() -> None:
     # tail: include the slowest queries first, drop the fastest until the
     # serialized line fits with headroom.
     line_budget = 1800
+    slim = {k: v for k, v in full.items() if k != "shuffle_mb_per_run"}
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
     for name, sec in by_cost:
         candidate = dict(shown)
         candidate[name] = sec
-        probe = dict(full)
+        probe = dict(slim)
         probe["queries"] = candidate
         probe["queries_shown"] = len(candidate)
         probe["detail"] = "BENCH_FULL.json"
         if len(json.dumps(probe)) > line_budget:
             break
         shown = candidate
-    out = dict(full)
+    out = dict(slim)
     out["queries"] = shown
     out["queries_shown"] = len(shown)
     out["detail"] = "BENCH_FULL.json"
