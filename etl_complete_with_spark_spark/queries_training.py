@@ -1269,3 +1269,103 @@ def text_unigram_lm_score(spark, sf_dir):
         .otherwise(F.expr("s DIV n"))
         .alias("mean_tf_ppb"),
     )
+
+
+@query(
+    "stream_dedup_events",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_events(spark, sf_dir):
+    """Streaming exactly-once dedup: the bounded source is staged TWICE
+    (two files, forced into separate micro-batches via maxFilesPerTrigger)
+    and ``dropDuplicates`` on the key holds seen-key state ACROSS
+    micro-batches — every event comes out exactly once even though every
+    event arrives twice. The oracle is the plain batch table. In
+    production the watermark bounds the seen-key state window (use
+    dropDuplicatesWithinWatermark when late replays are bounded in
+    time); here the key set is small enough to hold fully."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import stream_source
+
+    stage = tempfile.mkdtemp(prefix="stream_dup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-1.parquet")
+    stream = stream_source(spark, stage, max_files_per_trigger=1)
+    name = f"sde_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.withWatermark("ts", "10 minutes")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+@query(
+    "table_profile_orders",
+    """
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS nn_orderkey,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_orderkey,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS nn_custkey,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+               CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn_orderstatus,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_orderstatus,
+               CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn_totalprice,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_totalprice,
+               CAST(count(*) - count(o_orderdate) AS BIGINT) AS nn_orderdate,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_orderdate,
+               CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn_orderpriority,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_orderpriority
+        FROM orders)
+    SELECT u.col AS column_name, u.n_nulls, u.n_distinct, s.n_rows
+    FROM s, UNNEST([
+        {'col': 'o_orderkey',      'n_nulls': nn_orderkey,      'n_distinct': nd_orderkey},
+        {'col': 'o_custkey',       'n_nulls': nn_custkey,       'n_distinct': nd_custkey},
+        {'col': 'o_orderstatus',   'n_nulls': nn_orderstatus,   'n_distinct': nd_orderstatus},
+        {'col': 'o_totalprice',    'n_nulls': nn_totalprice,    'n_distinct': nd_totalprice},
+        {'col': 'o_orderdate',     'n_nulls': nn_orderdate,     'n_distinct': nd_orderdate},
+        {'col': 'o_orderpriority', 'n_nulls': nn_orderpriority, 'n_distinct': nd_orderpriority}
+    ]) AS t(u)
+    """,
+)
+def table_profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/profile.profile_table): per-column
+    null and exact-distinct counts in a single scan. Multiple exact
+    COUNT(DISTINCT) in one aggregate compile to Catalyst's Expand
+    (row is replicated once per distinct-column) — one scan traded for a
+    columns-wide shuffle; the 100 TB variant swaps in
+    approx_count_distinct and drops Expand entirely (see
+    agg_approx_stats)."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )

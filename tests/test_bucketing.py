@@ -1,65 +1,85 @@
-"""Bucketed-table co-located join: the no-shuffle join strategy at scale.
+"""Bucketed tables: co-located joins with NO shuffle on either side.
 
-At 100 TB the dominant cost of a fact-fact join is shuffling both sides.
-Writing both tables bucketed by the join key (`bucketBy`) pre-partitions
-them on disk so the join needs no exchange at read time — this test pins
-that property (SortMergeJoin with zero Exchange in the plan).
+The 100 TB join strategy the catalog queries can't show at sf0.01: when
+both sides are written bucketed (and sorted) by the join key with the
+same bucket count, SortMergeJoin reads matching buckets directly — no
+Exchange at all. This is THE way to amortize one shuffle across every
+future join on that key (fact tables joined daily against the same
+dimension key, incremental dedup against a bucketed signature corpus).
 """
 
-from __future__ import annotations
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
 
-from etl_complete_with_spark_spark import plans as P
 
-
-@pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir, tmp_path_factory):
-    warehouse = tmp_path_factory.mktemp("warehouse")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    (
-        orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").option("path", str(warehouse / "orders_b"))
-        .saveAsTable("orders_bucketed")
-    )
-    (
-        lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").option("path", str(warehouse / "lineitem_b"))
-        .saveAsTable("lineitem_bucketed")
-    )
-    yield "orders_bucketed", "lineitem_bucketed"
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 class TestBucketedJoin:
-    def test_join_has_no_shuffle(self, spark, bucketed_tables):
-        o, l = bucketed_tables
-        joined = (
-            spark.table(o)
-            .join(spark.table(l), F.col("o_orderkey") == F.col("l_orderkey"))
-            .hint("merge")  # pin SMJ so AQE doesn't broadcast the small SF side
-        )
-        assert P.count_exchanges(joined) == 0, P.physical_plan(joined)[:800]
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, no_broadcast):
+        from etl_complete_with_spark_spark import plans as P
+        from etl_complete_with_spark_spark.queries import load
 
-    def test_bucketed_results_match_plain_join(self, spark, sf_dir, bucketed_tables):
-        o, l = bucketed_tables
-        bucketed_n = (
-            spark.table(o).join(spark.table(l), F.col("o_orderkey") == F.col("l_orderkey")).count()
-        )
-        plain_n = (
-            spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .join(
-                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-                F.col("o_orderkey") == F.col("l_orderkey"),
+        suffix = uuid.uuid4().hex[:8]
+        t_orders, t_cust = f"orders_b_{suffix}", f"customer_b_{suffix}"
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        try:
+            (
+                orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+                .mode("overwrite").saveAsTable(t_orders)
             )
-            .count()
-        )
-        assert bucketed_n == plain_n
+            (
+                cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+                .mode("overwrite").saveAsTable(t_cust)
+            )
+            bo, bc = spark.table(t_orders), spark.table(t_cust)
+            joined = bo.join(bc, bo.o_custkey == bc.c_custkey).select(
+                "o_orderkey", "c_name"
+            )
+            plan = P.formatted_plan(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
 
-    def test_groupby_on_bucket_key_has_no_shuffle(self, spark, bucketed_tables):
-        o, _ = bucketed_tables
-        agg = spark.table(o).groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("s"))
-        assert P.count_exchanges(agg) == 0
+            # same rows as the plain (shuffling) join
+            expected = orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+            assert joined.count() == expected
+
+            # the un-bucketed twin DOES shuffle — the assertion above is
+            # meaningful, not vacuous
+            plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+            assert "Exchange" in P.formatted_plan(plain)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+            spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, sf_dir, no_broadcast):
+        from etl_complete_with_spark_spark import plans as P
+        from etl_complete_with_spark_spark.queries import load
+
+        suffix = uuid.uuid4().hex[:8]
+        t = f"orders_g_{suffix}"
+        try:
+            (
+                load(spark, sf_dir, "orders")
+                .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+                .mode("overwrite").saveAsTable(t)
+            )
+            agg = (
+                spark.table(t)
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = P.formatted_plan(agg)
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
