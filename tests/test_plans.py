@@ -61,3 +61,27 @@ class TestExplainSummary:
         s = P.explain_summary(QUERIES["agg_pricing_summary"](spark, sf_dir))
         assert set(s) == {"exchanges", "codegen_stages", "broadcast_join", "read_columns"}
         assert s["read_columns"]  # pruned scan lists its columns
+
+
+class TestEmbeddingAnalyticsShapes:
+    def test_gram_matrix_single_tiny_reduce(self, spark, sf_dir):
+        # the only shuffle is the (partitions x d^2) partial-matrix reduce;
+        # row data never crosses the wire
+        df = QUERIES["emb_gram_int8"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 1
+
+    def test_int8_topk_broadcasts_queries(self, spark, sf_dir):
+        # corpus side must not shuffle: queries are broadcast
+        df = QUERIES["ann_int8_topk"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
+
+    def test_label_centroids_partial_aggregate(self, spark, sf_dir):
+        # shuffle carries (label, dim) partials, not exploded code rows
+        df = QUERIES["emb_label_centroids"](spark, sf_dir)
+        assert P.has_partial_aggregate(df)
+
+    def test_profile_single_scan(self, spark, sf_dir):
+        # one scan + Expand; never one scan per profiled column
+        df = QUERIES["table_profile_orders"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
