@@ -1369,3 +1369,45 @@ def table_profile_orders(spark, sf_dir):
             "o_orderpriority",
         ],
     )
+
+
+@query(
+    "dedup_semantic_cluster",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings WHERE vec_id < 2000),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+    sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    reach(id, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT v.vec_id AS vec_id,
+           coalesce(c.component, v.vec_id) AS component,
+           (coalesce(c.component, v.vec_id) = v.vec_id) AS keep
+    FROM e v LEFT JOIN comp c ON c.id = v.vec_id
+    """,
+)
+def dedup_semantic_cluster(spark, sf_dir):
+    """Semantic dedup done cluster-correct: embedding-cosine near-dup
+    pairs (BLAS all-pairs over the bounded slice — the blocking/tiled
+    paths scale it) become edges, connected components collapse chains
+    (A~B, B~C with A!~C keeps exactly A), every isolated vector is its
+    own singleton component. Mirrors dedup_cluster_keep but in embedding
+    space — the pass textual dedup can't do (paraphrases share no
+    shingles). Oracle: DuckDB recursive transitive closure."""
+    from .operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    pairs = D.embedding_neardup_pairs_blas(emb, threshold=0.3).select("id1", "id2")
+    comp = connected_components(pairs, vertices=emb.select("vec_id"))
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
