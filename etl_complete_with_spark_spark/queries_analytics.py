@@ -1319,3 +1319,41 @@ def skew_key_profile_events(spark, sf_dir):
     from .operators.skew import key_profile
 
     return key_profile(load(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH u AS (SELECT user_id,
+                      date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+               FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_wk FROM u GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, wk FROM u)
+    SELECT f.cohort_wk,
+           CAST(datediff('day', f.cohort_wk, a.wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted distinct in every later week they return. Two shuffles
+    (first-week per user; cohort x offset count-distinct) — at 100 TB
+    the (user, week) activity set is pre-deduped map-side before either,
+    and both engines truncate weeks to ISO Monday so the offset is exact
+    integer day-arithmetic / 7."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = u.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = u.distinct()
+    j = act.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
