@@ -1,0 +1,101 @@
+"""Pack token chunks into fixed-size training shards (distributed prefix sum).
+
+The last step of a training-data pipeline: ordered chunks get a global
+token offset, and shard k is the chunks whose offset lands in
+[k*S, (k+1)*S). The hard part at scale is the GLOBAL prefix sum — a
+naive ``Window.orderBy(...)`` with no partition key collapses to a
+single task (Spark even warns "Moving all data to a single partition").
+
+This implements the textbook two-level scan instead:
+
+1. per-document token totals (one map-side-combined shuffle);
+2. documents are range-partitioned by id; each partition's total is
+   collected to the driver (ONE row per partition — bytes, not data)
+   and turned into cumulative partition offsets;
+3. within each partition, a PARALLEL window (partitioned by the range
+   partition id) computes local prefixes; partition offset + local
+   prefix = exact global offset;
+4. chunk offsets are the doc offset plus a per-doc window prefix —
+   partitioned by doc, also fully parallel.
+
+Every stage is parallel; the only driver data is one long per
+partition. The result is identical to the single-task global window
+(the DuckDB oracle computes it that way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_chunks_into_shards(
+    chunks: DataFrame,
+    shard_tokens: int,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    token_col: str = "n_tokens",
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Assign (chunk_offset, shard_id) to every chunk.
+
+    ``shard_id = chunk_offset DIV shard_tokens`` — assignment by starting
+    offset, so shard boundaries never split the offset math even when a
+    chunk straddles them.
+    """
+    spark = chunks.sparkSession
+
+    doc_tot = chunks.groupBy(doc_col).agg(
+        F.sum(token_col).cast("long").alias("doc_tokens")
+    )
+    ranged = doc_tot.repartitionByRange(num_range_partitions, F.col(doc_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Window keyed by the range-partition id computes prefixes in parallel;
+    # range partitioning guarantees pid order == doc order across partitions.
+    ranged = ranged.localCheckpoint(eager=False)  # pin pids: two consumers below
+    part_totals = (
+        ranged.groupBy("__pid").agg(F.sum("doc_tokens").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(part_totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["t"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __part_off long"
+    )
+
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(doc_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    doc_off = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "doc_offset",
+            (
+                F.col("__part_off")
+                + F.coalesce(F.sum("doc_tokens").over(w_local), F.lit(0))
+            ).cast("long"),
+        )
+        .select(doc_col, "doc_offset")
+    )
+
+    w_doc = (
+        Window.partitionBy(doc_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.join(doc_off, doc_col)
+        .withColumn(
+            "chunk_offset",
+            (
+                F.col("doc_offset")
+                + F.coalesce(F.sum(token_col).over(w_doc), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn("shard_id", F.expr(f"chunk_offset DIV {int(shard_tokens)}"))
+        .select(doc_col, idx_col, F.col(token_col), "chunk_offset", "shard_id")
+    )

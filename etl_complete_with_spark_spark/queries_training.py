@@ -1411,3 +1411,41 @@ def dedup_semantic_cluster(spark, sf_dir):
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+@query(
+    "pack_training_shards",
+    f"""
+    WITH t AS (SELECT doc_id, tk, len(tk) AS n
+               FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) x),
+    c AS (SELECT doc_id, tk, n,
+                 unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT))) AS i
+          FROM t),
+    ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                  CAST(least(n - i*24, 32) AS BIGINT) AS n_tokens
+           FROM c),
+    s AS (SELECT doc_id, chunk_idx, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS chunk_offset
+          FROM ch)
+    SELECT doc_id, chunk_idx, n_tokens, chunk_offset,
+           chunk_offset // 512 AS shard_id
+    FROM s
+    """,
+)
+def pack_training_shards(spark, sf_dir):
+    """Chunk the corpus (32-token windows, stride 24) and pack the chunks
+    into 512-token training shards via a DISTRIBUTED two-level prefix sum
+    (operators/packing.py) — per-range-partition totals to the driver
+    (one long per partition), parallel windows for the local prefixes.
+    The oracle computes the same offsets with a single global window,
+    which is exactly the plan shape the operator exists to avoid."""
+    from .operators.chunking import chunk_documents
+    from .operators.packing import pack_chunks_into_shards
+
+    chunks = chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select("doc_id", "chunk_idx", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return pack_chunks_into_shards(chunks, shard_tokens=512)

@@ -1,0 +1,65 @@
+"""Distributed prefix-sum shard packing tests (operators/packing.py)."""
+
+from pyspark.sql import functions as F
+
+from etl_complete_with_spark_spark.operators.chunking import chunk_documents
+from etl_complete_with_spark_spark.operators.packing import pack_chunks_into_shards
+from etl_complete_with_spark_spark.queries import load
+
+
+def _chunks(spark, sf_dir):
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select("doc_id", "chunk_idx", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+class TestShardPacking:
+    def test_offsets_are_the_exact_global_prefix_sum(self, spark, sf_dir):
+        rows = (
+            pack_chunks_into_shards(_chunks(spark, sf_dir), shard_tokens=512)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        )
+        assert rows
+        acc = 0
+        for r in rows:
+            assert r.chunk_offset == acc, (r.doc_id, r.chunk_idx)
+            assert r.shard_id == acc // 512
+            acc += r.n_tokens
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        ch = _chunks(spark, sf_dir)
+        a = {
+            (r.doc_id, r.chunk_idx): (r.chunk_offset, r.shard_id)
+            for r in pack_chunks_into_shards(ch, 512).collect()
+        }
+        b = {
+            (r.doc_id, r.chunk_idx): (r.chunk_offset, r.shard_id)
+            for r in pack_chunks_into_shards(
+                ch.repartition(13), 512, num_range_partitions=5
+            ).collect()
+        }
+        assert a == b
+
+    def test_shards_are_full_except_boundaries(self, spark, sf_dir):
+        out = pack_chunks_into_shards(_chunks(spark, sf_dir), shard_tokens=512)
+        sizes = (
+            out.groupBy("shard_id")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .orderBy("shard_id")
+            .collect()
+        )
+        # every shard except the last holds >= the nominal size minus one
+        # straddling chunk (chunks assigned by START offset)
+        for s in sizes[:-1]:
+            assert s.tok >= 512 - 32 + 1
+
+    def test_no_single_partition_window(self, spark, sf_dir):
+        # the scale contract: no empty-partitionBy Window in the plan
+        from etl_complete_with_spark_spark import plans as P
+
+        out = pack_chunks_into_shards(_chunks(spark, sf_dir), shard_tokens=512)
+        plan = P.physical_plan(out)
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line.lower():
+                assert "partitionBy=[]" not in line.replace(" ", ""), line
