@@ -682,3 +682,46 @@ def incremental_neardup_filter(
         dup_ids.withColumnRenamed("new_id", "id"), "id", "left_anti"
     )
     return kept, kept_sigs
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (entity resolution)
+# ---------------------------------------------------------------------------
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    block: Column | None = None,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Entity-resolution join: value pairs within ``max_distance`` edits.
+
+    The all-pairs Levenshtein matrix is quadratic and unshippable at any
+    scale; a BLOCKING KEY (default: the value's last token) restricts
+    comparisons to candidates that share it — the classic entity-
+    resolution trade (recall bounded by blocking quality, cost bounded by
+    block size). One shuffle on the block key; Levenshtein runs JVM-side
+    (``F.levenshtein``) on the blocked pairs only. Skewed blocks are the
+    known hazard: cap or split hot blocks the same way
+    ngram_jaccard_pairs caps hot shingles.
+
+    Returns (v1, v2, distance) over DISTINCT values, v1 < v2.
+    """
+    if block is None:
+        block = F.element_at(F.split(F.col(col), " "), -1)
+    # compute the block key BEFORE renaming so a caller-supplied ``block``
+    # expression can reference the original column name
+    vals = (
+        df.select(F.col(col)).distinct()
+        .withColumn("blk", block)
+        .withColumnRenamed(col, "v")
+    )
+    a = vals.select(F.col("v").alias("v1"), "blk")
+    b = vals.select(F.col("v").alias("v2"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("distance", F.levenshtein("v1", "v2").cast("long"))
+        .filter(F.col("distance") <= max_distance)
+        .select("v1", "v2", "distance")
+    )

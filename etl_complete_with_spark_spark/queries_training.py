@@ -1449,3 +1449,27 @@ def pack_training_shards(spark, sf_dir):
         load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
     ).select("doc_id", "chunk_idx", F.col("n_tokens").cast("long").alias("n_tokens"))
     return pack_chunks_into_shards(chunks, shard_tokens=512)
+
+
+@query(
+    "fuzzy_match_part_names",
+    """
+    WITH n AS (SELECT DISTINCT p_name AS v FROM part),
+    b AS (SELECT v, string_split(v, ' ')[-1] AS blk FROM n)
+    SELECT a.v AS v1, c.v AS v2,
+           CAST(levenshtein(a.v, c.v) AS BIGINT) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.v < c.v
+    WHERE levenshtein(a.v, c.v) <= 3
+    """,
+)
+def fuzzy_match_part_names(spark, sf_dir):
+    """Blocked fuzzy entity matching (operators/dedup.blocked_fuzzy_pairs):
+    distinct part names blocked on their noun token, Levenshtein <= 3
+    within blocks only — the entity-resolution shape that replaces the
+    unshippable all-pairs edit-distance matrix. Both engines implement
+    classic Levenshtein, so distances (and the oracle hash) are exact.
+    Names here are 'color noun', so the blocks are the nouns and matches
+    are color variants of the same part."""
+    return D.blocked_fuzzy_pairs(
+        load(spark, sf_dir, "part"), "p_name", max_distance=3
+    )

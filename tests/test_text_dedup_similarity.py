@@ -440,3 +440,51 @@ class TestQuantization:
         assert rows[1].qvec == [127, -127, 63]
         # floor(x*127/scale) is in [-127, 127] for every |x| <= scale
         assert all(-128 <= c <= 127 for c in rows[1].qvec)
+
+
+class TestBlockedFuzzyPairs:
+    def test_matches_brute_force_within_distance(self, spark, sf_dir):
+        import itertools
+
+        from etl_complete_with_spark_spark.operators.dedup import blocked_fuzzy_pairs
+        from etl_complete_with_spark_spark.queries import load
+
+        part = load(spark, sf_dir, "part")
+        got = {
+            (r.v1, r.v2): r.distance
+            for r in blocked_fuzzy_pairs(part, "p_name", max_distance=3).collect()
+        }
+        names = sorted(r.p_name for r in part.select("p_name").distinct().collect())
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        expected = {}
+        for a, b in itertools.combinations(names, 2):
+            if a.split(" ")[-1] == b.split(" ")[-1]:  # blocking recall bound
+                d = lev(a, b)
+                if d <= 3:
+                    expected[(a, b)] = d
+        assert got == expected
+
+    def test_custom_block_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators.dedup import blocked_fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [("smith, john",), ("smith, jon",), ("jones, mary",)], ["name"]
+        )
+        # block on the surname prefix instead of the default last token
+        out = blocked_fuzzy_pairs(
+            df, "name", block=F.substring("name", 1, 5), max_distance=2
+        ).collect()
+        assert [(r.v1, r.v2, r.distance) for r in out] == [
+            ("smith, john", "smith, jon", 1)
+        ]
