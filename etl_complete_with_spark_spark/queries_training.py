@@ -1473,3 +1473,46 @@ def fuzzy_match_part_names(spark, sf_dir):
     return D.blocked_fuzzy_pairs(
         load(spark, sf_dir, "part"), "p_name", max_distance=3
     )
+
+
+@query(
+    "jsonl_roundtrip_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def jsonl_roundtrip_orders(spark, sf_dir):
+    """JSONL landing-zone ingestion (sources/files.read_jsonl): orders
+    staged as newline-delimited JSON, read back with an EXPLICIT schema
+    and PERMISSIVE corrupt-record quarantine. The oracle is the original
+    parquet table — an end-to-end proof that the text roundtrip loses
+    nothing (doubles survive via shortest-repr JSON numbers, timestamps
+    via ISO-8601 in the pinned UTC session). Quarantine behavior is
+    pinned in test_sources.py with planted bad lines."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.files import read_jsonl
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    src = load(spark, sf_dir, "orders").select(*cols)
+    stage = tempfile.mkdtemp(prefix="jsonl_orders_")
+    src.write.mode("overwrite").json(stage)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    good, _quarantine = read_jsonl(spark, stage, schema)
+    return good

@@ -117,3 +117,50 @@ class TestSchemaRegistry:
     def test_resolve_none_when_nothing_exists(self, spark, tmp_path):
         reg = SchemaRegistry(str(tmp_path / "registry"))
         assert reg.resolve(spark, "ns", "ds", lake=Lake(str(tmp_path / "lake"))) is None
+
+
+class TestFileSources:
+    def _schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+            ]
+        )
+
+    def test_jsonl_quarantines_bad_lines(self, spark, tmp_path):
+        from etl_complete_with_spark_spark.sources.files import read_jsonl
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"id": 1, "name": "a", "amount": 1.5}\n'
+            "this is not json at all\n"
+            '{"id": 2, "name": "b", "amount": 2.5}\n'
+            '{"id": "NOT_A_NUMBER", "name": "c", "amount": 3.0}\n'
+        )
+        good, quarantine = read_jsonl(spark, str(p), self._schema())
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        raws = [r.raw_record for r in quarantine.collect()]
+        assert len(raws) == 2
+        assert any("not json" in r for r in raws)
+        assert any("NOT_A_NUMBER" in r for r in raws)
+        # good rows carry exactly the declared schema — no corrupt column
+        assert good.columns == ["id", "name", "amount"]
+
+    def test_csv_quarantines_bad_lines(self, spark, tmp_path):
+        from etl_complete_with_spark_spark.sources.files import read_csv
+
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "id,name,amount\n"
+            "1,a,1.5\n"
+            "oops,b,not_a_double\n"
+            "2,c,2.5\n"
+        )
+        good, quarantine = read_csv(spark, str(p), self._schema())
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        assert quarantine.count() == 1
+        assert "not_a_double" in quarantine.first().raw_record
