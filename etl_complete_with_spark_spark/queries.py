@@ -339,3 +339,4 @@ def topk_orders_per_customer(spark, sf_dir):
 # the same QUERIES/ORACLE dicts. Import at module end to avoid a cycle.
 from . import queries_training  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401
