@@ -1,0 +1,67 @@
+"""Train/eval decontamination: flag training documents that share word
+n-grams with a held-out evaluation corpus.
+
+The standard LLM-training hygiene pass (the reference repo has no text
+surface at all — this extends the north-star text family): any training
+document containing an n-gram that also occurs in a benchmark/eval set
+is a contamination suspect and gets an overlap score.
+
+Scale design (100 TB training corpus vs ~GB eval set):
+- n-grams are hashed to 60-bit ints (``dedup.md5_hash60``) before the
+  join, so the shuffle/broadcast payload is fixed 8-byte keys, never
+  strings.
+- the distinct eval-gram set is tiny relative to the corpus and is
+  broadcast — the training side never shuffles; the whole pass is
+  scan -> explode -> broadcast-hash-join -> partial agg on doc_id.
+- if the eval set ever outgrows the broadcast threshold, drop the
+  explicit ``broadcast()`` and let AQE pick a shuffle join keyed on the
+  same 8-byte hash.
+
+60-bit hash collisions (~1e-9 at 1e9 distinct grams) can only
+over-count overlap by one gram — acceptable for a flagging pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60, shingles
+
+CONTAMINATION_SEED = 7
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc overlap with the eval corpus' word ``n``-grams.
+
+    Returns ``(doc_id, n_grams, n_shared, contamination)`` for every
+    training document sharing at least one n-gram with ``eval_df``
+    (docs shorter than ``n`` tokens have no grams and never match).
+    ``contamination`` = shared/total distinct grams, rounded to 4.
+    """
+    def posting(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), n=n)).alias("gram"),
+        ).select(id_col, md5_hash60(F.col("gram"), CONTAMINATION_SEED).alias("gh"))
+
+    eval_grams = F.broadcast(posting(eval_df).select("gh").distinct())
+    train_posting = posting(train)
+    sizes = train_posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        train_posting.join(eval_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sizes.join(shared, id_col).select(
+        id_col,
+        "n_grams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("contamination"),
+    )

@@ -1516,3 +1516,134 @@ def jsonl_roundtrip_orders(spark, sf_dir):
     )
     good, _quarantine = read_jsonl(spark, stage, schema)
     return good
+
+
+# ---------------------------------------------------------------------------
+# Decontamination & domain-mixture sampling (operators/contamination.py,
+# operators/mixture.py)
+# ---------------------------------------------------------------------------
+
+_FOURGRAMS = (
+    "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] "
+    "for i in range(1, len(tk) - 2)]"
+)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH norm AS (SELECT doc_id AS id, source, {_NORM_TOKS} AS tk FROM documents),
+    g AS (SELECT id, source, unnest(list_distinct({_FOURGRAMS})) AS sh FROM norm),
+    h AS (SELECT id, source, {_hash60_sql('sh', 7)} AS gh FROM g),
+    ev AS (SELECT DISTINCT gh FROM h WHERE source = 'src0'),
+    tr AS (SELECT id, gh FROM h WHERE source <> 'src0'),
+    sizes AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY id),
+    shared AS (SELECT id, count(*) AS n_shared FROM tr JOIN ev USING (gh) GROUP BY id)
+    SELECT sizes.id AS doc_id, n_grams, n_shared,
+           round(n_shared * 1.0 / n_grams, 4) AS contamination
+    FROM sizes JOIN shared ON sizes.id = shared.id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Train/eval decontamination: training docs (source != src0) that
+    share >= 1 word 4-gram with the eval slice (source = src0). Grams
+    hash to 60-bit ints before the broadcast join, so the training side
+    never shuffles strings (operators/contamination.py)."""
+    from .operators.contamination import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+
+
+@query(
+    "sample_token_budget_mix",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+    """,
+)
+def sample_token_budget_mix(spark, sf_dir):
+    """Domain-mixture sampling: each source cut to an 800-token budget
+    along a reproducible md5(doc_id) order (operators/mixture.py). The
+    window partitions by domain — domains run in parallel; the giant-
+    single-domain case swaps in packing.py's two-level prefix sum."""
+    from .operators.mixture import token_budget_sample
+
+    return token_budget_sample(load(spark, sf_dir, "documents"), budget=800)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment & ORC landing format
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT event_id, user_id, event_type, value, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the event stream enriched with a broadcast
+    customer dimension. Stateless (no watermark, no state store) — each
+    micro-batch map-side joins against the static build side, the
+    canonical streaming-ingest enrichment. Oracle = the batch join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import stream_source
+
+    stage = tempfile.mkdtemp(prefix="stream_enrich_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = stream_source(spark, stage)
+    dim = F.broadcast(load(spark, sf_dir, "customer"))
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "orc_roundtrip_orders",
+    "SELECT * FROM orders",
+)
+def orc_roundtrip_orders(spark, sf_dir):
+    """ORC landing-zone format: write orders to ORC, read it back; the
+    oracle is the original parquet table — a lossless-roundtrip proof
+    for the second columnar format (sources support parquet/ORC/JSONL/
+    CSV). ORC brings the same pushdown/stats pruning surface as parquet
+    (asserted in test_sources.py)."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="orc_orders_")
+    load(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
+    return spark.read.orc(stage)

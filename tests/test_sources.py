@@ -164,3 +164,27 @@ class TestFileSources:
         assert sorted(r.id for r in good.collect()) == [1, 2]
         assert quarantine.count() == 1
         assert "not_a_double" in quarantine.first().raw_record
+
+
+class TestOrcSource:
+    def test_orc_roundtrip_and_filter_pushdown(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from conftest import table
+
+        src = table(spark, sf_dir, "orders")
+        dst = str(tmp_path / "orders_orc")
+        src.write.orc(dst)
+        back = spark.read.orc(dst)
+        assert back.schema == src.schema
+        assert back.count() == src.count()
+        # predicate + projection reach the ORC scan
+        plan = (
+            back.filter(F.col("o_orderkey") < 100)
+            .select("o_orderkey")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+        assert "ReadSchema: struct<o_orderkey:bigint>" in plan
