@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_hash60, shingles
+from .dedup import explode_shingles, md5_hash60
 
 CONTAMINATION_SEED = 7
 
@@ -46,10 +46,16 @@ def ngram_contamination(
     ``contamination`` = shared/total distinct grams, rounded to 4.
     """
     def posting(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), n=n)).alias("gram"),
-        ).select(id_col, md5_hash60(F.col("gram"), CONTAMINATION_SEED).alias("gh"))
+        # explode_shingles, not the shingles() column fn: it materializes
+        # the token array once per row (HOFs are interpreted — a lambda
+        # that re-tokenizes per element is O(tokens^2) regex work).
+        return (
+            explode_shingles(df, id_col=id_col, text_col=text_col, n=n)
+            .select(
+                F.col("id").alias(id_col),
+                md5_hash60(F.col("shingle"), CONTAMINATION_SEED).alias("gh"),
+            )
+        )
 
     eval_grams = F.broadcast(posting(eval_df).select("gh").distinct())
     train_posting = posting(train)
