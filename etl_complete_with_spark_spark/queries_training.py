@@ -382,10 +382,51 @@ def ann_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("ann_lsh_topk")  # approximate -> no SQL oracle; rows-only + recall test
+def _lsh_oracle(bits: int = 6, dim: int = 64) -> str:
+    """Exact SQL twin of lsh_topk(bits=6, probe_hamming=1): the hyperplane
+    signs are md5-derived constants (dedup._hyperplane_sign), so the
+    bucketing is reproducible as literal ±1 arrays. Cosine is rounded to
+    4 before ranking (same as ann_cosine_topk) so ulp-level summation
+    drift never reorders ranks; bucket bits compare a O(1)-magnitude dot
+    against 0, where 1e-13 drift is equally harmless."""
+    from .operators.dedup import _hyperplane_sign
+
+    bit_terms = " + ".join(
+        "(CASE WHEN list_inner_product(v, ["
+        + ", ".join(str(_hyperplane_sign(i, j)) for j in range(dim))
+        + f"]) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << i for i in range(bits)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {bit_terms} AS bucket FROM e),
+    q AS (SELECT * FROM s WHERE vec_id < 5),
+    probes AS (
+        SELECT q.vec_id, q.v, xor(q.bucket, m.m) AS bucket
+        FROM q, (VALUES {masks}) m(m)),
+    cand AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.v, c.v), 4) AS cosine
+        FROM probes p JOIN s c USING (bucket)
+        WHERE c.vec_id <> p.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= 10
+    """
+
+
+@query("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (multi-probe hamming<=1). Approximate by
-    design — correctness is recall-vs-brute-force in tests, not an oracle."""
+    """Hyperplane-LSH bucketed ANN (multi-probe hamming<=1). Approximate
+    vs brute force (recall tested), but *deterministically* approximate:
+    the md5-derived hyperplanes make the bucketing SQL-expressible, so
+    the oracle replays the same blocking + in-bucket exact rerank."""
     emb = load(spark, sf_dir, "embeddings")
     out = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, bits=6)
     return out.withColumn("rank", F.col("rank").cast("long"))
