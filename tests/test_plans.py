@@ -85,3 +85,54 @@ class TestEmbeddingAnalyticsShapes:
         df = QUERIES["table_profile_orders"](spark, sf_dir)
         plan = P.physical_plan(df)
         assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+
+
+class TestTpchPlanShapes:
+    """Physical-plan contracts for the TPC-H suite (queries_tpch.py)."""
+
+    def test_q6_all_predicates_reach_scan_no_join(self, spark, sf_dir):
+        df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+        assert P.has_pushed_filter(
+            df,
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "GreaterThanOrEqual(l_discount,0.05)",
+            "LessThanOrEqual(l_discount,0.07)",
+            "LessThan(l_quantity,24.0)",
+        )
+        plan = P.physical_plan(df)
+        assert "Join" not in plan  # scan -> partial agg -> final agg only
+        assert P.has_partial_aggregate(df)
+
+    def test_q6_reads_only_needed_columns(self, spark, sf_dir):
+        df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+        assert P.read_schema_columns(df) == {
+            "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+        }
+
+    def test_q5_dimensions_broadcast(self, spark, sf_dir):
+        df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, nation-region
+        assert P.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+    def test_q9_part_filter_prunes_before_fact_join(self, spark, sf_dir):
+        df = QUERIES["q9_product_profit"](spark, sf_dir)
+        assert P.has_pushed_filter(df, "StringContains(p_name,bolt)")
+        assert P.has_broadcast_join(df)
+
+    def test_q10_topk_is_take_ordered(self, spark, sf_dir):
+        df = QUERIES["q10_returned_items"](spark, sf_dir)
+        assert "TakeOrderedAndProject" in P.physical_plan(df)
+
+    def test_q18_semijoin_before_customer_broadcast(self, spark, sf_dir):
+        df = QUERIES["q18_large_volume_customers"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q15_no_collect_scalar_max_is_joined(self, spark, sf_dir):
+        # the max-revenue threshold rides a 1-row broadcast join, never a
+        # driver collect — the plan is a closed DAG
+        df = QUERIES["q15_top_supplier"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
