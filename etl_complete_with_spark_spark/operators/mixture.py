@@ -55,3 +55,44 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (per domain).
+
+    Efraimidis–Spirakis A-ES: each row gets key ``u^(1/w)`` with
+    ``u ~ U(0,1)``; the top-``n`` keys per domain are a weighted sample
+    without replacement. ``u`` derives from ``md5(id)`` instead of
+    ``rand()`` — the sample is reproducible across runs, engines and
+    partitionings, which is what makes a 100 TB quality-weighted corpus
+    selection auditable. Weights clamp at 1e-4 so zero-quality docs get
+    a key near 0 instead of a 1/0 exponent.
+
+    One shuffle (the per-domain top-n window); the key computation is
+    pure codegen. Keys are rounded to 6 before ranking (id tiebreak) so
+    cross-engine libm ulp drift cannot reorder.
+    """
+    from .dedup import md5_hash60
+
+    u = (md5_hash60(F.col(id_col).cast("string"), seed) + F.lit(1)).cast("double") / F.lit(
+        float(2**60)
+    )
+    key = F.round(
+        F.pow(u, 1.0 / F.greatest(F.col(weight_col), F.lit(1e-4))), 6
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("__aes_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+        .select(id_col, domain_col, weight_col, F.col("__aes_key").alias("aes_key"), "rank")
+    )

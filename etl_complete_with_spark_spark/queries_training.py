@@ -1688,3 +1688,38 @@ def orc_roundtrip_orders(spark, sf_dir):
     stage = tempfile.mkdtemp(prefix="orc_orders_")
     load(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
     return spark.read.orc(stage)
+
+
+@query(
+    "sample_weighted_quality",
+    f"""
+    WITH q AS ({_QUALITY_SQL}),
+    k AS (
+        SELECT q.doc_id, d.source, q.quality_score,
+               round(pow(
+                   (CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || '#11'), 1, 15) AS BIGINT) + 1)
+                       / 1152921504606846976.0,
+                   1.0 / greatest(q.quality_score, 0.0001)), 6) AS aes_key
+        FROM q JOIN documents d USING (doc_id))
+    SELECT doc_id, source, quality_score, aes_key,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY aes_key DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM k
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY aes_key DESC, doc_id
+    ) <= 5
+    """,
+)
+def sample_weighted_quality(spark, sf_dir):
+    """Quality-weighted sampling without replacement: Efraimidis-Spirakis
+    A-ES keys u^(1/quality) with md5-derived uniforms — the top-5 docs
+    per source, biased toward high quality_score but reproducible across
+    runs/engines/partitionings (operators/mixture.weighted_sample_topn).
+    The oracle replays the identical key computation in SQL."""
+    from .operators.mixture import weighted_sample_topn
+
+    docs = TX.with_quality_score(load(spark, sf_dir, "documents"))
+    return weighted_sample_topn(
+        docs, n=5, weight_col="quality_score", domain_col="source"
+    )

@@ -86,3 +86,47 @@ class TestTokenBudgetSample:
             for r in token_budget_sample(df.repartition(13), 20).collect()
         )
         assert a == b
+
+
+class TestWeightedSample:
+    def test_keys_match_manual_aes_computation(self, spark):
+        rows = [(i, "s0", 0.1 + 0.2 * (i % 5)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+        from etl_complete_with_spark_spark.operators.mixture import weighted_sample_topn
+
+        got = {
+            r["doc_id"]: (r["aes_key"], r["rank"])
+            for r in weighted_sample_topn(df, n=4, weight_col="w").collect()
+        }
+
+        def key(i, w):
+            h = int(hashlib.md5(f"{i}#11".encode()).hexdigest()[:15], 16)
+            return round(((h + 1) / 2**60) ** (1.0 / max(w, 1e-4)), 6)
+
+        manual = sorted(
+            ((key(i, w), -i) for i, _, w in rows), reverse=True
+        )[:4]
+        expect_ids = {-neg for _, neg in manual}
+        assert set(got) == expect_ids
+        for i, _, w in rows:
+            if i in got:
+                assert abs(got[i][0] - key(i, w)) < 1e-9
+
+    def test_zero_weight_rows_sampled_last(self, spark):
+        rows = [(1, "s0", 0.0), (2, "s0", 0.9), (3, "s0", 0.9)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+        from etl_complete_with_spark_spark.operators.mixture import weighted_sample_topn
+
+        top2 = {r["doc_id"] for r in weighted_sample_topn(df, 2, "w").collect()}
+        assert top2 == {2, 3}  # u^(1/1e-4) ~ 0 for any u < 1
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, f"s{i % 3}", 0.2 + (i % 7) / 10.0) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+        from etl_complete_with_spark_spark.operators.mixture import weighted_sample_topn
+
+        a = sorted(r["doc_id"] for r in weighted_sample_topn(df, 3, "w").collect())
+        b = sorted(
+            r["doc_id"] for r in weighted_sample_topn(df.repartition(17), 3, "w").collect()
+        )
+        assert a == b
