@@ -49,11 +49,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (e.g. the driver's) may not come from our session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos (see
-    # session.py nanosAsLong) and converted to a microsecond timestamp here
-    # (`div` keeps the arithmetic in exact int64 — nanos overflow doubles).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts is parquet TIMESTAMP(NANOS); what Spark hands back depends
+    # on the runtime: older builds honor nanosAsLong (int64 nanos), newer
+    # ones (4.1.2+) ignore it and read NANOS natively as TIMESTAMP_NTZ in
+    # microseconds. Normalize BOTH to a plain UTC timestamp so every
+    # downstream query (window, lag, cast-to-bigint epoch math) sees one
+    # stable type regardless of image. `div` keeps the nanos arithmetic in
+    # exact int64; the NTZ->timestamp cast is value-preserving because the
+    # session timezone is pinned to UTC above.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -34,7 +34,9 @@ from ..operators.transforms import work_to_trusted_transform
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos (see session nanosAsLong)
+        # Parquet stores TIMESTAMP(NANOS); Spark 4.1.2+ reads NANOS
+        # natively (truncated to micros) and honors an NTZ user schema.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -48,16 +50,18 @@ def stream_source(
 ) -> DataFrame:
     """File-based event stream (stand-in for Kafka; same downstream graph).
 
-    ``ts`` arrives as int64 nanos (the parquet writes TIMESTAMP(NANOS))
-    and is converted to a microsecond timestamp exactly like the batch
-    loader (queries.load).
+    ``ts`` is TIMESTAMP(NANOS) in the files; it is read per EVENT_SCHEMA
+    as TIMESTAMP_NTZ (microsecond truncation) and normalized to a plain
+    UTC timestamp — the same stable type the batch loader (queries.load)
+    produces, so stream and batch plans are interchangeable downstream.
+    The cast is value-preserving: the session timezone is pinned to UTC.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see queries.load
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries.load
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
