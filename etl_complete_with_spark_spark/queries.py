@@ -147,6 +147,46 @@ def probe_bounds_int(spark, sf_dir):
     )
 
 
+@query(
+    "jdbc_resync_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def jdbc_resync_orders(spark, sf_dir):
+    """S1-S3 against a LIVE JDBC database — the reference's actual
+    extraction lifecycle (carga_int.py:32-216), not a parquet stand-in.
+    Stages an embedded Apache Derby DB (Derby ships in Spark's jars),
+    seeds it from the orders table, then replays the reference flow:
+    MIN/MAX probes pushed to the DB (load_utils.py:306-362, 460-526),
+    half-open slices, and ONE parallel ``predicates=`` range read (one
+    task per slice) where the reference looped sequential jobs. The
+    oracle is the source table itself, so the whole DB round-trip
+    (BIGINT/DOUBLE/VARCHAR/TIMESTAMP fidelity included) is value-hashed.
+    """
+    import tempfile
+
+    from .slicing import int_intervals
+    from .sources.jdbc import DERBY_DRIVER, JdbcSource, derby_url, seed_jdbc_table
+
+    opts = {"driver": DERBY_DRIVER}
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    src = (
+        load(spark, sf_dir, "orders")
+        .select(*cols)
+        .filter(F.col("o_orderkey") < 4000)
+    )
+    url = derby_url(tempfile.mkdtemp(prefix="derby_resync_"))
+    seed_jdbc_table(src, url, "ORDERS", options=opts)
+
+    jd = JdbcSource(url, "ORDERS", "o_orderkey", options=opts)
+    lo = jd.probe_min(spark)
+    hi = jd.probe_max(spark)
+    out = jd.read_range(spark, int_intervals(lo, hi + 1, 1000))
+    return out.toDF(*[c.lower() for c in out.columns])
+
+
 # ===========================================================================
 # Reference parity — transforms (SURVEY §2.7, §2.11)
 # ===========================================================================

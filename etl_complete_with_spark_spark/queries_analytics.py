@@ -1357,3 +1357,113 @@ def cohort_weekly_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern Spark SQL surface: recursive CTEs, VARIANT semi-structured type
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_burst_components",
+    """
+    WITH x AS (
+        SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS d,
+               CASE WHEN lag(o_orderdate) OVER w IS NULL
+                         OR date_diff('day', lag(o_orderdate) OVER w,
+                                      o_orderdate) > 30
+                    THEN 1 ELSE 0 END AS nb
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    y AS (SELECT c, k, d,
+                 sum(nb) OVER (PARTITION BY c ORDER BY d, k
+                               ROWS UNBOUNDED PRECEDING) AS g
+          FROM x),
+    z AS (SELECT c, k, d, g,
+                 -- burst label = the ROOT order's key (first by date, not
+                 -- min key): matches the recursion's anchor exactly
+                 first_value(k) OVER (PARTITION BY c, g ORDER BY d, k) AS bid
+          FROM y)
+    SELECT c AS o_custkey, CAST(bid AS BIGINT) AS burst_id,
+           count(*) AS n_orders,
+           CAST(min(d) AS VARCHAR) AS burst_start,
+           CAST(max(d) AS VARCHAR) AS burst_end
+    FROM z GROUP BY c, g, bid
+    """,
+)
+def order_burst_components(spark, sf_dir):
+    """Order "bursts": chains of same-customer orders each placed within
+    30 days of the previous one, labeled by the first order key in the
+    chain — connected components of a per-customer path graph, computed
+    with Spark 4's recursive CTE (WITH RECURSIVE, fixpoint iteration
+    inside ONE SQL statement; anchor = burst roots, recursive step walks
+    the lag-edge). The oracle is the closed-form gaps-and-islands window
+    formulation, so the recursion's fixpoint is value-checked against
+    independent non-recursive math. Recursion depth = longest burst
+    (~10 on this data); each step is one broadcast-friendly self-join.
+    At 100 TB prefer the window formulation (one shuffle, no iteration)
+    — this entry exists to pin the recursive executor's semantics.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (c, k, d, root) AS (
+            SELECT c, k, d, k AS root FROM (
+                SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS d,
+                       lag(o_orderdate) OVER w AS pd
+                FROM rec_orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ) WHERE pd IS NULL OR datediff(d, pd) > 30
+            UNION ALL
+            SELECT e.c, e.k, e.d, chain.root
+            FROM (
+                SELECT o_custkey AS c, o_orderkey AS k, o_orderdate AS d,
+                       lag(o_orderdate) OVER w AS pd,
+                       lag(o_orderkey) OVER w AS pk
+                FROM rec_orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ) e
+            JOIN chain ON e.c = chain.c AND e.pk = chain.k
+            WHERE e.pd IS NOT NULL AND datediff(e.d, e.pd) <= 30
+        )
+        SELECT c AS o_custkey, CAST(root AS BIGINT) AS burst_id,
+               count(*) AS n_orders,
+               CAST(CAST(min(d) AS TIMESTAMP) AS STRING) AS burst_start,
+               CAST(CAST(max(d) AS TIMESTAMP) AS STRING) AS burst_end
+        FROM chain GROUP BY c, root
+        """
+    )
+
+
+@query(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark, sf_dir):
+    """Schemaless JSON via Spark 4's VARIANT type: ``parse_json`` once
+    into a binary variant, then typed ``variant_get`` path extraction —
+    the modern replacement for per-path ``get_json_object`` string
+    re-parsing (json_extract_props) when payload shapes drift. The parse
+    happens JVM-side in the scan projection; the aggregation shuffles
+    only (event_type, k)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )

@@ -1723,3 +1723,69 @@ def sample_weighted_quality(spark, sf_dir):
     return weighted_sample_topn(
         docs, n=5, weight_col="quality_score", domain_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): table-valued per-row fan-out with state
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_token_runs",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents),
+    x AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok
+                    THEN 1 ELSE 0 END AS nb
+        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    y AS (
+        SELECT doc_id, tok, pos,
+               sum(nb) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run
+        FROM x)
+    SELECT doc_id, CAST(run - 1 AS BIGINT) AS run_idx,
+           tok AS token, count(*) AS run_len
+    FROM y GROUP BY doc_id, run, tok
+    """,
+)
+def udtf_token_runs(spark, sf_dir):
+    """Run-length encoding of adjacent repeated tokens via a Python UDTF
+    (Spark 4 table-valued function): one generator pass per document,
+    carrying the current-run state that pure SQL needs a two-window
+    gaps-and-islands construction to express — which is exactly what the
+    oracle does, so the UDTF's sequential semantics are value-checked
+    against independent window math. The UDTF runs as a LATERAL join:
+    rows fan out executor-side, no shuffle beyond the scan. (Arrow-batched;
+    for wide production fan-outs prefer mapInPandas unless per-row
+    laziness/state is the point, as here.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx: bigint, token: string, run_len: bigint")
+    class TokenRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            run_idx, prev, cnt = 0, None, 0
+            for tok in text.split(" "):
+                if prev is not None and tok == prev:
+                    cnt += 1
+                    continue
+                if prev is not None:
+                    yield run_idx, prev, cnt
+                    run_idx += 1
+                prev, cnt = tok, 1
+            if prev is not None:
+                yield run_idx, prev, cnt
+
+    spark.udtf.register("token_runs", TokenRuns)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_idx, r.token, r.run_len
+        FROM udtf_docs d, LATERAL token_runs(d.text) r
+        """
+    )

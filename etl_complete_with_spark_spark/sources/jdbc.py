@@ -12,16 +12,59 @@ range scan; :306-362 MIN probe; :460-526 MAX probe) Spark-first:
 - MIN/MAX probes push the aggregate to the source DB via a one-row
   subquery — the DB scans its index instead of shipping the table.
 
-No JDBC driver jars exist in the test image, so tests cover the
-reader-option construction (``describe_*``) and the probe SQL; the
-``.load()`` calls are exercised only against a real database.
+Spark ships an embeddable database in its own classpath — Apache Derby
+(the Hive-metastore backend) — so the whole surface IS integration-tested
+against a live JDBC endpoint: ``tests/test_jdbc_derby.py`` seeds a Derby
+table via :func:`seed_jdbc_table` and drives probes, slice reads, the
+parallel ``predicates=`` range read, and the full ResyncPipeline through
+it; the ``jdbc_resync_orders`` catalog query replays the same lifecycle
+under the DuckDB oracle gate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..slicing import Interval, jdbc_predicates, query_definition
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(directory: str) -> str:
+    """Embedded-Derby JDBC URL for a database under ``directory``."""
+    return f"jdbc:derby:{directory}/db;create=true"
+
+
+def seed_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    options: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a DataFrame as a JDBC table (integration tests / demos).
+
+    Two portability normalizations:
+    - column names are UPPERCASED before the write — Spark's JDBC writer
+      quotes identifiers, and quoted-lowercase columns are unreachable
+      from the reference-style unquoted SQL this source emits
+      (load_utils.py:37-44); Derby/Oracle/DB2 fold unquoted identifiers
+      to uppercase, so uppercase stored names match either way.
+    - TIMESTAMP_NTZ columns are cast to plain TIMESTAMP — JDBC dialects
+      map java.sql.Timestamp, not LocalDateTime.
+    """
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            out = out.withColumn(name, F.col(name).cast("timestamp"))
+    out = out.toDF(*[c.upper() for c in out.columns])
+    writer = (
+        out.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 class JdbcSource:
@@ -69,9 +112,15 @@ class JdbcSource:
         )
 
     def probe_sql(self, agg: str) -> str:
-        """`(select min(pc) from T) subs` — aggregate pushed to the source DB
-        (load_utils.py:343, :497)."""
-        return f"(select {agg}({self.partition_column}) from {self.table}) subs"
+        """`(select min(pc) as agg_value from T) subs` — aggregate pushed to
+        the source DB (load_utils.py:343, :497). Unlike the reference, the
+        aggregate is aliased: engines that auto-name derived columns
+        (Derby names it "1") break Spark's re-select of the subquery
+        otherwise; MySQL & friends accept the alias equally."""
+        return (
+            f"(select {agg}({self.partition_column}) as agg_value "
+            f"from {self.table}) subs"
+        )
 
     # -- Spark reads (need a driver jar + live DB) --------------------------
 

@@ -58,7 +58,9 @@ class TestJdbcSource:
 
     def test_probe_sql_pushes_aggregate(self):
         src = JdbcSource("jdbc:mysql://h/db", "orders", "o_orderdate")
-        assert src.probe_sql("min") == "(select min(o_orderdate) from orders) subs"
+        assert src.probe_sql("min") == (
+            "(select min(o_orderdate) as agg_value from orders) subs"
+        )
 
 
 class TestMongoSource:
