@@ -136,9 +136,26 @@ class Lake:
         fs.delete(old_jp, True)     # only now drop the old data
         return before
 
-    def read_work(self, spark: SparkSession, namespace: str, dataset: str) -> DataFrame:
-        """Read the staged dataset back (S7; utils.py:792-798)."""
-        return spark.read.parquet(self.path(WORK, namespace, dataset))
+    def read_work(
+        self,
+        spark: SparkSession,
+        namespace: str,
+        dataset: str,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read the staged dataset back (S7; utils.py:792-798).
+
+        ``merge_schema=True`` unions footer schemas across slices — a
+        source that grew a column mid-resync (the drift the reference's
+        schema registry exists for, utils.py:50-93) surfaces the new
+        column as NULL in older slices instead of silently dropping it
+        when Spark samples an old footer. Costs one footer read per
+        file; leave off when the schema is known fixed.
+        """
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path(WORK, namespace, dataset))
 
     def clear_work(self, spark: SparkSession, namespace: str, dataset: str) -> None:
         """Clear-prefix delete of a WORK dataset (cloud_utils.py:172-247)."""

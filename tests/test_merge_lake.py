@@ -146,3 +146,27 @@ class TestPartitionedWorkAndCompaction:
             assert f.read() == '{"done": [1, 2, 3]}'
         # no leftover temp/parked dirs from the swap
         assert glob.glob(f"{work_dir}__*") == []
+
+
+class TestSchemaEvolution:
+    def test_mergeschema_surfaces_added_column(self, spark, sf_dir, tmp_path):
+        """A source that grows a column mid-resync: slice 2 carries
+        `channel`, slice 1 doesn't. merge_schema=True unions the footers
+        (old rows NULL); default read keeps the fast single-footer path."""
+        from pyspark.sql import functions as F
+
+        lake = Lake(str(tmp_path))
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        lake.write_work(ev.filter("event_id < 300"), "ns", "ev_evolve")
+        lake.write_work(
+            ev.filter("event_id >= 300 and event_id < 600").withColumn(
+                "channel", F.lit("web")
+            ),
+            "ns",
+            "ev_evolve",
+        )
+        merged = lake.read_work(spark, "ns", "ev_evolve", merge_schema=True)
+        assert "channel" in merged.columns
+        assert merged.count() == 600
+        assert merged.filter("channel IS NULL").count() == 300
+        assert merged.filter("channel = 'web'").count() == 300

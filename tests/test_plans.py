@@ -136,3 +136,32 @@ class TestTpchPlanShapes:
         # driver collect — the plan is a closed DAG
         df = QUERIES["q15_top_supplier"](spark, sf_dir)
         assert P.has_broadcast_join(df)
+
+
+class TestDynamicPartitionPruning:
+    def test_dim_filter_prunes_fact_partitions(self, spark, sf_dir, tmp_path):
+        """DPP: a filter on a joined dimension must prune the
+        partitioned fact's directory scan at RUNTIME — at 100 TB this is
+        the difference between scanning 3 date partitions and 3,000.
+        The fact (events, partitioned by event_type) joins a tiny dim
+        carrying a selective predicate; the plan must carry a
+        DynamicPruningExpression on the fact's partition column."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.queries import load
+
+        fact_dir = str(tmp_path / "events_by_type")
+        load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(fact_dir)
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.createDataFrame(
+            [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 2.0), ("error", 0.0)],
+            "event_type string, weight double",
+        ).filter(F.col("weight") >= 5.0)
+        joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+            F.sum(F.col("value") * F.col("weight")).alias("weighted")
+        )
+        plan = P.physical_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the filtered result is correct: only 'purchase' survives
+        rows = joined.collect()
+        assert [r["event_type"] for r in rows] == ["purchase"]
