@@ -195,6 +195,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on Spark 4's transformWithStateInPandas —
+    the successor API to applyInPandasWithState: named state variables
+    (ValueState here; ListState/MapState/timers available) managed by a
+    StatefulProcessor object instead of one opaque state tuple. Same
+    semantics as the legacy-API twin, asserted equal in tests; prefer
+    this API for new stateful operators (schema evolution on state,
+    per-variable TTL, cleaner lifecycle).
+
+    Runtime requirement: the TWS Python worker speaks protobuf to the
+    JVM state server, so the ``protobuf`` package must be importable on
+    executors (absent in this test image — the parity test skips there;
+    the legacy-API twin carries the catalog entry)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def attribute_purchases(
     events: DataFrame,
     window_minutes: int = 60,

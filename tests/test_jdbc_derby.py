@@ -106,3 +106,35 @@ class TestJdbcDerby:
         assert res.status == "success"
         landed = lake.read_work(spark, "sales", "orders")
         assert landed.count() == src.count()
+
+
+class TestCliFromDerby:
+    def test_cli_resync_jdbc_end_to_end(self, spark, derby, tmp_path, capsys):
+        """The reference's user workflow, verbatim: one CLI invocation
+        pulls a live JDBC table into WORK and merges into TRUSTED
+        (carga_int.py's argument surface; Derby's driver is discovered
+        via java.sql.DriverManager, no extra option needed)."""
+        from etl_complete_with_spark_spark.cli.resync import main
+
+        url, src = derby
+        lake_root = str(tmp_path / "lake")
+        rc = main(
+            [
+                "--source-kind", "jdbc", "--mode", "int",
+                "--connection", url,
+                "--namespace", "sales", "--dataset", "ORDERS",
+                "--partition_column", "o_orderkey",
+                "--start_process", "0", "--end_process", "10000",
+                "--amount", "4000",
+                "--lake-root", lake_root,
+                "--merge-keys", "o_orderkey",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "slices loaded" in out
+        lake = Lake(lake_root)
+        assert lake.read_work(spark, "sales", "ORDERS").count() == src.count()
+        trusted = lake.read_trusted(spark, "sales", "ORDERS")
+        assert trusted.count() == src.count()
+        assert "sk" in trusted.columns and "timestamp_kafka" in trusted.columns

@@ -138,6 +138,38 @@ class TestStatefulOperator:
         )
         assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
 
+    def test_transform_with_state_matches_legacy_api(self, spark, sf_dir, events_dir):
+        """The transformWithStateInPandas twin lands the same final state
+        per user as both the legacy applyInPandasWithState operator and
+        the plain batch aggregation. Requires the protobuf package (the
+        TWS Python worker's wire protocol) — skipped where absent."""
+        pytest.importorskip("google.protobuf")
+        import pyspark.sql.functions as SF
+
+        from etl_complete_with_spark_spark.streaming.ingest import (
+            running_user_totals_tws,
+        )
+
+        stream = stream_source(spark, events_dir)
+        got = run_to_memory(
+            spark, running_user_totals_tws(stream), "run_totals_tws", "update"
+        )
+        latest = got.groupBy("user_id").agg(
+            SF.max("n_events").alias("n_events"),
+            SF.max("sum_value").alias("sum_value"),
+        )
+        batch = (
+            load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                SF.count(SF.lit(1)).alias("n_events"),
+                SF.round(SF.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        assert sorted(map(tuple, latest.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+
 
 class TestStreamStreamJoin:
     def test_attribution_matches_batch_join(self, spark, sf_dir, events_dir):
