@@ -89,3 +89,45 @@ class TestCompatCli:
         }
         assert PROGRAMS["carga_date"] == ("jdbc", "date")
         assert PROGRAMS["mongodb_carga_int"] == ("mongodb", "int")
+
+
+class TestSqlCli:
+    def test_sql_cli_query_and_lake_views(self, spark, sf_dir, tmp_path, capsys):
+        from etl_complete_with_spark_spark.cli.sql import main
+        from etl_complete_with_spark_spark.lake import Lake
+
+        lake_root = str(tmp_path / "lake")
+        lake = Lake(lake_root)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50)
+        lake.write_work(ev, "ns", "ev")
+
+        rc = main([
+            "SELECT count(*) AS n FROM orders", "--sf-dir", sf_dir,
+        ])
+        assert rc == 0
+        assert "1500" in capsys.readouterr().out  # sf0.001 orders rows
+
+        rc = main([
+            "SELECT count(*) AS n FROM work_ns_ev",
+            "--sf-dir", sf_dir, "--lake-root", lake_root,
+        ])
+        assert rc == 0
+        assert "50" in capsys.readouterr().out
+
+    def test_sql_cli_explain_and_output(self, spark, sf_dir, tmp_path, capsys):
+        from etl_complete_with_spark_spark.cli.sql import main
+
+        rc = main([
+            "SELECT o_orderkey FROM orders WHERE o_orderkey < 10",
+            "--sf-dir", sf_dir, "--explain",
+        ])
+        assert rc == 0
+        assert "Physical Plan" in capsys.readouterr().out
+
+        out_dir = str(tmp_path / "result")
+        rc = main([
+            "SELECT o_orderkey FROM orders WHERE o_orderkey < 10",
+            "--sf-dir", sf_dir, "--output", out_dir,
+        ])
+        assert rc == 0
+        assert spark.read.parquet(out_dir).count() == 10
