@@ -67,3 +67,18 @@ class TestStubbedCodecs:
         for r in rows:
             per_id.setdefault(r.media_id, []).append(r.frame_idx)
         assert all(sorted(v) == list(range(len(v))) for v in per_id.values())
+
+
+class TestArrowTwin:
+    def test_mapinarrow_identical_to_mapinpandas(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators import multimodal as MM
+        from etl_complete_with_spark_spark.queries import load
+
+        docs = load(spark, sf_dir, "documents").limit(100)
+        media = MM.synthesize_media_table(spark, docs)
+        a = MM.extract_features(media).orderBy("media_id").collect()
+        b = MM.extract_features_arrow(media).orderBy("media_id").collect()
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            assert ra.media_id == rb.media_id and ra.n_bytes == rb.n_bytes
+            assert ra.feature == rb.feature  # float32 values, bit-identical

@@ -165,3 +165,24 @@ class TestDynamicPartitionPruning:
         # and the filtered result is correct: only 'purchase' survives
         rows = joined.collect()
         assert [r["event_type"] for r in rows] == ["purchase"]
+
+
+class TestAdaptiveExecution:
+    def test_aqe_coalesces_small_shuffle_partitions(self, spark, sf_dir):
+        """AQE must shrink the configured 32 shuffle partitions to what
+        the data actually needs — at 100 TB the same machinery retunes
+        reducer counts per stage from runtime sizes instead of one global
+        spark.sql.shuffle.partitions guess (and handles skew splits)."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.queries import load
+
+        agg = (
+            load(spark, sf_dir, "nation")
+            .groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        agg.collect()  # adaptive plans finalize at execution
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in final and "coalesced" in final, final[:1500]
+        assert agg.rdd.getNumPartitions() < 32
