@@ -11,6 +11,7 @@ the log flushes on close/rotation, not per line, and sinks are pluggable.
 from __future__ import annotations
 
 import logging
+from contextlib import contextmanager
 from typing import Callable, Protocol
 
 StatusValue = str  # "success" | "failed" (reference utils.py:14-27)
@@ -56,3 +57,73 @@ def get_run_logger(namespace: str, dataset: str, log_file: str | None = None) ->
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
     return logger
+
+
+class JobMetrics:
+    """Filled in by :func:`measure_jobs` on context exit."""
+
+    def __init__(self) -> None:
+        self.stages: int = 0
+        self.input_bytes: int = 0
+        self.output_bytes: int = 0
+        self.shuffle_read_bytes: int = 0
+        self.shuffle_write_bytes: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(vars(self))
+
+
+def _stage_totals(spark):
+    """Completed-stage counters from the UI REST API (None if UI off)."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = _json.load(r)
+        t = JobMetrics()
+        t.stages = len(stages)
+        for s in stages:
+            t.input_bytes += s.get("inputBytes", 0)
+            t.output_bytes += s.get("outputBytes", 0)
+            t.shuffle_read_bytes += s.get("shuffleReadBytes", 0)
+            t.shuffle_write_bytes += s.get("shuffleWriteBytes", 0)
+        return t
+    except Exception:  # pragma: no cover - UI disabled / port race
+        return None
+
+
+@contextmanager
+def measure_jobs(spark):
+    """Measure the Spark work executed inside the block.
+
+    The ops-visibility primitive the reference lacked entirely (its only
+    signals were log lines): deltas of the completed-stage counters —
+    stages run, input/output bytes, shuffle read/write — via the UI REST
+    API (requires ``spark.ui.enabled=true``; bench.py uses the same
+    channel). Yields a :class:`JobMetrics` populated on exit; all zeros
+    when the UI is off — measurement must never fail the pipeline.
+
+        with measure_jobs(spark) as m:
+            df.write.parquet(path)
+        log.info("landed %s bytes, %s shuffle", m.output_bytes,
+                 m.shuffle_read_bytes)
+    """
+    before = _stage_totals(spark)
+    metrics = JobMetrics()
+    yield metrics
+    after = _stage_totals(spark)
+    if before is not None and after is not None:
+        metrics.stages = after.stages - before.stages
+        metrics.input_bytes = after.input_bytes - before.input_bytes
+        metrics.output_bytes = after.output_bytes - before.output_bytes
+        metrics.shuffle_read_bytes = (
+            after.shuffle_read_bytes - before.shuffle_read_bytes
+        )
+        metrics.shuffle_write_bytes = (
+            after.shuffle_write_bytes - before.shuffle_write_bytes
+        )

@@ -131,3 +131,33 @@ class TestSqlCli:
         ])
         assert rc == 0
         assert spark.read.parquet(out_dir).count() == 10
+
+
+class TestJobMetrics:
+    def test_measure_jobs_captures_shuffle_and_io(self, sf_dir, tmp_path):
+        """measure_jobs needs the Spark UI; spin a dedicated session
+        (the shared fixture runs with the UI off)."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.observability import measure_jobs
+        from etl_complete_with_spark_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="metrics-test", extra_conf={"spark.ui.enabled": "true"}
+        )
+        if spark.sparkContext.uiWebUrl is None:
+            import pytest
+
+            pytest.skip("Spark UI unavailable in this session")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        with measure_jobs(spark) as m:
+            (
+                orders.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(str(tmp_path / "out"))
+            )
+        assert m.stages >= 2  # map + reduce at least
+        assert m.input_bytes > 0
+        assert m.shuffle_write_bytes > 0
+        assert m.output_bytes > 0
