@@ -144,8 +144,17 @@ def int_intervals(start: int, end: int, chunk_ids: int) -> list[Interval]:
 # ---------------------------------------------------------------------------
 
 def _sql_literal(v: object) -> str:
-    if isinstance(v, (_dt.date, _dt.datetime)):
+    if isinstance(v, _dt.datetime):
         return f"'{v}'"
+    if isinstance(v, _dt.date):
+        # Full-timestamp form, not bare 'YYYY-MM-DD': strict engines
+        # (Derby ERROR 22007) refuse to compare a TIMESTAMP column with a
+        # date-only string, while MySQL & friends accept either — and the
+        # common partition column type is DATETIME/TIMESTAMP. Midnight
+        # keeps half-open [start, end) semantics identical. (A true DATE
+        # column on a strict engine would need the bare form back —
+        # reference pcs are datetimes, utils.py:270-287.)
+        return f"'{v} 00:00:00'"
     if isinstance(v, str):
         escaped = v.replace("'", "''")
         return f"'{escaped}'"

@@ -138,3 +138,32 @@ class TestCliFromDerby:
         trusted = lake.read_trusted(spark, "sales", "ORDERS")
         assert trusted.count() == src.count()
         assert "sk" in trusted.columns and "timestamp_kafka" in trusted.columns
+
+
+class TestDateModePipeline:
+    def test_pipeline_date_mode_from_derby(self, spark, derby, tmp_path):
+        """carga_date's lifecycle live: date-typed partition column,
+        driver-computed date intervals, parallel predicate read, WORK
+        landing. Bounds passed as dates exercises the date-interval
+        math + date literal pushdown against a real DB."""
+        import datetime as dt
+
+        url, src = derby
+        jd = JdbcSource(url, "ORDERS", "o_orderdate", options=OPTS)
+        lake = Lake(str(tmp_path / "lake"))
+        lo, hi = src.agg(
+            F.min("o_orderdate"), F.max("o_orderdate")
+        ).first()
+        cfg = ResyncConfig(
+            namespace="sales",
+            dataset="orders_by_date",
+            partition_column="o_orderdate",
+            mode="date",
+            start=lo.date(),
+            end=hi.date() + dt.timedelta(days=1),  # half-open cover
+            amount=50_000,  # <5e5 tier -> 10-day chunks
+        )
+        res = ResyncPipeline(jd, lake, cfg).run(spark, parallel=True)
+        assert res.status == "success"
+        landed = lake.read_work(spark, "sales", "orders_by_date")
+        assert landed.count() == src.count()

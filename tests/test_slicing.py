@@ -82,7 +82,7 @@ class TestPredicates:
         iv = S.Interval(dt.date(2024, 1, 1), dt.date(2024, 1, 16))
         assert (
             S.slice_predicate("o_orderdate", iv)
-            == "o_orderdate >= '2024-01-01' AND o_orderdate < '2024-01-16'"
+            == "o_orderdate >= '2024-01-01 00:00:00' AND o_orderdate < '2024-01-16 00:00:00'"
         )
 
     def test_query_definition_shape(self):

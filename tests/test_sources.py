@@ -45,8 +45,8 @@ class TestJdbcSource:
         src = JdbcSource("jdbc:mysql://h/db", "orders", "o_orderdate", user="u", password="p")
         opts = src.describe_slice(Interval(dt.date(2024, 1, 1), dt.date(2024, 1, 16)))
         assert opts["dbtable"] == (
-            "(select * from orders where o_orderdate >= '2024-01-01' "
-            "AND o_orderdate < '2024-01-16') subs"
+            "(select * from orders where o_orderdate >= '2024-01-01 00:00:00' "
+            "AND o_orderdate < '2024-01-16 00:00:00') subs"
         )
         assert opts["user"] == "u" and opts["url"].startswith("jdbc:mysql")
 
