@@ -99,3 +99,52 @@ def pack_chunks_into_shards(
         .withColumn("shard_id", F.expr(f"chunk_offset DIV {int(shard_tokens)}"))
         .select(doc_col, idx_col, F.col(token_col), "chunk_offset", "shard_id")
     )
+
+
+def global_row_ranks(
+    df: DataFrame,
+    order_cols: list,
+    num_range_partitions: int = 32,
+    rank_col: str = "__rank",
+    count_col: str = "__n",
+) -> DataFrame:
+    """Exact 1-based global rank over a total order, without the
+    single-task global window.
+
+    Same two-level scan as :func:`pack_chunks_into_shards`: range-partition
+    by the ordering key (partition i's keys all sort before partition
+    i+1's), collect ONE count per partition to the driver, turn those into
+    cumulative offsets, and add a per-partition parallel ``row_number``.
+    ``offset + local rank`` is the exact global rank regardless of where
+    the sampled range boundaries fall. Also attaches the total row count
+    (``count_col``) — distribution functions (ntile / percent_rank /
+    cume_dist) are pure arithmetic over (rank, n).
+
+    The ordering must be a TOTAL order (include a tiebreaker key):
+    ``row_number`` inside a partition would otherwise rank ties
+    arbitrarily, and with a unique ordering rank == row_number and
+    percent_rank / cume_dist need no peer-group handling.
+    """
+    ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin pids: two consumers
+    part_counts = ranged.groupBy("__pid").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(part_counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __part_off long"
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__part_off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .withColumn(count_col, F.lit(acc).cast("long"))
+        .drop("__pid", "__part_off")
+    )

@@ -1117,15 +1117,36 @@ def table_diff_customer_batches(spark, sf_dir):
 )
 def order_price_distribution(spark, sf_dir):
     """Distribution window functions (ntile/percent_rank/cume_dist) over a
-    deterministic total order (price, key). One global sort — at scale
-    you'd ntile within partitions or use approx quantile cutpoints; this
-    pins the exact semantics."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return load(spark, sf_dir, "orders").select(
+    deterministic total order (price, key) — WITHOUT the single-task
+    global window (`Window.orderBy` with no partition key was round 2's
+    named scale-killer: one task sorts the whole table).
+
+    Two-level instead (operators/packing.global_row_ranks): range-
+    partition by the ordering key, per-partition parallel row_number,
+    plus cumulative partition-count offsets = exact global rank. The
+    ordering (price, key) is unique, so every peer group is a singleton
+    and the distribution functions collapse to rank arithmetic:
+    ntile(10) = SQL-standard uneven-bucket formula over (r, n),
+    percent_rank = (r-1)/(n-1), cume_dist = r/n — bit-identical to the
+    window forms the oracle runs."""
+    from .operators.packing import global_row_ranks
+
+    ranked = global_row_ranks(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="r",
+        count_col="n",
+    )
+    r, n = F.col("r"), F.col("n")
+    q, rem = F.expr("n div 10"), n % 10
+    decile = F.when(
+        r <= rem * (q + 1), F.expr("(r - 1) div ((n div 10) + 1) + 1")
+    ).otherwise(rem + F.expr("(r - (n % 10) * ((n div 10) + 1) - 1) div (n div 10) + 1"))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        decile.cast("long").alias("decile"),
+        F.when(n > 1, F.round((r - 1) / (n - 1), 4)).otherwise(0.0).alias("pct_rank"),
+        F.round(r / n, 4).alias("cume"),
     )
 
 

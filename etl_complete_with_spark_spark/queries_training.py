@@ -9,6 +9,8 @@ signatures agree bit-for-bit across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -738,8 +740,10 @@ def scrub_pii_text(spark, sf_dir):
 def vocab_top_terms(spark, sf_dir):
     """Corpus vocabulary: top-50 terms by total frequency with document
     frequency — the pre-pass for tokenizer/vocab builds. Partial
-    aggregation makes the explode cheap; the global top-k is a
-    TakeOrderedAndProject on the (small) distinct-term set."""
+    aggregation makes the explode cheap; the global top-k is a real
+    TakeOrderedAndProject (per-partition top-50 heaps merged on the
+    driver — no global sort, no single-partition window; asserted in
+    test_plans.py) on the already-aggregated distinct-term set."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term")
@@ -748,12 +752,7 @@ def vocab_top_terms(spark, sf_dir):
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .drop("rn")
-    )
+    return counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(50)
 
 
 @query(
@@ -943,13 +942,99 @@ def dedup_incremental_batch(spark, sf_dir):
     return kept.select("doc_id")
 
 
-@query("ann_ivf_topk")  # approximate -> no SQL oracle; equivalence + recall tests
+def _ivf_centroids_numpy(sf_dir: str, n_centroids=16, sample_rows=2048, iters=5):
+    """Spark-free twin of similarity.train_ivf_centroids: same sample (the
+    ``sample_rows`` lowest vec_ids), same float64 widening, same Lloyd
+    loop with argmax ties to the lowest centroid — identical numpy ops on
+    identical input produce bit-identical centroids, which is what makes
+    the quantizer SQL-replayable at all."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.to_pandas().sort_values("vec_id").head(sample_rows)
+    x = np.array([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    return cents
+
+
+def _ivf_oracle(n_centroids=16, nprobe=4, k=10) -> str | None:
+    """Exact SQL twin of ivf_topk(16, nprobe=4): retrains the deterministic
+    coarse quantizer OUTSIDE Spark (pure numpy over the parquet file) and
+    embeds the centroids as full-precision literals (repr() round-trips
+    float64 exactly), then replays assignment, probe selection and the
+    in-list rerank in SQL. Assignment/probing rank RAW inner products —
+    argmax/arg-top-n over ``v·c`` equal those over ``(v/|v|)·c`` since
+    |v|>0 scaling is rank-invariant — so the oracle needs no sqrt at all
+    outside the final (rounded-to-4) cosine. Drift would need two centroid
+    dots within ~1e-13 to matter, far below the data's similarity spread.
+
+    Trained on the gate SF's data (the contract fixes oracle comparison at
+    sf=0.01; ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local runs at
+    other SFs). Returns None when that parquet is unreadable -> the query
+    registers oracle-less (rows-only), exactly the pre-round-3 state."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        cents = _ivf_centroids_numpy(sf_dir, n_centroids)
+    except Exception:
+        return None
+    cent_rows = ",\n        ".join(
+        f"({cid}, [{', '.join(repr(float(v)) for v in row)}]::DOUBLE[])"
+        for cid, row in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent(cid, c) AS (VALUES
+        {cent_rows}),
+    sims AS (
+        SELECT e.vec_id, e.v, cent.cid, list_inner_product(e.v, cent.c) AS s
+        FROM e, cent),
+    assign AS (
+        SELECT vec_id, v, cid AS centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM sims) WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM sims WHERE vec_id < 5) WHERE rn <= {nprobe}),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, a.v), 4) AS cosine
+        FROM probes p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) <= {k}
+    """
+
+
+@query("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN (operators/similarity.ivf_topk): spherical-kmeans coarse
     quantizer (trained on a deterministic driver sample, FAISS-style),
     BLAS centroid assignment, nprobe posting-list probing, exact in-list
     rerank. With nprobe == n_centroids it equals brute force exactly
-    (asserted in tests); recall@10 = 0.84 at nprobe 4/16 on this corpus."""
+    (asserted in tests); recall@10 = 0.84 at nprobe 4/16 on this corpus.
+    The oracle (_ivf_oracle) retrains the deterministic quantizer in pure
+    numpy and replays assignment + probing + rerank in SQL — the same
+    replay treatment _lsh_oracle gives the hyperplane sketch."""
     emb = load(spark, sf_dir, "embeddings")
     out = SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4

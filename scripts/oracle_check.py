@@ -56,6 +56,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Data-trained oracles (ann_ivf_topk's quantizer) must learn from the
+    # same SF the comparison runs at; set before the catalog import.
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import __spark_entry__ as e
     from etl_complete_with_spark_spark.session import get_spark
 

@@ -56,6 +56,27 @@ class TestAggregateShape:
         assert P.count_exchanges(df) == 0
 
 
+class TestNoGlobalWindow:
+    """Round-2 verdict named two single-partition global windows as the
+    repo's only scale-killers; these pin the fixed plan shapes."""
+
+    def test_order_price_distribution_has_no_single_partition_stage(
+        self, spark, sf_dir
+    ):
+        df = QUERIES["order_price_distribution"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        # the window that remains is per-range-partition (__pid), never a
+        # global Exchange SinglePartition feeding a one-task sort
+        assert "SinglePartition" not in plan
+        assert "__pid" in plan  # the parallel two-level rank is in use
+
+    def test_vocab_top_terms_is_take_ordered(self, spark, sf_dir):
+        df = QUERIES["vocab_top_terms"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+
+
 class TestExplainSummary:
     def test_summary_shape(self, spark, sf_dir):
         s = P.explain_summary(QUERIES["agg_pricing_summary"](spark, sf_dir))
