@@ -32,9 +32,17 @@ from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 
 
 def _shuffle_totals(spark):
-    """(read_bytes, write_bytes) across all completed stages, via the UI
-    REST API (bench enables the UI for exactly this). Returns None when
-    unavailable — instrumentation must never fail the benchmark."""
+    """(read_bytes, write_bytes, n_stages) across all completed stages, via
+    the UI REST API (bench enables the UI for exactly this). Returns None
+    when unavailable — instrumentation must never fail the benchmark.
+
+    Round-2's bench emitted NEGATIVE per-query deltas (q8 -19 MB): the UI
+    store evicts old stages once past ``spark.ui.retainedStages``, so
+    "sum over completed stages" is NOT monotone across a 115-query run.
+    Fixed two ways: the bench session raises the retention caps above
+    anything the catalog produces, and :func:`_quiesced_totals` snapshots
+    only after consecutive reads agree (stage-completion events reach the
+    UI store asynchronously, after the action returns)."""
     try:
         import urllib.request
 
@@ -47,9 +55,25 @@ def _shuffle_totals(spark):
         return (
             sum(s.get("shuffleReadBytes", 0) for s in stages),
             sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            len(stages),
         )
     except Exception:
         return None
+
+
+def _quiesced_totals(spark, tries: int = 20, settle_s: float = 0.1):
+    """Poll until two consecutive readings agree (or give up): the stable
+    snapshot the per-query delta math needs."""
+    prev = _shuffle_totals(spark)
+    for _ in range(tries):
+        if prev is None:
+            return None
+        time.sleep(settle_s)
+        cur = _shuffle_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:
@@ -57,17 +81,30 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # keep EVERY stage in the UI store: eviction past the default
+            # 1000 made "total over completed stages" non-monotone and the
+            # round-2 per-query deltas negative
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
+    prev_snapshot = None
     for name, fn in QUERIES.items():
         runs = []
-        before = _shuffle_totals(spark)
+        # the previous query's stabilized `after` doubles as this `before`
+        before = prev_snapshot if prev_snapshot is not None else _quiesced_totals(spark)
         for _ in range(2):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
-        after = _shuffle_totals(spark)
+        after = _quiesced_totals(spark)
+        prev_snapshot = after
         if before is not None and after is not None:
             # totals cover BOTH runs; halve for a per-run figure
             shuffle[name] = {

@@ -51,7 +51,10 @@ def register_views(spark, sf_dir: str, lake_root: str | None) -> list[str]:
             if not os.path.isdir(zone_dir):
                 continue
             for ns in sorted(os.listdir(zone_dir)):
-                for ds in sorted(os.listdir(os.path.join(zone_dir, ns))):
+                ns_dir = os.path.join(zone_dir, ns)
+                if not os.path.isdir(ns_dir):
+                    continue  # stray files at the zone level are not namespaces
+                for ds in sorted(os.listdir(ns_dir)):
                     name = f"{prefix}_{ns}_{ds}"
                     try:
                         reader(spark, ns, ds).createOrReplaceTempView(name)

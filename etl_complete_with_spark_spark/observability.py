@@ -112,18 +112,27 @@ def measure_jobs(spark):
             df.write.parquet(path)
         log.info("landed %s bytes, %s shuffle", m.output_bytes,
                  m.shuffle_read_bytes)
+
+    Deltas assume the session runs ONLY this block's work meanwhile —
+    concurrent queries on the same session pollute the shared stage
+    counters (single-threaded-session assumption; same caveat as any
+    whole-application metric source). Exceptions propagate, but the
+    finally-block still attributes whatever completed before the raise —
+    a failed pipeline block reports its partial work instead of zeros.
     """
     before = _stage_totals(spark)
     metrics = JobMetrics()
-    yield metrics
-    after = _stage_totals(spark)
-    if before is not None and after is not None:
-        metrics.stages = after.stages - before.stages
-        metrics.input_bytes = after.input_bytes - before.input_bytes
-        metrics.output_bytes = after.output_bytes - before.output_bytes
-        metrics.shuffle_read_bytes = (
-            after.shuffle_read_bytes - before.shuffle_read_bytes
-        )
-        metrics.shuffle_write_bytes = (
-            after.shuffle_write_bytes - before.shuffle_write_bytes
-        )
+    try:
+        yield metrics
+    finally:
+        after = _stage_totals(spark)
+        if before is not None and after is not None:
+            metrics.stages = after.stages - before.stages
+            metrics.input_bytes = after.input_bytes - before.input_bytes
+            metrics.output_bytes = after.output_bytes - before.output_bytes
+            metrics.shuffle_read_bytes = (
+                after.shuffle_read_bytes - before.shuffle_read_bytes
+            )
+            metrics.shuffle_write_bytes = (
+                after.shuffle_write_bytes - before.shuffle_write_bytes
+            )

@@ -177,7 +177,15 @@ def jdbc_resync_orders(spark, sf_dir):
         .select(*cols)
         .filter(F.col("o_orderkey") < 4000)
     )
-    url = derby_url(tempfile.mkdtemp(prefix="derby_resync_"))
+    # One deterministic DB dir per Spark app, NOT mkdtemp per invocation:
+    # each mkdtemp booted (and leaked) a fresh embedded Derby instance +
+    # /tmp directory per gate run; reusing the path keeps it to one, and
+    # the overwrite-mode seed below handles reseeding on repeat calls.
+    db_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"derby_resync_{spark.sparkContext.applicationId}",
+    )
+    url = derby_url(db_dir)
     seed_jdbc_table(src, url, "ORDERS", options=opts)
 
     jd = JdbcSource(url, "ORDERS", "o_orderkey", options=opts)

@@ -50,18 +50,37 @@ def stream_source(
 ) -> DataFrame:
     """File-based event stream (stand-in for Kafka; same downstream graph).
 
-    ``ts`` is TIMESTAMP(NANOS) in the files; it is read per EVENT_SCHEMA
-    as TIMESTAMP_NTZ (microsecond truncation) and normalized to a plain
-    UTC timestamp — the same stable type the batch loader (queries.load)
-    produces, so stream and batch plans are interchangeable downstream.
-    The cast is value-preserving: the session timezone is pinned to UTC.
+    ``ts`` is TIMESTAMP(NANOS) in the files. What a read yields is
+    runtime-dependent (same dual path as queries.load): older Spark
+    builds honor ``nanosAsLong=true`` and hand back int64 nanos; 4.1.2+
+    ignores the conf and reads NANOS natively as TIMESTAMP_NTZ micros.
+    A streaming reader must declare its schema up front, so a one-off
+    BATCH schema probe (footer-only, no data scan) discovers which
+    behavior this runtime has, picks the matching user schema, and
+    normalizes to the same plain UTC timestamp the batch loader
+    produces — stream and batch plans stay interchangeable downstream.
+    The NTZ->timestamp cast is value-preserving: session timezone is
+    pinned to UTC.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries.load
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ignored on 4.1.2+
+    arrival = dict(spark.read.parquet(path).dtypes).get("ts")
+    if arrival == "bigint":
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        normalize = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        schema = EVENT_SCHEMA
+        normalize = F.col("ts").cast("timestamp")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts", normalize)
 
 
 def windowed_event_counts(

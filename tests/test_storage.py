@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 
 from etl_complete_with_spark_spark.observability import get_run_logger
 from etl_complete_with_spark_spark.storage import (
@@ -106,6 +107,11 @@ class TestSqlCli:
         ])
         assert rc == 0
         assert "1500" in capsys.readouterr().out  # sf0.001 orders rows
+
+        # a stray FILE at the zone level must not abort view registration
+        zone_dir = os.path.join(lake_root, lake.environment, "work")
+        with open(os.path.join(zone_dir, "_SUCCESS_MARKER"), "w") as f:
+            f.write("not a namespace")
 
         rc = main([
             "SELECT count(*) AS n FROM work_ns_ev",

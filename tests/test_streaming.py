@@ -128,8 +128,10 @@ class TestStatefulOperator:
         # final state per user == plain batch aggregation
         import pyspark.sql.functions as SF
 
+        # max_by(n_events), not max(sum_value): see the TWS twin test below
         latest = got.groupBy("user_id").agg(
-            SF.max("n_events").alias("n_events"), SF.max("sum_value").alias("sum_value")
+            SF.max("n_events").alias("n_events"),
+            SF.max_by("sum_value", "n_events").alias("sum_value"),
         )
         batch = (
             load(spark, sf_dir, "events")
@@ -154,9 +156,12 @@ class TestStatefulOperator:
         got = run_to_memory(
             spark, running_user_totals_tws(stream), "run_totals_tws", "update"
         )
+        # the FINAL update per user is the row with the max event count —
+        # max_by, not max(sum_value): a running total over negative values
+        # peaks at an intermediate state, not the final one
         latest = got.groupBy("user_id").agg(
             SF.max("n_events").alias("n_events"),
-            SF.max("sum_value").alias("sum_value"),
+            SF.max_by("sum_value", "n_events").alias("sum_value"),
         )
         batch = (
             load(spark, sf_dir, "events")
