@@ -725,3 +725,74 @@ def blocked_fuzzy_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("v1", "v2", "distance")
     )
+
+
+def embedding_neardup_pairs_blas_tiled(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Tiled twin of :func:`embedding_neardup_pairs_blas`: the all-pairs
+    cosine scan as a blocked self-join, with NO driver collect/broadcast
+    of the corpus (the broadcast path's documented ~1M x 64 bound).
+
+    The corpus is packed into matrix blocks (distributed collect_list per
+    hash block id), the block table is self-joined on ``bid1 <= bid2`` (a
+    handful of block rows — the triangular grid, half the naive block
+    pairs), and each pair is one ``A @ B.T`` BLAS call emitting pairs at
+    or above the threshold with the same round-to-4 and ``id1 < id2``
+    canonicalization, so output is row-identical to the broadcast path
+    (and to the expression path's crossJoin verification plan).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    nb = max(1, math.ceil(n / block_rows))
+    blocks = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(nb)))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("id", "v")).alias("vs"))
+    )
+    pairs = (
+        blocks.select(F.col("bid").alias("bid1"), F.col("vs").alias("vs1"))
+        .join(
+            blocks.select(F.col("bid").alias("bid2"), F.col("vs").alias("vs2")),
+            F.col("bid1") <= F.col("bid2"),
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                a_ids = np.array([e["id"] for e in row["vs1"]])
+                a_mat = np.array([np.asarray(e["v"]) for e in row["vs1"]])
+                b_ids = np.array([e["id"] for e in row["vs2"]])
+                b_mat = np.array([np.asarray(e["v"]) for e in row["vs2"]])
+                a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+                sims = np.round(a_mat @ b_mat.T, 4)
+                ai, bi = np.where(sims >= threshold)
+                lo, hi = a_ids[ai], b_ids[bi]
+                if row["bid1"] == row["bid2"]:
+                    # diagonal block: each unordered pair appears twice in
+                    # sims — keep the triangular half
+                    keep = lo < hi
+                    lo, hi = lo[keep], hi[keep]
+                    cos = sims[ai, bi][keep]
+                else:
+                    # off-diagonal: each unordered pair appears ONCE, in
+                    # whatever (a, b) orientation the hash gave it —
+                    # canonicalize to id1 < id2, never filter
+                    cos = sims[ai, bi]
+                    lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+                yield pd.DataFrame({"id1": lo, "id2": hi, "cosine": cos})
+
+    return pairs.mapInPandas(score, "id1 long, id2 long, cosine double")

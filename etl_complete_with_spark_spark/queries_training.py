@@ -357,9 +357,9 @@ def dedup_cluster_keep(spark, sf_dir):
 # Similarity search
 # ---------------------------------------------------------------------------
 
-@query(
-    "ann_cosine_topk",
-    """
+# Exact brute-force top-10 oracle, shared by every EXACT ANN formulation
+# (expression path and tiled-BLAS path compute the identical result).
+_BRUTE_TOPK_ORACLE = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_cosine_similarity(q.v, c.v), 4) AS cosine,
@@ -373,14 +373,35 @@ def dedup_cluster_keep(spark, sf_dir):
         PARTITION BY q.vec_id
         ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id
     ) <= 10
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk", _BRUTE_TOPK_ORACLE)
 def ann_cosine_topk(spark, sf_dir):
     """Exact cosine top-10 for 5 query vectors: broadcast queries x corpus
     scan + windowed rank (ties broken by neighbor_id; cosine rounded before
     ranking so both engines rank identically)."""
     emb = load(spark, sf_dir, "embeddings")
     out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_tiled_topk", _BRUTE_TOPK_ORACLE)
+def ann_tiled_topk(spark, sf_dir):
+    """Exact cosine top-10 via the TILED BLAS path (similarity.
+    cosine_topk_blas_tiled): corpus and query sides packed into matrix
+    blocks by distributed aggregation, block pairs cross-joined, one
+    BLAS matmul per pair — no driver collect, no broadcast bound. Small
+    blocks here force a real multi-block grid; the result is exact, so
+    the brute-force oracle applies unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_blas_tiled(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        query_block_rows=2,
+        corpus_block_rows=128,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

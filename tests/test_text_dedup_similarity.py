@@ -220,6 +220,58 @@ class TestBlasNearDup:
         assert all(expr[k] == blas[k] for k in expr)
 
 
+class TestBlasTiled:
+    """The tiled twins remove the driver-collect+broadcast bound; their
+    output must be ROW-IDENTICAL to the broadcast paths (same rounding,
+    same tie-breaks), with tiny blocks forcing a real multi-block grid."""
+
+    def test_tiled_topk_identical_to_broadcast_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5")
+        broadcast = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in SIM.cosine_topk_blas(emb, queries, k=5).collect()
+        }
+        tiled = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in SIM.cosine_topk_blas_tiled(
+                emb, queries, k=5, query_block_rows=2, corpus_block_rows=64
+            ).collect()
+        }
+        assert tiled == broadcast
+
+    def test_tiled_topk_matches_exact_expression_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 3")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.cosine_topk(emb, queries, k=5).collect()
+        }
+        tiled = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.cosine_topk_blas_tiled(
+                emb, queries, k=5, query_block_rows=1, corpus_block_rows=100
+            ).collect()
+        }
+        overlap = len(exact & tiled) / len(exact)
+        assert overlap >= 0.95, f"tiled/exact mismatch: {overlap}"
+
+    def test_tiled_neardup_identical_to_broadcast_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        blas = {
+            (r.id1, r.id2): r.cosine
+            for r in D.embedding_neardup_pairs_blas(emb, threshold=0.3).collect()
+        }
+        tiled = {
+            (r.id1, r.id2): r.cosine
+            for r in D.embedding_neardup_pairs_blas_tiled(
+                emb, threshold=0.3, block_rows=64
+            ).collect()
+        }
+        assert set(tiled) == set(blas)
+        assert all(tiled[k] == blas[k] for k in tiled)
+
+
 class TestChunking:
     def test_chunks_cover_with_overlap(self, spark):
         from etl_complete_with_spark_spark.operators.chunking import chunk_documents
