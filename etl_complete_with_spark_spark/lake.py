@@ -247,6 +247,11 @@ class Lake:
         """Schema-by-reflection from TRUSTED (S8; utils.py:96-140)."""
         return self.read_trusted(spark, namespace, dataset).schema
 
+    def _write_delta(self, df: DataFrame, path: str) -> None:
+        """One seam for the physical Delta write — the only line the
+        DeltaTable-stub tests cannot run for real without delta-spark."""
+        df.write.format("delta").mode("overwrite").save(path)
+
     def merge_trusted(
         self,
         spark: SparkSession,
@@ -263,7 +268,10 @@ class Lake:
         versioned-Parquet rewrite + atomic pointer swap.
         """
         base = self.path(TRUSTED, namespace, dataset)
-        if _HAS_DELTA:  # pragma: no cover - not in the v1 image
+        # Delta orchestration is unit-tested via a DeltaTable stub
+        # (tests/test_merge_lake.py::TestDeltaBranch); the real
+        # delta-spark package is simply absent from this image.
+        if _HAS_DELTA:
             if DeltaTable.isDeltaTable(spark, base):
                 (
                     DeltaTable.forPath(spark, base)
@@ -284,12 +292,12 @@ class Lake:
             if current is not None:
                 target = spark.read.parquet(current)
                 out = merge_upsert(target, df, key=key, order_by=order_by)
-                out.write.format("delta").mode("overwrite").save(base)
+                self._write_delta(out, base)
                 for v in self.trusted_versions(spark, namespace, dataset):
                     self._rm(spark, os.path.join(base, f"v{v}"))
                 self._rm(spark, os.path.join(base, _POINTER))
             else:
-                df.write.format("delta").mode("overwrite").save(base)
+                self._write_delta(df, base)
             return
 
         current = self._trusted_current(spark, namespace, dataset)

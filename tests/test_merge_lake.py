@@ -170,3 +170,168 @@ class TestSchemaEvolution:
         assert merged.count() == 600
         assert merged.filter("channel IS NULL").count() == 300
         assert merged.filter("channel = 'web'").count() == 300
+
+
+class FakeDeltaTable:
+    """DeltaTable stand-in: a 'Delta table' is parquet files plus a
+    ``_delta_log/`` marker dir (underscore-prefixed paths are invisible to
+    Spark's parquet FileIndex, same trick real Delta relies on). The
+    fluent merge chain applies merge_upsert over the parquet — the
+    whenMatchedUpdateAll + whenNotMatchedInsertAll semantics — so the
+    orchestration in Lake.merge_trusted runs for real end-to-end."""
+
+    def __init__(self, spark, path):
+        self._spark, self._path = spark, path
+        self._source = self._cond = None
+        self.calls: list[str] = []
+
+    # -- classmethods the lake code calls ---------------------------------
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        import os
+
+        return os.path.isdir(os.path.join(path, "_delta_log"))
+
+    @classmethod
+    def forPath(cls, spark, path):
+        return cls(spark, path)
+
+    # -- fluent chain ------------------------------------------------------
+    def alias(self, name):
+        self.calls.append(f"alias:{name}")
+        return self
+
+    def merge(self, source, cond):
+        self.calls.append(f"merge:{cond}")
+        self._source, self._cond = source, cond
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self.calls.append("whenMatchedUpdateAll")
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.calls.append("whenNotMatchedInsertAll")
+        return self
+
+    def execute(self):
+        import re
+        import shutil
+        import tempfile
+
+        self.calls.append("execute")
+        key = re.fullmatch(r"lake\.(\w+) = df\.\1", self._cond).group(1)
+        target = self._spark.read.parquet(self._path)
+        merged = merge_upsert(target, self._source, key=key, order_by=None)
+        # materialize before overwriting what we read from
+        tmp = tempfile.mkdtemp(prefix="fake_delta_")
+        merged.write.mode("overwrite").parquet(tmp)
+        self._spark.read.parquet(tmp).write.mode("overwrite").parquet(self._path)
+        FakeDeltaTable._mark(self._path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    @staticmethod
+    def _mark(path):
+        import os
+
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+
+
+def _fake_write_delta(self, df, path):
+    """Stub for the one real format("delta") write: like Delta, it must be
+    ADDITIVE at `path` — a physical parquet overwrite would delete the old
+    versioned layout (v0/...) before the lazy merge plan reads it. So:
+    materialize to a tmp dir first, then swap the data files in."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fake_delta_write_")
+    df.write.mode("overwrite").parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    for old in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(old)
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        shutil.move(f, os.path.join(path, os.path.basename(f)))
+    FakeDeltaTable._mark(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestDeltaBranch:
+    """Runs the Delta orchestration of Lake.merge_trusted (gated off in
+    this image: delta-spark absent) behind FakeDeltaTable. Only the
+    physical `format("delta")` write is stubbed (to parquet + marker);
+    every branch decision, merge call, and the versioned-parquet->Delta
+    migration runs for real."""
+
+    @pytest.fixture()
+    def delta_lake(self, monkeypatch, tmp_path):
+        import etl_complete_with_spark_spark.lake as lake_mod
+
+        monkeypatch.setattr(lake_mod, "_HAS_DELTA", True)
+        monkeypatch.setattr(lake_mod, "DeltaTable", FakeDeltaTable)
+
+        monkeypatch.setattr(lake_mod.Lake, "_write_delta", _fake_write_delta)
+        return Lake(str(tmp_path))
+
+    def test_first_write_lands_as_delta(self, spark, delta_lake):
+        t0 = dt.datetime(2024, 1, 1)
+        delta_lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2))), "ns", "ds"
+        )
+        base = delta_lake.path("trusted", "ns", "ds")
+        assert FakeDeltaTable.isDeltaTable(spark, base)
+        out = {r.sk: r.v for r in spark.read.parquet(base).collect()}
+        assert out == {"a": 1, "b": 2}
+
+    def test_existing_delta_table_gets_fluent_merge(self, spark, delta_lake):
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        delta_lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2))), "ns", "ds"
+        )
+        delta_lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30))), "ns", "ds"
+        )
+        base = delta_lake.path("trusted", "ns", "ds")
+        out = {r.sk: r.v for r in spark.read.parquet(base).collect()}
+        assert out == {"a": 1, "b": 20, "c": 30}
+
+    def test_versioned_parquet_migrates_to_delta_once(
+        self, spark, monkeypatch, tmp_path
+    ):
+        import os
+
+        import etl_complete_with_spark_spark.lake as lake_mod
+
+        # 1. seed a versioned-parquet table with Delta OFF (the fallback)
+        lake = Lake(str(tmp_path))
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t0, ("a", 1), ("b", 2))), "ns", "ds"
+        )
+        base = lake.path("trusted", "ns", "ds")
+        assert os.path.exists(os.path.join(base, "_CURRENT"))
+
+        # 2. delta "appears on the classpath"; next merge must MIGRATE
+        monkeypatch.setattr(lake_mod, "_HAS_DELTA", True)
+        monkeypatch.setattr(lake_mod, "DeltaTable", FakeDeltaTable)
+        monkeypatch.setattr(lake_mod.Lake, "_write_delta", _fake_write_delta)
+        lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t1, ("b", 20), ("c", 30))), "ns", "ds"
+        )
+
+        # merged content, Delta layout, and the OLD layout fully dropped
+        assert FakeDeltaTable.isDeltaTable(spark, base)
+        out = {r.sk: r.v for r in spark.read.parquet(base).collect()}
+        assert out == {"a": 1, "b": 20, "c": 30}
+        assert not os.path.exists(os.path.join(base, "_CURRENT"))
+        assert not any(d.startswith("v0") for d in os.listdir(base))
+
+        # 3. and the merge AFTER migration takes the fluent-merge path
+        t2 = dt.datetime(2024, 1, 3)
+        lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t2, ("c", 99), ("d", 4))), "ns", "ds"
+        )
+        out = {r.sk: r.v for r in spark.read.parquet(base).collect()}
+        assert out == {"a": 1, "b": 20, "c": 99, "d": 4}

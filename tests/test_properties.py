@@ -235,3 +235,96 @@ class TestTableDiffProperties:
             else:
                 want[k] = "unchanged"
         assert got == want
+
+
+class TestMongoSliceProperties:
+    """Mongo-source predicate semantics vs slicing.Interval algebra (the
+    live connector is environmental — jar absent from this image — so the
+    predicate/envelope layer carries the proof burden; see COVERAGE.md)."""
+
+    @SETTINGS
+    @given(
+        lo=st.integers(min_value=-50, max_value=50),
+        span=st.integers(min_value=1, max_value=40),
+        chunk=st.integers(min_value=1, max_value=15),
+    )
+    def test_int_halfopen_partitions_inclusive_double_counts_cuts(
+        self, spark, lo, span, chunk
+    ):
+        from etl_complete_with_spark_spark.slicing import int_intervals
+        from etl_complete_with_spark_spark.sources.mongodb import MongoSource
+
+        hi = lo + span
+        ivs = int_intervals(lo, hi, chunk)
+        df = spark.createDataFrame([Row(pc=i) for i in range(lo - 2, hi + 3)])
+        half = MongoSource("mongodb://h", "db", "c", "pc")
+        incl = MongoSource("mongodb://h", "db", "c", "pc", inclusive=True)
+
+        # half-open slices PARTITION [lo, hi): every value exactly once
+        n_half = sum(df.filter(half.slice_condition(iv)).count() for iv in ivs)
+        assert n_half == span
+
+        # inclusive (reference P2 BETWEEN) double-counts exactly the
+        # interior cut points plus the final end bound
+        n_incl = sum(df.filter(incl.slice_condition(iv)).count() for iv in ivs)
+        assert n_incl == span + len(ivs)
+
+    @SETTINGS
+    @given(
+        day0=st.integers(min_value=0, max_value=60),
+        span=st.integers(min_value=1, max_value=30),
+        chunk=st.integers(min_value=1, max_value=10),
+    )
+    def test_date_halfopen_partitions_inclusive_double_counts_cuts(
+        self, spark, day0, span, chunk
+    ):
+        from etl_complete_with_spark_spark.slicing import date_intervals
+        from etl_complete_with_spark_spark.sources.mongodb import MongoSource
+
+        base = dt.date(2024, 1, 1)
+        start, end = base + dt.timedelta(days=day0), base + dt.timedelta(days=day0 + span)
+        ivs = date_intervals(start, end, chunk)
+        df = spark.createDataFrame(
+            [Row(pc=base + dt.timedelta(days=d)) for d in range(day0 - 2, day0 + span + 3)]
+        )
+        half = MongoSource("mongodb://h", "db", "c", "pc")
+        incl = MongoSource("mongodb://h", "db", "c", "pc", inclusive=True)
+        n_half = sum(df.filter(half.slice_condition(iv)).count() for iv in ivs)
+        assert n_half == span
+        n_incl = sum(df.filter(incl.slice_condition(iv)).count() for iv in ivs)
+        assert n_incl == span + len(ivs)
+
+    @SETTINGS
+    @given(
+        bounds=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=80),
+                st.integers(min_value=1, max_value=20),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_read_range_envelope_is_min_max(self, spark, bounds):
+        """read_range collapses its intervals to ONE [min(start), max(end))
+        envelope filter (mongodb.py: a single server-side range predicate,
+        not one query per slice) — prove the envelope equals the union
+        only when slices are contiguous, and always equals min/max."""
+        from etl_complete_with_spark_spark.slicing import Interval
+        from etl_complete_with_spark_spark.sources.mongodb import MongoSource
+
+        ivs = [Interval(lo, lo + w) for lo, w in bounds]
+        lo = min(iv.start for iv in ivs)
+        hi = max(iv.end for iv in ivs)
+        df = spark.createDataFrame([Row(pc=i) for i in range(-1, 105)])
+        src = MongoSource("mongodb://h", "db", "c", "pc")
+        env = df.filter(src.slice_condition(Interval(lo, hi)))
+        assert env.count() == hi - lo
+        # the envelope is the union of the slices iff they tile it
+        union_ids = set()
+        for iv in ivs:
+            union_ids |= {r.pc for r in df.filter(src.slice_condition(iv)).collect()}
+        env_ids = {r.pc for r in env.collect()}
+        assert union_ids <= env_ids
+        if union_ids == env_ids:
+            assert len(env_ids) == hi - lo

@@ -115,3 +115,31 @@ class TestComposite:
         row = out.filter(F.col("o_orderkey") == out.first().o_orderkey).first()
         assert row.sk == _md5(str(row.o_orderkey))
         assert "timestamp_kafka" in out.columns
+
+
+class TestFunctionsSurface:
+    """`etl_complete_with_spark_spark.functions` is the public Column-level
+    API (README's F-equivalent): every export importable, Column-typed,
+    and usable in a real select."""
+
+    def test_exports_are_column_level_and_run(self, spark):
+        import inspect
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark import functions as EF
+
+        for n in EF.__all__:
+            sig = str(inspect.signature(getattr(EF, n)))
+            assert "Column" in sig and "DataFrame" not in sig, (n, sig)
+
+        df = spark.createDataFrame([Row(id=1, name="ann", text="Hello World hello")])
+        out = df.select(
+            EF.surrogate_key_expr(["id", "name"]).alias("sk"),
+            EF.tokens(EF.normalized_text(F.col("text"))).alias("tk"),
+            EF.shingles(F.col("text")).alias("sh"),
+        ).first()
+        assert len(out.sk) == 32  # md5 hex
+        assert out.tk == ["hello", "world", "hello"]
+        assert out.sh
