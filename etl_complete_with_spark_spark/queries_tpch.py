@@ -8,11 +8,14 @@ TPC-H query expressible over the available tables; Q1/Q3/Q4/Q12/Q22
 shapes already live in queries.py / queries_analytics.py.
 
 Schema adaptations (the synthetic tables omit some TPC-H columns):
-- no `partsupp` table -> Q2/Q11 skipped; Q9 drops the `ps_supplycost`
-  term (profit = revenue); Q16 counts suppliers via lineitem facts;
-  Q20 uses shipped-quantity excess instead of stock excess.
-- no `l_commitdate`/`l_receiptdate` -> Q21 skipped, Q12 (already
-  covered by `case_agg_priority_split`) uses shipdate.
+- no `partsupp` table -> Q2/Q11 run over a DETERMINISTICALLY DERIVED
+  partsupp (dbgen's 4-suppliers-per-part rule + integer-hash costs,
+  identical arithmetic in Spark and the oracle — see _derived_partsupp);
+  Q9 drops the `ps_supplycost` term (profit = revenue); Q16 counts
+  suppliers via lineitem facts; Q20 uses shipped-quantity excess.
+- no `l_commitdate`/`l_receiptdate` -> Q21 uses a deterministic integer
+  lateness predicate over (orderkey, linenumber); Q12 (already covered
+  by `case_agg_priority_split`) uses shipdate.
 - no `p_container` -> Q17/Q19 predicates use brand/size only.
 
 Float discipline: every revenue aggregate is `round(x, 2)` in both
@@ -671,3 +674,251 @@ def q20_excess_shippers(spark, sf_dir):
     return supp.join(
         heavy, supp.s_suppkey == heavy.l_suppkey, "leftsemi"
     ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: Q2/Q11/Q21 were blocked on schema gaps (no partsupp
+# table, no commit/receipt dates). All three become expressible — and
+# exactly oracle-checkable — by DERIVING the missing data deterministically
+# from the tables that exist, with identical integer arithmetic on both
+# engines:
+#   ps_suppkey   = (p + p//S + i*(S//4)) % S      (i in 0..3; dbgen's
+#                  4-suppliers-per-part assignment, rotated by part)
+#   ps_costx10   = (p*7 + i*13) % 1000 + 1        (supply cost in dimes —
+#                  kept integral so threshold math has zero float drift)
+#   ps_availqty  = (p*11 + i*17) % 9999 + 1
+#   late(l)      = (l_orderkey*31 + l_linenumber*7) % 30
+#                  > (l_orderkey*17 + l_linenumber*11) % 30
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    s_cnt AS (SELECT count(*) AS s FROM supplier),
+    ps AS (
+        SELECT p_partkey, p_size, p_type,
+               (p_partkey + p_partkey // s + i.i * (s // 4)) % s AS ps_suppkey,
+               CAST((p_partkey * 7 + i.i * 13) % 1000 + 1 AS BIGINT) AS ps_costx10,
+               CAST((p_partkey * 11 + i.i * 17) % 9999 + 1 AS BIGINT) AS ps_availqty
+        FROM part, s_cnt, (VALUES (0), (1), (2), (3)) i(i))
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    """Spark twin of the ps CTE above (see block comment for the rules)."""
+    part = load(spark, sf_dir, "part")
+    s_cnt = (
+        load(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    p = F.col("p_partkey")
+    i = F.col("i")
+    return (
+        part.select("p_partkey", "p_size", "p_type")
+        .crossJoin(F.broadcast(s_cnt))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "p_partkey",
+            "p_size",
+            "p_type",
+            ((p + F.expr("p_partkey div s") + i * F.expr("s div 4")) % F.col("s")).alias(
+                "ps_suppkey"
+            ),
+            ((p * 7 + i * 13) % 1000 + 1).cast("long").alias("ps_costx10"),
+            ((p * 11 + i * 17) % 9999 + 1).cast("long").alias("ps_availqty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part in a region
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+        SELECT ps.p_partkey, ps.p_type,
+               round(ps.ps_costx10 / 10.0, 2) AS supplycost,
+               s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+               min(ps.ps_costx10) OVER (PARTITION BY ps.p_partkey) AS min_cx10
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE' AND ps.p_size = 15)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost, s_suppkey
+    FROM eu WHERE ps_costx10_eq(min_cx10, supplycost)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """.replace(
+        "ps_costx10_eq(min_cx10, supplycost)",
+        "round(min_cx10 / 10.0, 2) = supplycost",
+    ),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (adapted: partsupp derived, see _derived_partsupp; output
+    drops the absent s_address/s_phone/p_mfgr and adds s_suppkey for a
+    total order under LIMIT). For each size-15 part, the suppliers in
+    EUROPE offering the minimum supply cost. The min is a window over the
+    part key — partitioned, parallel — and every dimension (supplier,
+    nation, region) broadcasts; cost comparison stays in integer dimes."""
+    ps = _derived_partsupp(spark, sf_dir).filter(F.col("p_size") == 15)
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    eu = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "min_cx10", F.min("ps_costx10").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        eu.filter(F.col("ps_costx10") == F.col("min_cx10"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("ps_costx10") / 10.0, 2).alias("supplycost"),
+            "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock in a nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    nat_ps AS (
+        SELECT ps.p_partkey, ps.ps_costx10 * ps.ps_availqty AS vx10
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'),
+    tot AS (SELECT sum(vx10) AS t FROM nat_ps)
+    SELECT p_partkey, round(sum(vx10) / 10.0, 2) AS stock_value
+    FROM nat_ps, tot
+    GROUP BY p_partkey, t
+    HAVING sum(vx10) * 1000 > t
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (adapted: partsupp derived). Parts whose stock value at
+    NATION_7's suppliers exceeds 0.1% of the nation total. The value and
+    the threshold comparison are EXACT int64 (costs in dimes x integer
+    quantities; `value*1000 > total` instead of `value > 1e-3*total`), so
+    boundary rows can never flip on float summation order — the scaled
+    integer trick from the packing/rank oracles applied to money."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_ps = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", (F.col("ps_costx10") * F.col("ps_availqty")).alias("vx10"))
+    )
+    tot = nat_ps.agg(F.sum("vx10").cast("long").alias("t"))
+    return (
+        nat_ps.groupBy("p_partkey")
+        .agg(F.sum("vx10").cast("long").alias("v"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select(
+            "p_partkey", F.round(F.col("v") / 10.0, 2).alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey,
+               ((l_orderkey * 31 + l_linenumber * 7) % 30)
+             > ((l_orderkey * 17 + l_linenumber * 11) % 30) AS is_late
+        FROM lineitem)
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3' AND l1.is_late
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 (adapted: lateness is a deterministic integer predicate
+    over (orderkey, linenumber) standing in for the absent commit/receipt
+    dates — same formula both engines). Suppliers in NATION_3 who were
+    the ONLY late shipper on a finished multi-supplier order: one semi
+    join (another supplier shipped the order) and one anti join (no OTHER
+    supplier was late), both shuffling on the order key they already
+    group by; supplier/nation broadcast."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 30
+            > (F.col("l_orderkey") * 17 + F.col("l_linenumber") * 11) % 30
+        ).alias("is_late"),
+    )
+    orders_f = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    l1 = (
+        li.filter("is_late")
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter("is_late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    kept = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
