@@ -67,7 +67,12 @@ def key_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     80000 (8x average). Integer floor math keeps it engine-exact.
 
     One groupBy (map-side combined) + one tiny aggregate cross-joined
-    back; sorting only the distinct-key table, never the data.
+    back. The top-N cut is a TakeOrderedAndProject (per-partition heaps),
+    NOT a global rank window — the old ``Window.orderBy`` with no
+    partition key single-tasked the whole distinct-key table (the last
+    "No Partition Defined" warning in the round-2 bench tail). The rank
+    column is then computed over the already-cut <= top_n rows, whose
+    size is a constant independent of data scale.
     """
     from pyspark.sql import Window
 
@@ -75,17 +80,23 @@ def key_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     totals = counts.agg(
         F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col(key).asc())
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            key,
-            "n",
-            F.floor(F.col("n") * 10000 / F.col("total_rows")).alias("share_bp"),
-            F.floor(F.col("n") * F.col("n_keys") * 10000 / F.col("total_rows")).alias(
-                "ratio_to_avg_bp"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    # rank over <= top_n rows. Partition key = the (constant-valued, but
+    # non-foldable) total_rows column: a literal would be constant-folded
+    # to an empty partition spec and re-trigger the global-window warning;
+    # a real column keeps the spec non-empty while still putting all
+    # <= top_n rows in one (bounded-size) partition.
+    w = Window.partitionBy("total_rows").orderBy(F.col("n").desc(), F.col(key).asc())
+    return top.select(
+        key,
+        "n",
+        F.floor(F.col("n") * 10000 / F.col("total_rows")).alias("share_bp"),
+        F.floor(F.col("n") * F.col("n_keys") * 10000 / F.col("total_rows")).alias(
+            "ratio_to_avg_bp"
+        ),
+        F.row_number().over(w).cast("long").alias("rank"),
     )

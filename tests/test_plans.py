@@ -76,6 +76,16 @@ class TestNoGlobalWindow:
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
 
+    def test_skew_profile_topn_is_take_ordered(self, spark, sf_dir):
+        # the top-N cut happens BEFORE the rank window, so the window's
+        # input is <= top_n rows (constant), not the distinct-key table —
+        # and the window spec is partitioned (by the constant-valued
+        # total_rows column), never the empty global spec
+        df = QUERIES["skew_key_profile_events"](spark, sf_dir)
+        plan = P.physical_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "windowspecdefinition(total_rows" in plan
+
 
 class TestExplainSummary:
     def test_summary_shape(self, spark, sf_dir):
