@@ -484,6 +484,49 @@ def agg_approx_stats(spark, sf_dir):
 
 
 @query(
+    "agg_approx_accuracy",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS distinct_within_2pct,
+           TRUE AS median_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_accuracy(spark, sf_dir):
+    """Hash-checkable contract for the sketches agg_approx_stats leaves
+    rows-only: the Spark side computes BOTH the sketch and the exact
+    value and emits pass/fail booleans against published error bounds
+    (HLL++ rsd=1% checked at 2%; t-digest median checked at 5% of the
+    exact median); the oracle asserts the exact values and literal TRUE.
+    Sketches are deterministic for a fixed input and implementation, so
+    this either always matches or genuinely signals an accuracy
+    regression — which is exactly what a gate row should do."""
+    ev = load(spark, sf_dir, "events")
+    exact_med = F.expr("percentile(value, 0.5)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+            F.percentile_approx("value", 0.5, 10000).alias("am"),
+            exact_med.alias("em"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("au") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.02
+            ).alias("distinct_within_2pct"),
+            (F.abs(F.col("am") - F.col("em")) <= F.abs(F.col("em")) * 0.05).alias(
+                "median_within_5pct"
+            ),
+        )
+    )
+
+
+@query(
     "semi_join_priority_orders",
     """
     SELECT o_orderpriority, count(*) AS n_orders

@@ -121,6 +121,25 @@ class TestEmbeddingAnalyticsShapes:
 class TestTpchPlanShapes:
     """Physical-plan contracts for the TPC-H suite (queries_tpch.py)."""
 
+    def test_q2_q11_q21_broadcast_dims_no_cartesian(self, spark, sf_dir):
+        """The derived-partsupp queries must keep the TPC-H discipline:
+        dimensions broadcast, and the only nested-loop joins are
+        single-row scalar cross joins (supplier count / nation total) —
+        never a data-sized cartesian."""
+        for name in (
+            "q2_min_cost_supplier",
+            "q11_important_stock",
+            "q21_suppliers_kept_waiting",
+        ):
+            plan = P.physical_plan(QUERIES[name](spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+            assert P.has_broadcast_join(QUERIES[name](spark, sf_dir)), name
+
+    def test_q2_min_is_partitioned_window(self, spark, sf_dir):
+        plan = P.physical_plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+        # per-part min: window partitioned by the part key, never global
+        assert "windowspecdefinition(p_partkey" in plan
+
     def test_q6_all_predicates_reach_scan_no_join(self, spark, sf_dir):
         df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
         assert P.has_pushed_filter(
