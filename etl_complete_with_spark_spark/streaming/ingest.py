@@ -15,6 +15,9 @@ is that sibling, built on Structured Streaming:
   -> idempotent sk-merge into TRUSTED. foreachBatch + deterministic sk
   gives effective exactly-once on replays (re-merged micro-batches
   upsert the same keys).
+- ``neardup_ingest_stream``: continual corpus ingest with near-dup
+  filtering against a persistent signature table (the streaming twin of
+  ``dedup.incremental_neardup_filter`` — stream-batch parity tested).
 
 Scale notes: windowed aggs shuffle on (window, key) with partial
 aggregation; watermarks bound state size; ``maxFilesPerTrigger``/Kafka
@@ -300,4 +303,96 @@ def attribute_purchases(
     )
     return clicks.join(buys, cond).select(
         "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Continual near-dup ingest (streaming twin of dedup.incremental_neardup_filter)
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    docs_path: str,
+    sig_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming corpus ingest with near-dup filtering: each micro-batch of
+    documents is deduped against everything ingested so far, survivors'
+    TEXT lands in ``kept_dir`` and their MinHash SIGNATURES append to the
+    persistent corpus table in ``sig_dir`` (the corpus is never stored as
+    text on the dedup path — 128 B/doc of state at k=16, the only shape
+    that survives continual ingest at billions of documents).
+
+    foreachBatch, not a stateful streaming operator: near-dup corpus
+    state can never be watermarked away (a duplicate may arrive years
+    later), so the state belongs in a storage-backed table, not executor
+    state stores. foreachBatch also makes replays idempotent-by-
+    construction here: a replayed batch's doc_ids are already present in
+    the signature table, and signature agreement of a doc with itself is
+    1.0 >= any threshold, so every replayed row dedups against its own
+    stored signature and the kept/sig tables converge to the same set
+    (the same argument the batch twin's oracle verifies for re-ingest).
+
+    The per-batch work is exactly `dedup.incremental_neardup_filter` —
+    the oracled batch operator — so stream and batch ingest produce
+    identical corpora for identical arrival order.
+    """
+    import os
+
+    from ..operators.dedup import incremental_neardup_filter, minhash_signatures
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bspark = batch_df.sparkSession
+        if os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir)
+        ):
+            corpus_sigs = bspark.read.parquet(sig_dir)
+        else:
+            corpus_sigs = minhash_signatures(
+                batch_df.limit(0), "doc_id", "text", n, num_hashes
+            )
+        kept, kept_sigs = incremental_neardup_filter(
+            batch_df,
+            corpus_sigs,
+            "doc_id",
+            "text",
+            n,
+            num_hashes,
+            bands,
+            threshold,
+        )
+        # already-ingested ids (a replayed micro-batch) self-match in the
+        # signature table and drop out above; what remains is new text
+        kept.write.mode("append").parquet(kept_dir)
+        kept_sigs.write.mode("append").parquet(sig_dir)
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )

@@ -269,3 +269,71 @@ class TestCheckpointRecovery:
         assert len(g) > 0 and set(g) <= set(b)
         closed = {r[:3] for r in g}
         assert len(closed) == len(g), "window emitted twice across restart"
+
+
+class TestNeardupIngestStream:
+    """Continual near-dup ingest (foreachBatch + persistent signature
+    table) must produce the same corpus as applying the oracled batch
+    operator sequentially over the same arrival order."""
+
+    @pytest.fixture()
+    def doc_batches(self, spark, sf_dir, tmp_path):
+        """documents split into 3 arrival batches, one file each, written
+        with strictly increasing mtimes so the file source processes them
+        in order with maxFilesPerTrigger=1."""
+        import time
+
+        docs = load(spark, sf_dir, "documents")
+        d = tmp_path / "doc_stream"
+        d.mkdir()
+        batches = []
+        for i in range(3):
+            pdf = docs.filter(F.col("doc_id") % 3 == i).toPandas()
+            path = d / f"batch-{i}.parquet"
+            pdf.to_parquet(path)
+            os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            batches.append(pdf)
+        return str(d), batches
+
+    def test_stream_corpus_equals_sequential_batch(
+        self, spark, sf_dir, tmp_path, doc_batches
+    ):
+        from etl_complete_with_spark_spark.operators.dedup import (
+            incremental_neardup_filter,
+            minhash_signatures,
+        )
+        from etl_complete_with_spark_spark.streaming.ingest import (
+            neardup_ingest_stream,
+        )
+
+        docs_path, batches = doc_batches
+        sig_dir = str(tmp_path / "sigs")
+        kept_dir = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+
+        q = neardup_ingest_stream(
+            spark, docs_path, sig_dir, kept_dir, ckpt, max_files_per_trigger=1
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        stream_kept = {r.doc_id for r in spark.read.parquet(kept_dir).collect()}
+        stream_sigs = spark.read.parquet(sig_dir).count()
+
+        # sequential reference: the SAME batch operator applied in order
+        corpus = minhash_signatures(
+            load(spark, sf_dir, "documents").limit(0), "doc_id", "text", 3, 16
+        )
+        expect = set()
+        for pdf in batches:
+            batch_df = spark.createDataFrame(pdf)
+            kept, sigs = incremental_neardup_filter(batch_df, corpus, "doc_id", "text", 3, 16)
+            expect |= {r.doc_id for r in kept.collect()}
+            corpus = corpus.unionByName(sigs).localCheckpoint()
+
+        assert stream_kept == expect
+        assert stream_sigs == len(expect)  # one signature row per kept doc
+        # and the filter actually dropped something (the corpus has dups)
+        n_docs = sum(len(p) for p in batches)
+        assert len(expect) < n_docs
