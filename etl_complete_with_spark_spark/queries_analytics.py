@@ -503,26 +503,29 @@ def agg_approx_accuracy(spark, sf_dir):
     this either always matches or genuinely signals an accuracy
     regression — which is exactly what a gate row should do."""
     ev = load(spark, sf_dir, "events")
-    exact_med = F.expr("percentile(value, 0.5)")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
-            F.percentile_approx("value", 0.5, 10000).alias("am"),
-            exact_med.alias("em"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            (
-                F.abs(F.col("au") - F.col("exact_users"))
-                <= F.col("exact_users") * 0.02
-            ).alias("distinct_within_2pct"),
-            (F.abs(F.col("am") - F.col("em")) <= F.abs(F.col("em")) * 0.05).alias(
-                "median_within_5pct"
-            ),
-        )
+    # TWO aggregations joined on the (tiny) group key, NOT one combined
+    # agg: countDistinct next to percentile/sketches makes Catalyst plan
+    # an Expand (every input row duplicated per distinct-aggregate group)
+    # — measured 5.7s vs 1s at sf0.1 for identical results. The join is
+    # |event_type| rows, broadcast.
+    counts = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+    )
+    meds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("am"),
+        F.expr("percentile(value, 0.5)").alias("em"),
+    )
+    return counts.join(F.broadcast(meds), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.02
+        ).alias("distinct_within_2pct"),
+        (F.abs(F.col("am") - F.col("em")) <= F.abs(F.col("em")) * 0.05).alias(
+            "median_within_5pct"
+        ),
     )
 
 

@@ -312,9 +312,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_neardup_pairs_blas(emb, threshold=0.3)
 
 
-@query(
-    "dedup_cluster_keep",
-    f"""
+# shared by the min-label and large-star/small-star catalog entries: the
+# two distributed algorithms must land the identical labeling, and both
+# are checked against DuckDB's recursive transitive closure
+_CLUSTER_KEEP_ORACLE = f"""
     {_JACCARD_POSTING.replace("WITH norm", "WITH RECURSIVE norm", 1)},
     pairs AS (
         SELECT id1, id2
@@ -330,8 +331,10 @@ def dedup_embedding_cosine(spark, sf_dir):
         SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
     SELECT id AS doc_id, min(r) AS component, (id = min(r)) AS keep
     FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@query("dedup_cluster_keep", _CLUSTER_KEEP_ORACLE)
 def dedup_cluster_keep(spark, sf_dir):
     """Cluster-correct near-dup dedup: trigram-Jaccard pairs (>= 0.5) as
     edges -> connected components (operators/graph.py, iterative min-label
@@ -346,6 +349,27 @@ def dedup_cluster_keep(spark, sf_dir):
         load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
     ).select("id1", "id2")
     comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
+@query("dedup_cluster_keep_star", _CLUSTER_KEEP_ORACLE)
+def dedup_cluster_keep_star(spark, sf_dir):
+    """Same cluster-correct dedup via LARGE-STAR/SMALL-STAR components
+    (operators/graph.connected_components_star) — the O(log n)-round
+    variant for high-diameter graphs at 100 TB, where min-label's
+    O(diameter) rounds are the bottleneck. Shares the min-label entry's
+    recursive-closure oracle, so both distributed algorithms are proven
+    to land the identical labeling."""
+    from .operators.graph import connected_components_star
+
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
+    ).select("id1", "id2")
+    comp = connected_components_star(pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",

@@ -328,3 +328,71 @@ class TestMongoSliceProperties:
         assert union_ids <= env_ids
         if union_ids == env_ids:
             assert len(env_ids) == hi - lo
+
+
+class TestStarComponentsProperties:
+    """Large-star/small-star CC (the O(log n)-round 100 TB path) must be
+    row-identical to min-label propagation and to a union-find oracle."""
+
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        parent = {v: v for e in edges for v in e}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict = {}
+        for v in parent:
+            comps.setdefault(find(v), set()).add(v)
+        want = {v: min(c) for c in comps.values() for v in c}
+
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {r.id: r.component for r in connected_components_star(df).collect()}
+        assert got == want
+
+    def test_path_graph_high_diameter(self, spark):
+        """A 40-hop chain: the star variant needs ~log rounds, and both
+        variants land the identical labeling."""
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges = [(i, i + 1) for i in range(40)] + [(100, 101), (102, 101)]
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        star = {(r.id, r.component) for r in connected_components_star(df).collect()}
+        label = {(r.id, r.component) for r in connected_components(df, max_iterations=50).collect()}
+        assert star == label
+        assert all(c == 0 for v, c in star if v <= 40)
+        assert all(c == 100 for v, c in star if v >= 100)
+
+    def test_isolated_vertices_are_singletons(self, spark):
+        from pyspark.sql import Row
+
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+        verts = spark.createDataFrame([Row(id=i) for i in (1, 2, 7, 9)])
+        got = {r.id: r.component for r in connected_components_star(edges, verts).collect()}
+        assert got == {1: 1, 2: 1, 7: 7, 9: 9}
