@@ -1919,3 +1919,34 @@ def udtf_token_runs(spark, sf_dir):
         FROM udtf_docs d, LATERAL token_runs(d.text) r
         """
     )
+
+
+@query(
+    "bpe_top_pairs",
+    f"""
+    WITH w AS (SELECT unnest({_NORM_TOKS}) AS word FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    pr AS (
+        SELECT substr(word, CAST(t.i AS INTEGER), 2) AS pair, freq
+        FROM wf, UNNEST(generate_series(1, len(word) - 1)) t(i)
+        WHERE len(word) >= 2),
+    agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr GROUP BY pair)
+    SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark, sf_dir):
+    """Round-0 BPE statistic (operators/bpe.pair_counts): adjacent
+    character-pair counts weighted by word frequency, top-20. The scale
+    point is the architecture, not the query: ONE corpus-scale groupBy
+    builds the word-frequency table, and the pair explode runs over the
+    vocab-sized distinct-word set — tokenizer training cost is
+    independent of corpus row count (operators/bpe.bpe_train runs its
+    merge loop on that same collected table). Exact oracle: identical
+    substring arithmetic in DuckDB; top-20 is TakeOrderedAndProject."""
+    from .operators.bpe import pair_counts
+
+    return (
+        pair_counts(load(spark, sf_dir, "documents"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )

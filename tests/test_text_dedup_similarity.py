@@ -540,3 +540,49 @@ class TestBlockedFuzzyPairs:
         assert [(r.v1, r.v2, r.distance) for r in out] == [
             ("smith, john", "smith, jon", 1)
         ]
+
+
+class TestBpe:
+    """BPE training: distributed word/pair stats + the driver-local merge
+    loop (vocab-sized by construction — the standard trainer split)."""
+
+    def test_merge_loop_classic_example(self, spark):
+        from etl_complete_with_spark_spark.operators.bpe import (
+            END,
+            bpe_train,
+            segment_word,
+        )
+
+        # the BPE-paper corpus: {low:5, lower:2, newest:6, widest:3}
+        wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = bpe_train(wf, 4)
+        # est</w> dominates: e+s (6+3=9), es+t (9), est+</w> (9) then lo (7)
+        assert merges[:4] == [("e", "s"), ("es", "t"), ("est", END), ("l", "o")]
+        assert segment_word("lowest", merges) == ["lo", "w", "est</w>"]
+
+    def test_pair_counts_match_driver_loop_round0(self, spark, sf_dir):
+        """The distributed pair table equals round-0 counts of the Python
+        loop (modulo the </w> marker, which the loop adds and the
+        distributed statistic deliberately leaves out)."""
+        from etl_complete_with_spark_spark.operators.bpe import (
+            END,
+            pair_counts,
+            word_freqs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wf_rows = [(r.word, r.freq) for r in word_freqs(docs).collect()]
+        counts: dict = {}
+        for word, freq in wf_rows:
+            sym = list(word) + [END]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        expect = {a + b: n for (a, b), n in counts.items() if b != END}
+        got = {r.pair: r.n for r in pair_counts(docs).collect()}
+        assert got == expect
+
+    def test_train_is_deterministic(self, spark):
+        from etl_complete_with_spark_spark.operators.bpe import bpe_train
+
+        wf = [("abab", 3), ("baba", 3)]  # heavy ties -> lexicographic break
+        assert bpe_train(wf, 2) == bpe_train(list(reversed(wf)), 2)
