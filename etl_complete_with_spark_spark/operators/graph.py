@@ -183,3 +183,64 @@ def connected_components_star(
         all_verts.join(roots, "id", "left")
         .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
     )
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "id1",
+    dst: str = "id2",
+    driver_threshold_edges: int = 1_000_000,
+    star_threshold_edges: int = 100_000_000,
+) -> DataFrame:
+    """Adaptive components: pick the cheapest correct strategy by size.
+
+    After near-dup filtering, the edge residue is usually TINY relative to
+    the corpus — a million edges is ~16 MB of longs, and a driver-side
+    union-find beats any distributed loop by orders of magnitude there
+    (this is the small-graph shortcut production graph systems take).
+    Above that, min-label propagation (few rounds, low per-round cost)
+    up to ``star_threshold_edges``, then large-star/small-star (round
+    count stays O(log n) on adversarial diameters). All three strategies
+    produce the IDENTICAL labeling (component = min vertex id) — parity
+    is what the tests pin, so the switch is purely a cost decision.
+
+    The catalog queries deliberately call the distributed variants
+    directly (the oracle gate must prove the distributed algorithms, not
+    the shortcut); this entry point is the production default.
+    """
+    n_edges = edges.count()
+    if n_edges <= driver_threshold_edges:
+        rows = edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        ).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            a, b = r_["a"], r_["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the label contract holds directly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = set(parent)
+        if vertices is not None:
+            ids |= {r[0] for r in vertices.select(vertices.columns[0]).collect()}
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(int(v), int(find(v)) if v in parent else int(v)) for v in sorted(ids)],
+            "id long, component long",
+        )
+    if n_edges <= star_threshold_edges:
+        return connected_components(edges, vertices, src, dst)
+    return connected_components_star(edges, vertices, src, dst)

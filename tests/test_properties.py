@@ -396,3 +396,42 @@ class TestStarComponentsProperties:
         verts = spark.createDataFrame([Row(id=i) for i in (1, 2, 7, 9)])
         got = {r.id: r.component for r in connected_components_star(edges, verts).collect()}
         assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+class TestAutoComponents:
+    """The adaptive entry point must produce the identical labeling on
+    every strategy it can pick."""
+
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_driver_shortcut_matches_distributed(self, spark, edges):
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components,
+            connected_components_auto,
+        )
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        fast = {(r.id, r.component) for r in connected_components_auto(df).collect()}
+        dist = {(r.id, r.component) for r in connected_components(df).collect()}
+        assert fast == dist
+
+    def test_threshold_routes_to_distributed(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components_auto,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+        out = {
+            (r.id, r.component)
+            for r in connected_components_auto(df, driver_threshold_edges=0).collect()
+        }
+        assert out == {(1, 1), (2, 1), (3, 1)}
