@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -208,15 +209,31 @@ def connected_components_auto(
     The catalog queries deliberately call the distributed variants
     directly (the oracle gate must prove the distributed algorithms, not
     the shortcut); this entry point is the production default.
+
+    The driver shortcut is taken only when the VERTEX side is also safe
+    to collect: edge residues are often tiny while ``vertices`` is the
+    corpus-sized id universe (passed for isolated-singleton output) —
+    collecting that would OOM the driver at exactly the scale the
+    distributed variants exist for. In that case only the edges are
+    solved driver-side and the singleton fill-in stays distributed.
     """
+    # materialize the (often expensive: shingle-posting self-join) edge
+    # computation ONCE — the routing count would otherwise execute it and
+    # the chosen branch would re-execute it from scratch
+    edges = edges.localCheckpoint()
     n_edges = edges.count()
     if n_edges <= driver_threshold_edges:
-        rows = edges.select(
-            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-        ).collect()
-        parent: dict[int, int] = {}
+        # no cast: ids keep the distributed variants' contract (any
+        # orderable type — longs or string doc-ids); NULL endpoints are
+        # dropped like the distributed joins drop them
+        rows = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .collect()
+        )
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent.get(r, r) != r:
                 r = parent[r]
@@ -233,13 +250,21 @@ def connected_components_auto(
                 # union by MIN root so the label contract holds directly
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        ids = set(parent)
-        if vertices is not None:
-            ids |= {r[0] for r in vertices.select(vertices.columns[0]).collect()}
         spark = edges.sparkSession
-        return spark.createDataFrame(
-            [(int(v), int(find(v)) if v in parent else int(v)) for v in sorted(ids)],
-            "id long, component long",
+        id_type = edges.schema[src].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
+        labels = spark.createDataFrame(
+            [(v, find(v)) for v in parent], schema
+        )
+        if vertices is None:
+            return labels
+        # singleton fill-in WITHOUT collecting the (possibly corpus-sized)
+        # vertex set: a broadcast left join against the tiny label table
+        verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+        return verts.join(F.broadcast(labels), "id", "left").select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
         )
     if n_edges <= star_threshold_edges:
         return connected_components(edges, vertices, src, dst)

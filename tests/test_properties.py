@@ -435,3 +435,54 @@ class TestAutoComponents:
             for r in connected_components_auto(df, driver_threshold_edges=0).collect()
         }
         assert out == {(1, 1), (2, 1), (3, 1)}
+
+
+class TestAutoComponentsContract:
+    """Review findings round 3: the shortcut must keep the distributed
+    variants' id-type contract and never collect the vertex universe."""
+
+    def test_string_ids_supported(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components,
+            connected_components_auto,
+        )
+
+        df = spark.createDataFrame(
+            [("docB", "docA"), ("docB", "docC"), ("docX", "docY")],
+            "id1 string, id2 string",
+        )
+        fast = {(r.id, r.component) for r in connected_components_auto(df).collect()}
+        dist = {(r.id, r.component) for r in connected_components(df).collect()}
+        assert fast == dist
+        assert ("docC", "docA") in fast
+
+    def test_vertices_fill_in_matches_distributed(self, spark):
+        from pyspark.sql import Row
+
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components,
+            connected_components_auto,
+        )
+
+        edges = spark.createDataFrame([(5, 3)], "id1 long, id2 long")
+        verts = spark.createDataFrame([Row(id=i) for i in range(8)])
+        fast = {
+            (r.id, r.component)
+            for r in connected_components_auto(edges, verts).collect()
+        }
+        dist = {
+            (r.id, r.component) for r in connected_components(edges, verts).collect()
+        }
+        assert fast == dist
+        assert (5, 3) in fast and (0, 0) in fast
+
+    def test_null_endpoints_dropped(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components_auto,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (None, 3), (4, None)], "id1 long, id2 long"
+        )
+        got = {(r.id, r.component) for r in connected_components_auto(df).collect()}
+        assert got == {(1, 1), (2, 1)}
