@@ -751,16 +751,14 @@ def embedding_neardup_pairs_blas_tiled(
     import numpy as np
     import pandas as pd
 
+    from .similarity import pack_vector_blocks
+
+    # materialize once: the sizing count would otherwise execute a derived
+    # input and the packing aggregation would re-execute it
+    df = df.localCheckpoint()
     n = df.count()
     nb = max(1, math.ceil(n / block_rows))
-    blocks = (
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(nb)))
-        .groupBy("bid")
-        .agg(F.collect_list(F.struct("id", "v")).alias("vs"))
-    )
+    blocks = pack_vector_blocks(df, nb, "bid", "vs", id_col, vec_col)
     pairs = (
         blocks.select(F.col("bid").alias("bid1"), F.col("vs").alias("vs1"))
         .join(

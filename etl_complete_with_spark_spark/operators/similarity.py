@@ -39,6 +39,60 @@ def _pair_cosine() -> "F.Column":
     return dot_expr(F.col("qv"), F.col("cv")) / (F.col("qv_nrm") * F.col("cv_nrm"))
 
 
+def _local_topk_frame(q_ids, c_ids, sims, top: int):
+    """Block-local top candidates per query, cut under the EXACT final
+    ranking contract: cosine rounded to 4 descending, neighbor_id
+    ascending. An argpartition on unrounded sims would break ties at the
+    cut boundary arbitrarily — if two candidates round equal and straddle
+    the cut, the one the global window rank keeps (lowest id) could be
+    the one dropped, and the exact-hash oracle (ann_tiled_topk) would
+    flicker whenever the data grows such ties. lexsort per query row is
+    O(n log n) vs argpartition's O(n); rows here are block-sized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rounded = np.round(sims, 4)
+    top = min(top, sims.shape[1])
+    out_q, out_c, out_s = [], [], []
+    for r in range(sims.shape[0]):
+        order = np.lexsort((c_ids, -rounded[r]))[:top]
+        out_q.append(np.full(top, q_ids[r]))
+        out_c.append(c_ids[order])
+        out_s.append(rounded[r][order])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_c),
+            "cosine": np.concatenate(out_s),
+        }
+    )
+
+
+def pack_vector_blocks(
+    df: DataFrame,
+    n_blocks: int,
+    block_col: str,
+    out_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack (id, vector) rows into hash-assigned matrix blocks — the
+    shared tiling primitive behind :func:`cosine_topk_blas_tiled` and
+    ``dedup.embedding_neardup_pairs_blas_tiled``. A distributed
+    ``collect_list`` aggregation, never a driver collect; one row per
+    block, each holding ~block_rows (id, v) structs.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn(block_col, F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .groupBy(block_col)
+        .agg(F.collect_list(F.struct("id", "v")).alias(out_col))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,8 +207,12 @@ def cosine_topk_blas(
     - a final window rank reduces k·|queries|·n_batches rows to k.
 
     Output matches :func:`cosine_topk` (query_id, neighbor_id, cosine,
-    rank) with cosine rounded to 4; last-ulp float differences vs the
-    expression path can flip ranks of near-exact ties only.
+    rank) with cosine rounded to 4. The block-local candidate cut uses
+    the SAME contract as the final rank — rounded cosine descending,
+    neighbor_id ascending (:func:`_local_topk_ids`) — so a tie at the
+    cut boundary can never drop the candidate the global rank would
+    have kept; last-ulp float differences vs the expression path can
+    reorder only pairs whose UNROUNDED cosines differ below 1e-4.
     """
     import numpy as np
     import pandas as pd
@@ -180,14 +238,7 @@ def cosine_topk_blas(
             c_mat = np.stack(pdf["cv"].to_numpy())
             c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = qm @ c_mat.T  # |Q| x |batch| in one BLAS call
-            top = min(k + 1, sims.shape[1])  # +1 headroom for self-match
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            out = {
-                "query_id": np.repeat(ids, top),
-                "neighbor_id": c_ids[idx].ravel(),
-                "cosine": np.round(np.take_along_axis(sims, idx, axis=1).ravel(), 4),
-            }
-            yield pd.DataFrame(out)
+            yield _local_topk_frame(ids, c_ids, sims, k + 1)
 
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
@@ -447,8 +498,11 @@ def cosine_topk_blas_tiled(
     import math
 
     import numpy as np
-    import pandas as pd
 
+    # materialize once: the routing counts would otherwise execute the
+    # (possibly derived) inputs, and pack() would re-execute them
+    queries = queries.localCheckpoint()
+    corpus = corpus.localCheckpoint()
     n_q = queries.count()
     if not n_q:
         raise ValueError("cosine_topk_blas_tiled: empty query set")
@@ -456,17 +510,9 @@ def cosine_topk_blas_tiled(
     nqb = max(1, math.ceil(n_q / query_block_rows))
     ncb = max(1, math.ceil(n_c / corpus_block_rows))
 
-    def pack(df: DataFrame, nb: int, bcol: str, out: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-            )
-            .withColumn(bcol, F.pmod(F.xxhash64("id"), F.lit(nb)))
-            .groupBy(bcol)
-            .agg(F.collect_list(F.struct("id", "v")).alias(out))
-        )
-
-    pairs = pack(corpus, ncb, "cb", "cs").crossJoin(pack(queries, nqb, "qb", "qs"))
+    pairs = pack_vector_blocks(corpus, ncb, "cb", "cs", id_col, vec_col).crossJoin(
+        pack_vector_blocks(queries, nqb, "qb", "qs", id_col, vec_col)
+    )
 
     def score(batches):
         for pdf in batches:
@@ -477,18 +523,7 @@ def cosine_topk_blas_tiled(
                 q_mat = np.array([np.asarray(e["v"]) for e in row["qs"]])
                 c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
                 q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-                sims = q_mat @ c_mat.T
-                top = min(k + 1, sims.shape[1])  # +1 headroom for self-match
-                idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(q_ids, top),
-                        "neighbor_id": c_ids[idx].ravel(),
-                        "cosine": np.round(
-                            np.take_along_axis(sims, idx, axis=1).ravel(), 4
-                        ),
-                    }
-                )
+                yield _local_topk_frame(q_ids, c_ids, q_mat @ c_mat.T, k + 1)
 
     scored = pairs.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(

@@ -747,13 +747,10 @@ def _derived_partsupp(spark, sf_dir):
         JOIN region r ON r.r_regionkey = n.n_regionkey
         WHERE r.r_name = 'EUROPE' AND ps.p_size = 15)
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost, s_suppkey
-    FROM eu WHERE ps_costx10_eq(min_cx10, supplycost)
+    FROM eu WHERE round(min_cx10 / 10.0, 2) = supplycost
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
     LIMIT 100
-    """.replace(
-        "ps_costx10_eq(min_cx10, supplycost)",
-        "round(min_cx10 / 10.0, 2) = supplycost",
-    ),
+    """,
 )
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 (adapted: partsupp derived, see _derived_partsupp; output

@@ -999,7 +999,9 @@ def _ivf_centroids_numpy(sf_dir: str, n_centroids=16, sample_rows=2048, iters=5)
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    pdf = t.to_pandas().sort_values("vec_id").head(sample_rows)
+    # sort + slice in Arrow BEFORE pandas conversion: this runs at module
+    # import, so only sample_rows rows may pay the python-object cost
+    pdf = t.sort_by("vec_id").slice(0, sample_rows).to_pandas()
     x = np.array([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:n_centroids].copy()
@@ -1031,7 +1033,12 @@ def _ivf_oracle(n_centroids=16, nprobe=4, k=10) -> str | None:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         cents = _ivf_centroids_numpy(sf_dir, n_centroids)
-    except Exception:
+    except (OSError, FileNotFoundError) as exc:
+        # only the documented fallback case (gate-SF parquet unreadable
+        # at import) downgrades to rows-only — and never silently
+        import sys
+
+        print(f"_ivf_oracle: rows-only fallback ({exc})", file=sys.stderr)
         return None
     cent_rows = ",\n        ".join(
         f"({cid}, [{', '.join(repr(float(v)) for v in row)}]::DOUBLE[])"

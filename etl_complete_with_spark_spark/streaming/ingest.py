@@ -67,7 +67,15 @@ def stream_source(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see queries.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ignored on 4.1.2+
-    arrival = dict(spark.read.parquet(path).dtypes).get("ts")
+    try:
+        arrival = dict(spark.read.parquet(path).dtypes).get("ts")
+    except Exception:
+        # empty/not-yet-populated source dir (normal deployment order:
+        # stream starts before the producer's first file) — no footer to
+        # probe, so declare this runtime's native arrival type (NTZ on
+        # 4.1.2+); a pre-4.1 runtime writing int64 nanos would need the
+        # first file present at start time to be detected
+        arrival = None
     if arrival == "bigint":
         schema = T.StructType(
             [
@@ -343,17 +351,24 @@ def neardup_ingest_stream(
     foreachBatch, not a stateful streaming operator: near-dup corpus
     state can never be watermarked away (a duplicate may arrive years
     later), so the state belongs in a storage-backed table, not executor
-    state stores. foreachBatch also makes replays idempotent-by-
-    construction here: a replayed batch's doc_ids are already present in
-    the signature table, and signature agreement of a doc with itself is
-    1.0 >= any threshold, so every replayed row dedups against its own
-    stored signature and the kept/sig tables converge to the same set
-    (the same argument the batch twin's oracle verifies for re-ingest).
+    state stores.
+
+    Replay idempotence is by EPOCH-KEYED OVERWRITE, the canonical
+    foreachBatch exactly-once recipe: each micro-batch lands in
+    ``<dir>/epoch=<id>/`` with overwrite mode for both outputs, so a
+    batch replayed after a crash — even one that died between the two
+    writes — simply rewrites its own epoch directories and the kept/sig
+    tables converge to the same set. (Plain appends would duplicate
+    kept text whenever a crash landed between the kept append and the
+    sig append: the replayed docs would no longer self-match.) Readers
+    see one partitioned table per dir; the signature reads below drop
+    the discovered ``epoch`` partition column.
 
     The per-batch work is exactly `dedup.incremental_neardup_filter` —
     the oracled batch operator — so stream and batch ingest produce
     identical corpora for identical arrival order.
     """
+    import glob
     import os
 
     from ..operators.dedup import incremental_neardup_filter, minhash_signatures
@@ -368,10 +383,15 @@ def neardup_ingest_stream(
         if batch_df.isEmpty():
             return
         bspark = batch_df.sparkSession
-        if os.path.isdir(sig_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(sig_dir)
-        ):
-            corpus_sigs = bspark.read.parquet(sig_dir)
+        prior = [
+            d
+            for d in glob.glob(os.path.join(sig_dir, "epoch=*"))
+            # a replayed epoch must dedup against STRICTLY EARLIER epochs
+            # only — its own partial output is being rewritten
+            if int(os.path.basename(d).split("=", 1)[1]) < epoch_id
+        ]
+        if prior:
+            corpus_sigs = bspark.read.parquet(*prior).drop("epoch")
         else:
             corpus_sigs = minhash_signatures(
                 batch_df.limit(0), "doc_id", "text", n, num_hashes
@@ -386,10 +406,13 @@ def neardup_ingest_stream(
             bands,
             threshold,
         )
-        # already-ingested ids (a replayed micro-batch) self-match in the
-        # signature table and drop out above; what remains is new text
-        kept.write.mode("append").parquet(kept_dir)
-        kept_sigs.write.mode("append").parquet(sig_dir)
+        kept = kept.localCheckpoint()  # sig write must see the SAME kept set
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"epoch={int(epoch_id)}")
+        )
+        kept_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"epoch={int(epoch_id)}")
+        )
 
     return (
         stream.writeStream.foreachBatch(ingest)
