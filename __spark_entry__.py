@@ -28,70 +28,70 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # remaining catalog entries follow in registration order and are still fully
 # covered by the local gate (``scripts/oracle_check.py``, all 115 queries).
 PRIORITY_WINDOW: list[str] = [
-    # reference-core §2: composite pipeline, live JDBC, filters, functions
+    # always-pinned flagship + live-JDBC rows
     "pipeline_work_to_trusted",
     "jdbc_resync_orders",
-    "filter_range_halfopen",
-    "quality_check_dates",
-    "sk_concat",
-    # sources / sinks / data quality / layout
-    "orc_roundtrip_orders",
-    "scd2_customer_versions",
-    "dq_orders_expectations",
-    "dq_fk_orphan_events",
-    "zorder_morton_codes",
-    # join shapes (§2.4)
-    "left_outer_order_counts",
-    "anti_join_customers_without_orders",
-    "semi_join_priority_orders",
-    "set_ops_users",
-    "asof_join_last_purchase",
-    "skew_salted_join",
-    "range_join_event_windows",
-    # TPC-H representatives (§2.4b)
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    # aggregations (§2.5)
-    "cube_revenue",
-    "grouping_sets_revenue",
-    "rollup_revenue_by_nation_region",
-    "distinct_users_per_type",
-    "agg_quantiles",
-    "stats_price_quantity",
-    "case_agg_priority_split",
-    # windows / sorts / pivot (§2.6)
-    "running_revenue_per_customer",
-    "rolling_24h_user_value",
-    "order_price_distribution",
-    "sessionize_batch",
-    "gapfill_hourly_counts",
-    "top10_orders_global",
-    "pivot_user_event_matrix",
-    "unpivot_event_matrix",
-    # subquery / semi-structured / search / graph
-    "orders_above_customer_avg",
-    "variant_props_stats",
-    "part_name_search",
-    "order_burst_components",
-    # streaming (§2.8)
-    "stream_dedup_events",
+    # --- the 30 queries with NO row in any prior CORRECTNESS artifact
+    # (r01∪r02∪r03 union = 93/123; this round closes the gap to 123).
+    # TPC-H mid-range (§2.4b)
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_discount_revenue_bands",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    # analytics not yet externally recorded
+    "supplier_balance_by_nation",
+    "orders_monthly_rollup",
+    "first_last_event_per_user",
+    "funnel_signup_click_purchase",
+    "table_diff_customer_batches",
+    "calendar_dim",
+    "histogram_order_prices",
+    "skew_key_profile_events",
+    "cohort_weekly_retention",
+    "agg_approx_stats",
+    # training-data / graph / embeddings not yet externally recorded
+    "dedup_cluster_keep_star",
+    "ann_tiled_topk",
+    "sample_weighted_quality",
+    "sketch_merge_daily_users",
+    "embedding_vector_stats",
+    # --- fillers: entries with exactly one prior green row, diverse
+    # families, so repeat evidence accrues where it is thinnest.
+    "emb_gram_int8",
+    "ann_int8_topk",
+    "emb_label_centroids",
+    "text_unigram_lm_score",
+    "dedup_semantic_cluster",
+    "fuzzy_match_part_names",
+    "jsonl_roundtrip_orders",
+    "table_profile_orders",
+    "grouped_user_stats",
+    "json_extract_props",
     "stream_static_enrich",
-    # training-data surface
     "decontaminate_ngram_overlap",
     "sample_token_budget_mix",
-    "pack_training_shards",
-    "udtf_token_runs",
-    "ann_ivf_topk",
-    "bpe_top_pairs",
-    "dedup_minhash_lsh",
     "agg_approx_accuracy",
+    "order_burst_components",
+    "variant_props_stats",
+    "scd2_customer_versions",
+    "dq_orders_expectations",
 ]
-# text_token_stats and mm_extract_features (green in the round-2 artifact)
-# ceded their slots to the round-3 families with no external row yet
-# (BPE statistics, sketch accuracy contracts); the r02+r03 artifacts
-# together keep every family externally recorded.
+# Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
+# rows stay pinned every round; a query leaves the window only once it has
+# a green row in some prior CORRECTNESS artifact AND its operator family
+# retains at least one externally recorded representative; freed slots go
+# first to never-recorded queries, then to the least-recorded ones.
 
 
 def _ordered(src: dict) -> dict:

@@ -61,9 +61,30 @@ def _shuffle_totals(spark):
         return None
 
 
+def _active_stage_count(spark):
+    """Stages still running per the UI store; None when unavailable."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=active", timeout=5
+        ) as r:
+            return len(json.load(r))
+    except Exception:
+        return None
+
+
 def _quiesced_totals(spark, tries: int = 20, settle_s: float = 0.1):
-    """Poll until two consecutive readings agree (or give up): the stable
-    snapshot the per-query delta math needs."""
+    """Poll until the UI store reports ZERO active stages AND two
+    consecutive completed-totals readings agree (or give up): late
+    stage-completion events otherwise bleed into the NEXT query's delta
+    (totals stay monotone, but per-query attribution smears)."""
+    for _ in range(tries):
+        if _active_stage_count(spark) == 0:
+            break
+        time.sleep(settle_s)
     prev = _shuffle_totals(spark)
     for _ in range(tries):
         if prev is None:

@@ -674,7 +674,16 @@ def incremental_neardup_filter(
     )
     dup_in_batch = verify(cand_new, new_sigs, new_sigs)
 
-    dup_ids = dup_vs_corpus.unionByName(dup_in_batch).distinct()
+    # dup_ids feeds BOTH return values; checkpointing it here (lazily —
+    # materialized by whichever output runs first, reused by the other)
+    # pins one authoritative dup set, so kept text and kept signatures can
+    # never diverge even under nondeterministic upstreams, and the
+    # banding/verification joins run once per batch, not once per output.
+    dup_ids = (
+        dup_vs_corpus.unionByName(dup_in_batch)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     kept = new_docs.join(
         dup_ids.withColumnRenamed("new_id", id_col), id_col, "left_anti"
     )

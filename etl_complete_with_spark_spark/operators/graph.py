@@ -23,7 +23,9 @@ which this implementation's loop structure accommodates directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,6 +61,7 @@ def connected_components(
         verts = vertices.select(F.col(vertices.columns[0]).alias("id")).unionByName(verts).distinct()
 
     labels = verts.withColumn("component", F.col("id")).localCheckpoint()
+    changed = 1
     for _ in range(max_iterations):
         # neighborhood minimum: each vertex adopts min(own, neighbors')
         neighbor_min = (
@@ -81,6 +84,17 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed != 0:
+        # loud, not silent: labels from an unconverged propagation are a
+        # WRONG component assignment, not an approximation
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            "rounds (graph diameter exceeds the iteration budget); labels "
+            "are incomplete — raise max_iterations or use "
+            "connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -106,17 +120,29 @@ def connected_components_star(
       neighbors (and itself) to that minimum.
 
     Each operation is one groupBy-min + one join (same shuffle shape as
-    a min-label round), `localCheckpoint` truncates lineage per round,
-    and the only driver traffic is the convergence signature: (edge
-    count, sum of 64-bit edge hashes) — a fixpoint in the edge set is a
-    fixpoint of the algorithm. Same output contract as the min-label
-    variant: component id = minimum vertex id; isolated vertices (only
-    via ``vertices``) are singletons; property-tested against a
-    union-find oracle AND row-identical to `connected_components`.
+    a min-label round), one `localCheckpoint` per round truncates
+    lineage, and the only driver traffic is the convergence signature:
+    (edge count, sum of 64-bit edge hashes) — a fixpoint in the edge set
+    is a fixpoint of the algorithm. The signature is collected via
+    ``Dataset.observe`` ON the checkpoint action itself (metrics fire
+    when the checkpoint materializes), so convergence costs ZERO extra
+    jobs per round. Same output contract as the min-label variant:
+    component id = minimum vertex id; isolated vertices (only via
+    ``vertices``) are singletons; property-tested against a union-find
+    oracle AND row-identical to `connected_components`.
     """
+    # hash-sum in decimal(38): a long sum overflows ANSI arithmetic
+    # after ~2^63/2^63-worth of edges; decimal can't
+    sig_metrics = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    )
+    obs0 = Observation()
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .observe(obs0, *sig_metrics)
         .localCheckpoint()
     )
     all_verts = e.select(F.col("u").alias("id")).unionByName(
@@ -128,27 +154,22 @@ def connected_components_star(
         )
     all_verts = all_verts.distinct().localCheckpoint()
 
-    def signature(df: DataFrame) -> tuple:
-        # hash-sum in decimal(38): a long sum overflows ANSI arithmetic
-        # after ~2^63/2^63-worth of edges; decimal can't
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
     def large_star(cur: DataFrame) -> DataFrame:
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (
             sym.groupBy("u")
-            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
         )
+        # NO distinct here: the output is ≤ 2|e| rows (one per oriented
+        # sym edge with v>u), small_star's groupBy-min and final distinct
+        # absorb the duplicates — dropping the dedup saves a full shuffle
+        # of the round's largest intermediate
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(cur: DataFrame) -> DataFrame:
@@ -168,13 +189,32 @@ def connected_components_star(
             .distinct()
         )
 
-    sig = signature(e)
+    got = obs0.get
+    sig = (got["n"], got["h"])
+    converged = False
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint()
-        new_sig = signature(e)
+        obs = Observation()
+        e = (
+            small_star(large_star(e))
+            .observe(obs, *sig_metrics)
+            .localCheckpoint()
+        )
+        got = obs.get
+        new_sig = (got["n"], got["h"])
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # loud, not silent: labels from an unconverged edge set are a
+        # WRONG component assignment, not an approximation
+        warnings.warn(
+            f"connected_components_star: edge-set fixpoint not reached "
+            f"after {max_iterations} rounds; labels may be incomplete — "
+            "raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # after convergence the edges are star edges (vertex -> component min)
     roots = e.groupBy("u").agg(F.min("v").alias("component")).withColumnRenamed(

@@ -467,19 +467,55 @@ def orders_above_customer_avg(spark, sf_dir):
     )
 
 
-@query("agg_approx_stats")  # sketch estimates are engine-specific -> rows-only
+@query(
+    "agg_approx_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS distinct_within_2pct,
+           TRUE AS p50_within_5pct,
+           TRUE AS p90_within_5pct,
+           TRUE AS p99_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_stats(spark, sf_dir):
     """The one-pass approximate aggregates used instead of exact
     distinct/quantiles at 100 TB: approx_count_distinct (HLL++, no
-    distinct shuffle) and percentile_approx (t-digest). No SQL oracle —
-    sketch estimates differ by engine; the exact twins
-    (distinct_users_per_type, agg_quantiles) are the oracle-checked
-    baselines these approximate."""
+    distinct shuffle) and percentile_approx (t-digest), hash-checkable
+    via the same accuracy-contract trick as agg_approx_accuracy: the
+    Spark side computes BOTH the sketch and the exact value and emits
+    pass/fail booleans against published error bounds (HLL++ rsd=1%
+    gated at 2%; t-digest p50/p90/p99 at accuracy=10000 gated at 5% of
+    the exact value); the oracle asserts the exact counts and literal
+    TRUE. Sketches are deterministic for a fixed input, so a mismatch
+    genuinely signals an accuracy regression."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
-        F.count(F.lit(1)).alias("n_events"),
+    # two aggregations joined on the tiny group key, not one combined agg
+    # — countDistinct next to percentile forces an Expand (see
+    # agg_approx_accuracy); the join is |event_type| rows, broadcast.
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("eu"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+    )
+    quants = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("aq"),
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("eq"),
+    )
+    within = [
+        (
+            F.abs(F.col("aq")[i] - F.col("eq")[i]) <= F.abs(F.col("eq")[i]) * 0.05
+        ).alias(f"p{p}_within_5pct")
+        for i, p in enumerate(("50", "90", "99"))
+    ]
+    return counts.join(F.broadcast(quants), "event_type").select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("au") - F.col("eu")) <= F.col("eu") * 0.02).alias(
+            "distinct_within_2pct"
+        ),
+        *within,
     )
 
 

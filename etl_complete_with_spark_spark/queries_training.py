@@ -1033,9 +1033,12 @@ def _ivf_oracle(n_centroids=16, nprobe=4, k=10) -> str | None:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         cents = _ivf_centroids_numpy(sf_dir, n_centroids)
-    except (OSError, FileNotFoundError) as exc:
-        # only the documented fallback case (gate-SF parquet unreadable
-        # at import) downgrades to rows-only — and never silently
+    except Exception as exc:  # noqa: BLE001
+        # ANY unreadable-parquet failure downgrades to rows-only — and
+        # never silently. Broad on purpose: pyarrow raises ArrowInvalid
+        # (a ValueError subclass, not OSError) for corrupt/truncated
+        # files, and this runs at catalog import where an escape would
+        # take down every query, not just this one.
         import sys
 
         print(f"_ivf_oracle: rows-only fallback ({exc})", file=sys.stderr)

@@ -406,7 +406,10 @@ def neardup_ingest_stream(
             bands,
             threshold,
         )
-        kept = kept.localCheckpoint()  # sig write must see the SAME kept set
+        # both outputs derive from the checkpointed dup_ids inside
+        # incremental_neardup_filter, so the kept text and the signature
+        # corpus always reflect the SAME dup set and the dedup joins run
+        # once per batch (no second lineage replay for the sig write).
         kept.write.mode("overwrite").parquet(
             os.path.join(kept_dir, f"epoch={int(epoch_id)}")
         )

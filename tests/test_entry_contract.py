@@ -31,30 +31,35 @@ def test_queries_dict_leads_with_priority_window():
     assert len(q) == len(QUERIES)  # reordered, never dropped
 
 
-def test_priority_window_covers_family_representatives():
-    """One representative per operator family the round-2 gate never saw:
-    TPC-H, CUBE/ROLLUP/GROUPING SETS, pivot, windows, recursive-CTE graph,
-    SCD2, DQ, packing, mixture, streaming — plus the reference core."""
-    must_have = {
-        # judge-named families (VERDICT r02 item 1)
-        "q3_shipping_priority",          # TPC-H
-        "cube_revenue",                  # CUBE
-        "grouping_sets_revenue",         # GROUPING SETS
-        "pivot_user_event_matrix",       # pivot
-        "running_revenue_per_customer",  # window
-        "order_burst_components",        # recursive-CTE / graph
-        "scd2_customer_versions",        # SCD2
-        "pack_training_shards",          # packing
-        "sample_token_budget_mix",       # mixture
-        "stream_dedup_events",           # streaming dedup
-        # reference core stays in the authoritative artifact
-        "pipeline_work_to_trusted",
-        "jdbc_resync_orders",
-        # the round-2 no-oracle row, now oracled
-        "ann_ivf_topk",
-    }
+def test_priority_window_follows_rotation_policy():
+    """Round-4 rotation (COVERAGE.md policy): the two flagship rows stay
+    pinned, and every catalog query with NO green row in any prior
+    CORRECTNESS artifact (the r01∪r02∪r03 union left 30) is in the
+    window, driving the all-time driver-green union to 123/123."""
     window = set(entry.PRIORITY_WINDOW)
-    assert must_have <= window, f"missing: {must_have - window}"
+    assert {"pipeline_work_to_trusted", "jdbc_resync_orders"} <= window
+
+    never_recorded = {
+        # TPC-H mid-range
+        "q2_min_cost_supplier", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q7_volume_shipping", "q9_product_profit",
+        "q10_returned_items", "q11_important_stock",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_qty_revenue", "q19_discount_revenue_bands",
+        "q20_excess_shippers", "q21_suppliers_kept_waiting",
+        # analytics
+        "supplier_balance_by_nation", "orders_monthly_rollup",
+        "first_last_event_per_user", "funnel_signup_click_purchase",
+        "table_diff_customer_batches", "calendar_dim",
+        "histogram_order_prices", "skew_key_profile_events",
+        "cohort_weekly_retention", "agg_approx_stats",
+        # training-data / graph / embeddings
+        "dedup_cluster_keep_star", "ann_tiled_topk",
+        "sample_weighted_quality", "sketch_merge_daily_users",
+        "embedding_vector_stats",
+    }
+    assert never_recorded <= window, f"missing: {never_recorded - window}"
 
 
 def test_every_priority_query_has_an_oracle():
