@@ -98,18 +98,21 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",
     slide: str | None = None,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Watermarked (sliding) window counts/sums per event_type.
 
     Output: window_start, window_end, event_type, n_events, sum_value.
     State for windows older than the watermark is evicted — bounded
-    memory under unbounded input.
+    memory under unbounded input. Pass ``watermark=None`` when the input
+    already carries one (chained stateful operators — e.g. dedup then
+    window agg — must share a single watermark definition; redefining it
+    mid-graph is an error).
     """
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    wmarked = events.withWatermark("ts", watermark) if watermark else events
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(win.alias("w"), "event_type")
+        wmarked.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),

@@ -486,3 +486,120 @@ class TestAutoComponentsContract:
         )
         got = {(r.id, r.component) for r in connected_components_auto(df).collect()}
         assert got == {(1, 1), (2, 1)}
+
+
+class TestDerivedPartsuppContract:
+    """The Q2/Q11/Q21 derived-partsupp arithmetic (queries_tpch.py:680-731)
+    is only as strong as "Spark arithmetic == DuckDB arithmetic": these
+    properties pin the derivation as total (outputs always land in the
+    documented ranges), deterministic, and ENGINE-INDEPENDENT — the same
+    integers fall out of Python, Spark SQL and DuckDB over random keys far
+    beyond the testdata's range, so an engine upgrade cannot silently fork
+    the oracle twins.
+
+    Domain contract (documented here on purpose): keys are NON-NEGATIVE
+    (TPC-H keys always are). `%` on negative operands is where Python
+    (floor-mod) and SQL engines (truncation-mod) genuinely diverge — the
+    derivation must never be fed negative keys.
+    """
+
+    @SETTINGS
+    @given(
+        pkeys=st.lists(
+            st.integers(0, 2**31 - 1), min_size=1, max_size=30, unique=True
+        ),
+        s=st.integers(4, 10_000),
+    )
+    def test_supplier_cost_qty_three_engine_agreement(self, spark, pkeys, s):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        rows = [(p, i) for p in pkeys for i in range(4)]
+        py = {
+            (p, i): (
+                (p + p // s + i * (s // 4)) % s,
+                (p * 7 + i * 13) % 1000 + 1,
+                (p * 11 + i * 17) % 9999 + 1,
+            )
+            for p, i in rows
+        }
+        # totality: every key maps into the documented ranges
+        for sk, cx, aq in py.values():
+            assert 0 <= sk < s and 1 <= cx <= 1000 and 1 <= aq <= 9999
+
+        df = spark.createDataFrame(rows, "p long, i long").withColumn(
+            "s", F.lit(s).cast("long")
+        )
+        exprs = [
+            "p",
+            "i",
+            (
+                (F.col("p") + F.expr("p div s") + F.col("i") * F.expr("s div 4"))
+                % F.col("s")
+            ).alias("sk"),
+            ((F.col("p") * 7 + F.col("i") * 13) % 1000 + 1).alias("cx"),
+            ((F.col("p") * 11 + F.col("i") * 17) % 9999 + 1).alias("aq"),
+        ]
+        got = {(r.p, r.i): (r.sk, r.cx, r.aq) for r in df.select(*exprs).collect()}
+        assert got == py
+        # determinism: re-evaluating the same plan yields the same integers
+        again = {(r.p, r.i): (r.sk, r.cx, r.aq) for r in df.select(*exprs).collect()}
+        assert again == got
+
+        duck = {
+            (p, i): (sk, cx, aq)
+            for p, i, sk, cx, aq in duckdb.sql(
+                f"""
+                SELECT p, i.i,
+                       (p + p // {s} + i.i * ({s} // 4)) % {s},
+                       (p * 7 + i.i * 13) % 1000 + 1,
+                       (p * 11 + i.i * 17) % 9999 + 1
+                FROM (SELECT CAST(unnest({pkeys!r}) AS BIGINT) AS p),
+                     (VALUES (0),(1),(2),(3)) i(i)
+                """
+            ).fetchall()
+        }
+        assert duck == py
+
+    @SETTINGS
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 2**31 - 1), st.integers(1, 7)),
+            min_size=1,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def test_lateness_predicate_three_engine_agreement(self, spark, pairs):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        py = {
+            (o, l): ((o * 31 + l * 7) % 30) > ((o * 17 + l * 11) % 30)
+            for o, l in pairs
+        }
+        df = spark.createDataFrame(list(pairs), "o long, l long")
+        got = {
+            (r.o, r.l): r.late
+            for r in df.select(
+                "o",
+                "l",
+                (
+                    ((F.col("o") * 31 + F.col("l") * 7) % 30)
+                    > ((F.col("o") * 17 + F.col("l") * 11) % 30)
+                ).alias("late"),
+            ).collect()
+        }
+        assert got == py
+        duck = {
+            (o, l): late
+            for o, l, late in duckdb.sql(
+                f"""
+                SELECT o, l,
+                       (o * 31 + l * 7) % 30 > (o * 17 + l * 11) % 30
+                FROM (SELECT CAST(p[1] AS BIGINT) AS o, CAST(p[2] AS BIGINT) AS l
+                      FROM (SELECT unnest({[list(p) for p in pairs]!r}) AS p) t0) t
+                """
+            ).fetchall()
+        }
+        assert duck == py

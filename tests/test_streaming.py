@@ -271,6 +271,175 @@ class TestCheckpointRecovery:
         assert len(closed) == len(g), "window emitted twice across restart"
 
 
+class TestDisorderScenario:
+    """ONE Kafka-shaped end-to-end scenario (no Kafka in the image; the
+    file source delivers the identical disorder semantics): three
+    micro-batches containing out-of-order, duplicate AND late events,
+    driven through the real operator graphs, asserting in a single run
+    that (a) the watermark drops late data, (b) cross-batch dedup is
+    exactly-once, and (c) stream-stream attribution matches the batch
+    twin over the effective (on-time, deduped) event set — and does NOT
+    match the raw set, proving the drops are real.
+
+    Watermark-lag nuance this scenario encodes (SPARK-40925, verified
+    empirically on this runtime): within micro-batch k the LATE-EVENT
+    filter uses the watermark advanced through batch k-2's data, while
+    state EVICTION/emission uses the one through batch k-1 — so "late"
+    below means late relative to batch 1's 10:40 watermark, which is the
+    filter in effect during batch 3.
+
+    Timeline (watermark delay 10 min everywhere):
+      batch 1: e1 click u1 @10:00 | e2 purchase u1 @10:20 | e3 view u2
+               @10:05 | e4 click u2 @10:40 | e5 view u1 @10:50
+               -> watermark 10:40
+      batch 2 (listed out of order in the file): e7 view u2 @12:00 |
+               e6 purchase u2 @11:05 | e9 purchase u1 @10:55 |
+               dup(e5), dup(e3) [only dedup state can drop them: the
+               late filter during batch 2 is still the initial epoch]
+               -> watermark 11:50
+      batch 3: e10 view u2 @12:30 (spacer: lets the join evict e9's
+               state and advances the late filter to 11:50 for batch 4)
+      batch 4: e8 click u1 @10:30 [LATE — dedup/agg drop it on input;
+               the join has already evicted purchase e9's state, so the
+               (e8 -> e9) attribution the raw data implies never fires]
+               | dup(e7) [cross-batch dedup]
+    """
+
+    EVENTS = [
+        # (event_id, ts, user_id, event_type, value), one tuple per file row
+        [
+            (5, "2024-01-01 10:50:00", 1, "view", 5.0),
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:20:00", 1, "purchase", 2.0),
+            (4, "2024-01-01 10:40:00", 2, "click", 4.0),
+            (3, "2024-01-01 10:05:00", 2, "view", 3.0),
+        ],
+        [
+            (7, "2024-01-01 12:00:00", 2, "view", 7.0),
+            (6, "2024-01-01 11:05:00", 2, "purchase", 6.0),
+            (9, "2024-01-01 10:55:00", 1, "purchase", 9.0),
+            (5, "2024-01-01 10:50:00", 1, "view", 5.0),
+            (3, "2024-01-01 10:05:00", 2, "view", 3.0),
+        ],
+        [
+            (10, "2024-01-01 12:30:00", 2, "view", 10.0),
+        ],
+        [
+            (8, "2024-01-01 10:30:00", 1, "click", 8.0),
+            (7, "2024-01-01 12:00:00", 2, "view", 7.0),
+        ],
+    ]
+
+    @pytest.fixture()
+    def disorder_dir(self, tmp_path):
+        import pandas as pd
+
+        d = tmp_path / "disorder"
+        d.mkdir()
+        for i, rows in enumerate(self.EVENTS):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            pdf["props"] = "{}"
+            path = d / f"batch-{i}.parquet"
+            pdf.to_parquet(path)
+            os.utime(path, (1_700_000_000 + i * 10,) * 2)
+        return str(d)
+
+    def _frame(self, spark, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["props"] = "{}"
+        return spark.createDataFrame(pdf).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_watermark_dedup_attribution_single_run(self, spark, disorder_dir):
+        from etl_complete_with_spark_spark.streaming.ingest import attribute_purchases
+
+        # (b) cross-batch exactly-once dedup: dup(e5)/dup(e7) arrive at or
+        # above the watermark, so only the seen-key state can drop them;
+        # (a) e8 and dup(e3) are below it, so the watermark drops them.
+        dedup = run_to_memory(
+            spark,
+            stream_source(spark, disorder_dir, max_files_per_trigger=1)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicates(["event_id"]),
+            "disorder_dedup",
+            output_mode="append",
+        )
+        got_ids = sorted(r.event_id for r in dedup.collect())
+        assert got_ids == [1, 2, 3, 4, 5, 6, 7, 9, 10]  # each once; e8 late-dropped
+
+        # chained stateful ops: dedup THEN windowed agg. Window
+        # [10:00,11:00) closes when the watermark passes 11:00 (end of
+        # batch 2) and is emitted during batch 3; duplicate e5 must not
+        # inflate `view`, late e8 must not inflate `click`.
+        counts = run_to_memory(
+            spark,
+            windowed_event_counts(
+                stream_source(spark, disorder_dir, max_files_per_trigger=1)
+                .withWatermark("ts", "10 minutes")
+                .dropDuplicates(["event_id"]),
+                window="1 hour",
+                watermark=None,  # chained stateful ops share one watermark
+            ),
+            "disorder_counts",
+            output_mode="append",
+        )
+        emitted = {
+            (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+            for r in counts.collect()
+        }
+        assert emitted == {
+            ("2024-01-01T10:00:00", "click"): (2, 5.0),      # e1+e4, NOT e8
+            ("2024-01-01T10:00:00", "purchase"): (2, 11.0),  # e2+e9
+            ("2024-01-01T10:00:00", "view"): (2, 8.0),       # e3+e5 once each
+            ("2024-01-01T11:00:00", "purchase"): (1, 6.0),   # e6; closed by e10
+        }
+
+        # (c) stream-stream attribution over the SAME disordered source:
+        # e2 attributes to e1 (batch 1), e6 to e4 (batch 2); late e8
+        # never enters join state, so e9 stays unattributed.
+        attrib = run_to_memory(
+            spark,
+            attribute_purchases(
+                stream_source(spark, disorder_dir, max_files_per_trigger=1),
+                window_minutes=30,
+                watermark="10 minutes",
+            ),
+            "disorder_attrib",
+            output_mode="append",
+        )
+        got_pairs = sorted((r.click_id, r.purchase_id) for r in attrib.collect())
+        assert got_pairs == [(1, 2), (4, 6)]
+
+        # batch parity: equal to the batch twin over the EFFECTIVE set
+        # (deduped, late-dropped), unequal to the raw set — the raw twin
+        # additionally attributes (e8 -> e9), proving the stream's
+        # watermark genuinely dropped the late click.
+        # batches 1-3 minus the duplicate rows = events e1..e7, e9, e10
+        effective_rows = {r[0]: r for b in self.EVENTS[:3] for r in b}
+        effective = self._frame(spark, list(effective_rows.values()))
+        batch_pairs = sorted(
+            (r.click_id, r.purchase_id)
+            for r in attribute_purchases(effective, 30, "10 minutes").collect()
+        )
+        assert batch_pairs == got_pairs
+
+        raw = self._frame(spark, [r for b in self.EVENTS for r in b])
+        raw_pairs = sorted(
+            set(
+                (r.click_id, r.purchase_id)
+                for r in attribute_purchases(raw.dropDuplicates(["event_id"]), 30, "10 minutes").collect()
+            )
+        )
+        assert raw_pairs == [(1, 2), (4, 6), (8, 9)]
+
+
 class TestNeardupIngestStream:
     """Continual near-dup ingest (foreachBatch + persistent signature
     table) must produce the same corpus as applying the oracled batch
