@@ -1,0 +1,94 @@
+"""Frequent-items (heavy hitters) via mergeable Misra-Gries summaries.
+
+The reference has no frequency sketches (SURVEY §2 — absent); this is the
+training-data-pipeline operator for "which keys dominate the stream"
+(vocabulary heads, hot users, skewed join keys) at 100 TB without a full
+distinct-key shuffle.
+
+Two-pass design (the standard distributed recipe):
+
+1. **Per-partition Misra-Gries** with ``k`` counters (mapInPandas — the
+   batch merge is the *mergeable-summaries* form of Agarwal et al. 2012:
+   add the batch's vectorized ``value_counts`` to the running summary,
+   then if more than ``k`` counters survive, subtract the (k+1)-th
+   largest count from all and keep positives). Each partition emits at
+   most ``k`` candidate keys. Guarantee: any key with partition-local
+   count > n_p/(k+1) survives its partition's summary, so — by
+   pigeonhole over the partition sum — any key with GLOBAL count >
+   n/(k+1) appears in the union of candidates.
+
+2. **Exact recount of candidates only**: broadcast the candidate set
+   (<= k x n_partitions rows), semi-join the stream, and aggregate
+   exactly. The final filter ``count * (k+1) > n`` is therefore EXACT —
+   the sketch only prunes, it never decides — which is what makes the
+   operator oracle-checkable against plain SQL.
+
+Scale: pass 1 is a zero-shuffle map (summaries are partition-local);
+pass 2 shuffles only rows whose key is in the candidate set instead of
+every distinct key. A naive groupBy-count would shuffle the full key
+space; here the exchange is bounded by the (skew-defined) head.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_partials(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition MG summaries -> (key, est, n_rows) candidate rows
+    plus one per-partition total row (key NULL, est 0, n_rows = rows
+    seen). ``est`` is the (under-)estimate MG maintains — diagnostic
+    only; callers recount exactly."""
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen += len(pdf)
+            counts = pdf[key_col].value_counts()
+            counters = counters.add(counts, fill_value=0).astype("int64")
+            if len(counters) > k:
+                # mergeable-summaries decrement: drop the (k+1)-th largest
+                # count from everyone, keep strictly positive counters
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        out = pd.DataFrame(
+            {"key": counters.index, "est": counters.to_numpy(), "n_rows": 0}
+        )
+        total = pd.DataFrame({"key": [None], "est": [0], "n_rows": [seen]})
+        yield pd.concat([out, total], ignore_index=True)
+
+    return df.select(key_col).mapInPandas(
+        summarize, f"key {key_type}, est long, n_rows long"
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exact phi-heavy hitters (phi = 1/(k+1)): all keys with count >
+    n/(k+1), with exact counts — found without shuffling the full key
+    space. Returns (``key_col``, ``n``, ``share_bp``) where ``share_bp``
+    = floor(10000*n/total), integer basis points (engine-exact).
+    """
+    partials = misra_gries_partials(df, key_col, k)
+    # tiny table (<= (k+1) x partitions rows), two consumers -> pin it
+    partials = partials.localCheckpoint()
+    total = partials.agg(F.sum("n_rows")).collect()[0][0] or 0
+    cand = partials.filter(F.col("key").isNotNull()).select(
+        F.col("key").alias(key_col)
+    ).distinct()
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") * (k + 1) > F.lit(total))
+        .withColumn(
+            "share_bp",
+            F.floor(F.lit(10000.0) * F.col("n") / F.lit(total)).cast("long"),
+        )
+    )

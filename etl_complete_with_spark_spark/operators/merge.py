@@ -25,7 +25,7 @@ which is fine at test scale and is replaced by Delta in production
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .transforms import dedup_by_key
@@ -64,3 +64,36 @@ def merge_upsert(
 
     untouched = target.join(anti_side.select(key), on=key, how="left_anti")
     return source.unionByName(untouched)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed (I/U/D rows) -> final table state.
+
+    The change-data-capture materializer that complements
+    :func:`merge_upsert`: where MERGE folds ONE deduplicated source batch
+    into a target, ``cdc_apply`` folds an ordered *log* of operations —
+    the Debezium/Delta-CDF-shaped input (op in {I,U,D}, monotone ``seq``
+    per key) — into the latest surviving row per key, dropping keys whose
+    latest operation is a delete.
+
+    Requirements: ``seq_col`` totally orders each key's changes (ties
+    would make the result nondeterministic, so the caller must provide a
+    unique sequence — LSN, commit version, offset).
+
+    Scale: one hash-shuffle on ``key_cols`` and a per-key window over the
+    (short) change history — no global window, no collect. At 100 TB the
+    feed is naturally partitioned by key hash and AQE handles key skew.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn", seq_col, op_col)
+    )

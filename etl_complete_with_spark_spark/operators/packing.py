@@ -148,3 +148,22 @@ def global_row_ranks(
         .withColumn(count_col, F.lit(acc).cast("long"))
         .drop("__pid", "__part_off")
     )
+
+
+def ntile_from_rank(rank: "F.Column", n: "F.Column", k: int) -> "F.Column":
+    """SQL ``NTILE(k)`` as pure arithmetic over an exact global rank.
+
+    Standard NTILE semantics: with ``q = n div k`` and ``r = n mod k``,
+    the first ``r`` buckets hold ``q+1`` rows, the rest ``q``. Combined
+    with :func:`global_row_ranks` this gives distribution buckets WITHOUT
+    the single-task global window a bare ``ntile().over(Window.orderBy())``
+    costs — the scalable twin of the oracle's naive formulation.
+    """
+    q = F.floor(n / k)
+    r = n % k
+    head = rank <= r * (q + 1)
+    return (
+        F.when(head, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - r * (q + 1) - 1) / q) + 1)
+        .cast("long")
+    )

@@ -534,3 +534,165 @@ def cosine_topk_blas_tiled(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ADC search
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+):
+    """Deterministic PQ codebooks: the vector is split into ``m``
+    contiguous subspaces and each gets its own L2 k-means codebook
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"). Same driver-sample training recipe as
+    :func:`train_ivf_centroids` (FAISS trains on a slice too): sample =
+    ``sample_rows`` lowest ids, init = first ``n_codes`` subvectors,
+    fixed Lloyd iterations, argmin ties -> lowest code.
+
+    Returns a numpy array (m, n_codes, dim//m).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r.v for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` one-byte codes (argmin-L2 per
+    subspace) -> columns ``code_0..code_{m-1}`` (tinyint).
+
+    At 64 dims / m=4 / 16 codes this is 4 bytes per vector against 256
+    for float32 — the 64x storage compression that lets a 100 TB corpus'
+    index live in cluster memory. One mapInPandas projection, zero
+    shuffle; the argmin is a (batch x n_codes) BLAS distance per
+    subspace.
+    """
+    import numpy as np
+
+    m, _, dsub = codebooks.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "cv")
+
+    code_fields = ", ".join(f"code_{j} tinyint" for j in range(m))
+
+    def encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["cv"].to_numpy())
+            out = {"neighbor_id": pdf["neighbor_id"]}
+            for j in range(m):
+                xs = v[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xs[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                out[f"code_{j}"] = np.argmin(d2, axis=1).astype("int8")
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return c.mapInPandas(encode, f"neighbor_id long, {code_fields}")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN via Asymmetric Distance Computation: the corpus is scanned
+    in COMPRESSED form (m byte codes/vector) and each query carries a
+    per-subspace lookup table ``LUT[j][code] = q_j . c[j][code]``, so the
+    approximate inner product is m table gathers + m-1 adds per
+    candidate — never touching the original vectors.
+
+    This is the memory-bound scan path (FAISS IndexPQ): exact ADC over
+    the full corpus, 64x less data moved than a float scan; compose with
+    IVF posting lists for the sub-linear candidate path. Score = LUT
+    partials accumulated LEFT-TO-RIGHT over j (fixed float association,
+    so the SQL oracle's ordered-list sum reproduces it bit-for-bit),
+    rounded to 4, ranked (score desc, neighbor_id).
+    """
+    import numpy as np
+
+    books = train_pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    q_rows = _prep(queries, id_col, vec_col, "query_id", "qv").collect()
+    q_ids = np.array([int(r.query_id) for r in q_rows])
+    q_mat = np.array([r.qv for r in q_rows])
+    dsub = books.shape[2]
+    # LUT[q, j, code]
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, lut))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, tables = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = [pdf[f"code_{j}"].to_numpy().astype("int64") for j in range(m)]
+            # left-to-right accumulation: ((p0+p1)+p2)+p3 — matches oracle
+            s = tables[:, 0, :][:, codes[0]]
+            for j in range(1, m):
+                s = s + tables[:, j, :][:, codes[j]]
+            n_b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_b),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), len(ids)),
+                    "score": np.round(s.reshape(-1), 4),
+                }
+            )
+
+    scored = encoded.mapInPandas(score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

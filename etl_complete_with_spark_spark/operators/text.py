@@ -162,3 +162,63 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     A rolling/shingled variant lives in dedup.py (MinHash/SimHash).
     """
     return df.withColumn("fingerprint", F.md5(normalized_text(F.col(text_col))))
+
+
+# Stopwords for the Gopher "natural language" rule: the doc must contain at
+# least GOPHER_MIN_STOP_DISTINCT *distinct* members. Public rule set from
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") §A1.1.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_DISTINCT = 2
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules -> one boolean column per rule
+    plus the conjunction ``gopher_keep``.
+
+    Public heuristics from the Gopher paper (Rae et al. 2021, §A1.1),
+    restricted to the rules meaningful for single-line documents (the
+    bullet/ellipsis line-ratio rules need line structure):
+
+    - ``r_word_count``: ``min_words <= n <= max_words``
+    - ``r_mean_word_len``: mean token length in [3, 10] chars
+    - ``r_alpha_ratio``: >= 80% of tokens contain an alphabetic char
+    - ``r_symbol_ratio``: (# of '#' or '...' occurrences) / n < 0.1
+    - ``r_stopwords``: >= 2 distinct GOPHER_STOPWORDS present
+
+    Ratio thresholds are evaluated in cross-multiplied integer form
+    (``3*n <= total_chars <= 10*n`` etc.) — no float division anywhere, so
+    Spark and the DuckDB oracle agree bit-for-bit and the whole pass stays
+    one codegen'd projection (zero shuffle; a free rider on the scan at
+    100 TB, same posture as with_quality_score above).
+    """
+    toks = tokens(F.col(text_col))
+    df = df.withColumn("__gt__", toks)
+    t = F.col("__gt__")
+    n = F.size(t)
+    total_chars = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("int")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(t, F.lower)),
+            F.array([F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_word_len": (total_chars >= 3 * n) & (total_chars <= 10 * n),
+        "r_alpha_ratio": alpha_words * 5 >= n * 4,
+        "r_symbol_ratio": symbols * 10 < n,
+        "r_stopwords": stop_distinct >= GOPHER_MIN_STOP_DISTINCT,
+    }
+    for name, expr in rules.items():
+        df = df.withColumn(name, expr)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return df.withColumn("gopher_keep", keep).drop("__gt__")

@@ -1616,3 +1616,150 @@ def variant_props_stats(spark, sf_dir):
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+    WITH m AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS recency,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT custkey, recency, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency DESC, custkey) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_quartile,
+           CAST(ntile(4) OVER (ORDER BY recency DESC, custkey) * 100
+              + ntile(4) OVER (ORDER BY frequency DESC, custkey) * 10
+              + ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS rfm_segment
+    FROM m
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles). The oracle uses naive global ``ntile(4)`` windows; the
+    Spark side deliberately does NOT — each quartile comes from
+    packing.global_row_ranks (range-partition + 32-row offset collect +
+    per-partition row_number) and packing.ntile_from_rank's pure
+    arithmetic, so no stage ever funnels the customer table through one
+    task. Three ranked passes over a dimension-sized aggregate, exact
+    NTILE semantics, linear at 100 TB."""
+    from .operators.packing import global_row_ranks, ntile_from_rank
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    out = m
+    for metric, name in [("recency", "r_quartile"), ("frequency", "f_quartile"),
+                         ("monetary", "m_quartile")]:
+        ranked = global_row_ranks(
+            m.select("custkey", metric),
+            [F.col(metric).desc(), F.col("custkey").asc()],
+        )
+        q = ranked.select(
+            "custkey", ntile_from_rank(F.col("__rank"), F.col("__n"), 4).alias(name)
+        )
+        out = out.join(q, "custkey")
+    return out.withColumn(
+        "rfm_segment",
+        (F.col("r_quartile") * 100 + F.col("f_quartile") * 10 + F.col("m_quartile")).cast("long"),
+    )
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           CAST(floor(10000.0 * n / sum(n) OVER (PARTITION BY prev_type)) AS BIGINT)
+               AS prob_bp
+    FROM pairs
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag window keyed by user (parallel — no global window),
+    then a count aggregation over the 5x5 state space and transition
+    probabilities in integer basis points (floor(10000*n/total) — no
+    float rounding, engines agree exactly). The per-user sequence shuffle
+    is the only corpus-scale exchange; everything after runs on the
+    state-pair table."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "prob_bp",
+        F.floor(F.lit(10000.0) * F.col("n") / F.sum("n").over(w_prev)).cast("long"),
+    )
+
+
+@query(
+    "cdc_apply_orders",
+    """
+    WITH ins AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice AS price, 0 AS seq, 'I' AS op
+        FROM orders),
+    upd AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               round(o_totalprice + 500.0, 2) AS price, 1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 3 = 0),
+    del AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice AS price, 2 AS seq, 'D' AS op
+        FROM orders WHERE o_orderkey % 7 = 0),
+    ch AS (
+        SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM ch)
+    SELECT o_orderkey, o_custkey, o_orderstatus, price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_orders(spark, sf_dir):
+    """CDC change-feed materialization (operators/merge.cdc_apply): a
+    Debezium/Delta-CDF-shaped log of I/U/D operations folded into final
+    table state — latest op per key wins, delete-last keys dropped. The
+    feed here is derived deterministically from orders (insert all,
+    update every 3rd key, delete every 7th) so the oracle replays the
+    identical log in SQL. One key-hash shuffle + short per-key window;
+    no global ordering anywhere."""
+    from .operators.merge import cdc_apply
+
+    o = load(spark, sf_dir, "orders")
+    ins = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("seq"), F.lit("I").alias("op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 500.0, 2).alias("price"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.lit(2).alias("seq"), F.lit("D").alias("op"),
+    )
+    feed = ins.unionByName(upd).unionByName(dele)
+    return cdc_apply(feed, ["o_orderkey"], seq_col="seq", op_col="op")

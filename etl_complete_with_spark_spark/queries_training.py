@@ -1960,3 +1960,239 @@ def bpe_top_pairs(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+_GOPHER_STOPLIST = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(tk) AS n,
+               coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS total_chars,
+               len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS symbols,
+               len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+                                  [{_GOPHER_STOPLIST}])) AS stop_distinct
+        FROM t)
+    SELECT doc_id,
+           (n >= 50 AND n <= 100000) AS r_word_count,
+           (total_chars >= 3 * n AND total_chars <= 10 * n) AS r_mean_word_len,
+           (alpha_words * 5 >= n * 4) AS r_alpha_ratio,
+           (symbols * 10 < n) AS r_symbol_ratio,
+           (stop_distinct >= 2) AS r_stopwords,
+           ((n >= 50 AND n <= 100000)
+            AND (total_chars >= 3 * n AND total_chars <= 10 * n)
+            AND (alpha_words * 5 >= n * 4)
+            AND (symbols * 10 < n)
+            AND (stop_distinct >= 2)) AS gopher_keep
+    FROM s
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-filter rules (operators/text.with_gopher_rules):
+    the public Rae et al. 2021 §A1.1 heuristics as per-document booleans
+    plus the conjunction keep-flag. All thresholds are evaluated in
+    cross-multiplied integer form (no float division), so the DuckDB twin
+    matches bit-for-bit; the whole pass is one codegen'd projection —
+    zero shuffle, a free rider on the corpus scan at 100 TB."""
+    df = TX.with_gopher_rules(load(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "r_word_count", "r_mean_word_len", "r_alpha_ratio",
+        "r_symbol_ratio", "r_stopwords", "gopher_keep",
+    )
+
+
+def _pq_codebooks_numpy(sf_dir: str, m=4, n_codes=16, sample_rows=2048, iters=5):
+    """Pure-numpy twin of similarity.train_pq_codebooks (same recipe:
+    lowest-id sample, first-n init, fixed Lloyd iterations, argmin ties
+    to the lowest code) over the parquet file directly — no Spark."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.sort_by("vec_id").slice(0, sample_rows).to_pandas()
+    x = np.array([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    dsub = x.shape[1] // m
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_oracle(m=16, n_codes=16, k=10) -> str | None:
+    """Exact SQL twin of pq_adc_topk(m=16, n_codes=16): retrains the
+    deterministic codebooks in pure numpy, embeds them as literals, then
+    replays encoding (argmin-L2 per subspace, ties to lowest code) and
+    ADC scoring in SQL. The per-(query,neighbor) partials are summed via
+    a j-ORDERED list — (((p0+p1)+p2)+...), the same left-to-right float
+    association the Spark side accumulates — so no summation-order drift.
+    Same rows-only downgrade contract as _ivf_oracle on unreadable
+    parquet."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        books = _pq_codebooks_numpy(sf_dir, m, n_codes)
+    except Exception as exc:  # noqa: BLE001 — see _ivf_oracle
+        import sys
+
+        print(f"_pq_oracle: rows-only fallback ({exc})", file=sys.stderr)
+        return None
+    dsub = books.shape[2]
+    # left-associated partial sum: (((ps[1]+ps[2])+ps[3])+...)
+    sum_expr = "ps[1]"
+    for j in range(2, m + 1):
+        sum_expr = f"({sum_expr} + ps[{j}])"
+    cb_rows = ",\n        ".join(
+        f"({j}, {c}, [{', '.join(repr(float(v)) for v in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb(j, code, c) AS (VALUES
+        {cb_rows}),
+    js AS (SELECT unnest(range({m})) AS j),
+    sub AS (
+        SELECT e.vec_id, js.j,
+               list_slice(e.v, js.j * {dsub} + 1, (js.j + 1) * {dsub}) AS sv
+        FROM e, js),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT sub.vec_id, sub.j, cb.code, row_number() OVER (
+                PARTITION BY sub.vec_id, sub.j
+                ORDER BY list_distance(sub.sv, cb.c), cb.code) AS rn
+            FROM sub JOIN cb USING (j)) WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.j, cb.code,
+               list_inner_product(q.sv, cb.c) AS p
+        FROM sub q JOIN cb USING (j) WHERE q.vec_id < 5),
+    parts AS (
+        SELECT l.query_id, enc.vec_id AS neighbor_id, list(l.p ORDER BY l.j) AS ps
+        FROM enc JOIN lut l ON enc.j = l.j AND enc.code = l.code
+        WHERE enc.vec_id <> l.query_id
+        GROUP BY l.query_id, enc.vec_id),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({sum_expr}, 4) AS score
+        FROM parts)
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) <= {k}
+    """
+
+
+@query("ann_pq_topk", _pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.pq_adc_topk):
+    64-dim vectors -> 16 subspace codebooks of 16 centroids -> 16 BYTES
+    per corpus vector (16x compression; recall@10 0.54 on this
+    adversarially-uniform corpus), searched compressed-domain via ADC
+    lookup tables (Jégou et al. 2011 / FAISS IndexPQ). The corpus scan
+    moves only codes; each candidate costs 16 table gathers + 15 adds. The
+    oracle retrains the deterministic codebooks in numpy and replays
+    encoding + ADC in SQL with the identical float association."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, m=16, n_codes=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "heavy_hitter_tokens",
+    f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM w),
+    c AS (SELECT token, count(*) AS cnt FROM w GROUP BY token)
+    SELECT token, CAST(cnt AS BIGINT) AS n,
+           CAST(floor(10000.0 * cnt / tot.n) AS BIGINT) AS share_bp
+    FROM c, tot WHERE cnt * 30 > tot.n
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact phi-heavy hitters over the corpus token stream
+    (operators/frequency.heavy_hitters, phi=1/30): per-partition
+    Misra-Gries summaries (mergeable-summaries batch merge, zero
+    shuffle) nominate candidates; only candidate rows are recounted
+    exactly, so the final 'count*30 > n' filter is exact and the naive
+    full-groupBy oracle hash-matches. At 100 TB the exchange is bounded
+    by the head keys, not the vocabulary."""
+    from .operators.frequency import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=29)
+
+
+def _pagerank_oracle(iters=5, damping=85, scale=10**9) -> str:
+    """Chained-CTE replay of pagerank_fixed_point over the customer <->
+    supplier order graph: identical integer arithmetic (DuckDB ``//`` ==
+    Spark ``div`` on BIGINT), one CTE per power iteration."""
+    teleport = (scale * (100 - damping)) // 100
+    ctes = [
+        f"""base AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (
+        SELECT cust AS src, 10000000 + supp AS dst FROM base
+        UNION ALL
+        SELECT 10000000 + supp AS src, cust AS dst FROM base),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+        SELECT n.node,
+               CAST({teleport} + coalesce(sum((r.rank * {damping}) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+        FROM nodes n
+        LEFT JOIN e ON e.dst = n.node
+        LEFT JOIN r{i-1} r ON r.node = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.node)""")
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank FROM r{iters}"
+
+
+@query("pagerank_suppliers", _pagerank_oracle())
+def pagerank_suppliers(spark, sf_dir):
+    """PageRank over the bipartite customer<->supplier graph implied by
+    orders (operators/graph.pagerank_fixed_point, 5 power iterations,
+    damping 0.85) in scaled-integer arithmetic — bit-identical across
+    engines/partitionings because integer sums are order-independent,
+    unlike float PageRank whose shuffle-order ulp drift compounds per
+    iteration. Supplier nodes are offset by 10M to disambiguate the two
+    key spaces. The oracle replays the identical integer recurrence as
+    chained CTEs."""
+    from .operators.graph import pagerank_fixed_point
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    fwd = base.select(
+        F.col("cust").alias("src"), (F.lit(10_000_000) + F.col("supp")).alias("dst")
+    )
+    rev = base.select(
+        (F.lit(10_000_000) + F.col("supp")).alias("src"), F.col("cust").alias("dst")
+    )
+    return pagerank_fixed_point(fwd.unionByName(rev), iters=5)

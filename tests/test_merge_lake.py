@@ -335,3 +335,39 @@ class TestDeltaBranch:
         )
         out = {r.sk: r.v for r in spark.read.parquet(base).collect()}
         assert out == {"a": 1, "b": 20, "c": 99, "d": 4}
+
+
+class TestCdcApply:
+    def _feed(self, spark):
+        return spark.createDataFrame(
+            [
+                # key 1: insert then update -> survives with v=11
+                (1, 10, 0, "I"), (1, 11, 1, "U"),
+                # key 2: insert then delete -> gone
+                (2, 20, 0, "I"), (2, 20, 1, "D"),
+                # key 3: insert, delete, re-insert -> survives with v=31
+                (3, 30, 0, "I"), (3, 30, 1, "D"), (3, 31, 2, "I"),
+                # key 4: bare delete (tombstone for unseen key) -> gone
+                (4, 40, 0, "D"),
+            ],
+            "k long, v long, seq long, op string",
+        )
+
+    def test_latest_op_wins_and_deletes_drop(self, spark):
+        from etl_complete_with_spark_spark.operators.merge import cdc_apply
+
+        out = cdc_apply(self._feed(spark), ["k"]).collect()
+        assert {(r.k, r.v) for r in out} == {(1, 11), (3, 31)}
+
+    def test_seq_and_op_cols_dropped(self, spark):
+        from etl_complete_with_spark_spark.operators.merge import cdc_apply
+
+        out = cdc_apply(self._feed(spark), ["k"])
+        assert out.columns == ["k", "v"]
+
+    def test_no_global_window(self, spark):
+        from etl_complete_with_spark_spark import plans as P
+        from etl_complete_with_spark_spark.operators.merge import cdc_apply
+
+        plan = P.physical_plan(cdc_apply(self._feed(spark), ["k"]))
+        assert "partitionBy=[]" not in plan.replace(" ", "")

@@ -63,3 +63,30 @@ class TestShardPacking:
         for line in plan.splitlines():
             if "Window" in line and "windowspecdefinition" in line.lower():
                 assert "partitionBy=[]" not in line.replace(" ", ""), line
+
+
+class TestNtileFromRank:
+    def test_matches_sql_ntile_all_sizes(self, spark):
+        """Closed-form NTILE == Spark's window ntile for n=1..40, k in {2,3,4,7}."""
+        from etl_complete_with_spark_spark.operators.packing import (
+            global_row_ranks,
+            ntile_from_rank,
+        )
+        from pyspark.sql import Window
+
+        for n, k in [(1, 4), (3, 4), (4, 4), (5, 4), (40, 7), (17, 3), (8, 2)]:
+            df = spark.range(n).withColumnRenamed("id", "v")
+            ranked = global_row_ranks(df, [F.col("v").asc()])
+            got = {
+                r.v: r.b
+                for r in ranked.select(
+                    "v", ntile_from_rank(F.col("__rank"), F.col("__n"), k).alias("b")
+                ).collect()
+            }
+            want = {
+                r.v: r.b
+                for r in df.select(
+                    "v", F.ntile(k).over(Window.orderBy("v")).alias("b")
+                ).collect()
+            }
+            assert got == want, (n, k)

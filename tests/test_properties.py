@@ -603,3 +603,47 @@ class TestDerivedPartsuppContract:
             ).fetchall()
         }
         assert duck == py
+
+
+class TestPagerankFixedPoint:
+    def _ranks(self, spark, edges, **kw):
+        from etl_complete_with_spark_spark.operators.graph import pagerank_fixed_point
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.rank for r in pagerank_fixed_point(df, **kw).collect()}
+
+    def test_symmetric_graph_equal_ranks(self, spark):
+        # 3-cycle, undirected: perfect symmetry -> identical ranks
+        e = [(a, b) for a, b in [(1, 2), (2, 3), (3, 1)]]
+        e += [(b, a) for a, b in list(e)]
+        r = self._ranks(spark, e)
+        assert len(set(r.values())) == 1
+
+    def test_hub_dominates_star(self, spark):
+        # undirected star 0-{1..5}: hub collects 5 spokes' mass
+        e = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+        r = self._ranks(spark, e)
+        assert r[0] > max(r[i] for i in range(1, 6)) * 2
+
+    def test_mass_conserved_up_to_floor_loss(self, spark):
+        e = [(0, 1), (1, 2), (2, 0), (1, 0), (2, 1), (0, 2)]
+        r = self._ranks(spark, e, iters=3)
+        total, scale = sum(r.values()), 10**9
+        # integer floors only ever LOSE mass, bounded by iters * edges
+        assert total <= 3 * scale
+        assert total >= 3 * scale - 3 * len(e) * 10
+
+    def test_partitioning_invariant_bit_exact(self, spark):
+        import random
+
+        rng = random.Random(3)
+        base = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+        e = [(a, b) for a, b in base if a != b]
+        e += [(b, a) for a, b in list(e)]
+        df1 = spark.createDataFrame(e, "src long, dst long").repartition(1)
+        df13 = spark.createDataFrame(list(reversed(e)), "src long, dst long").repartition(13)
+        from etl_complete_with_spark_spark.operators.graph import pagerank_fixed_point
+
+        r1 = {r.node: r.rank for r in pagerank_fixed_point(df1).collect()}
+        r13 = {r.node: r.rank for r in pagerank_fixed_point(df13).collect()}
+        assert r1 == r13  # integer arithmetic: no shuffle-order drift

@@ -586,3 +586,68 @@ class TestBpe:
 
         wf = [("abab", 3), ("baba", 3)]  # heavy ties -> lexicographic break
         assert bpe_train(wf, 2) == bpe_train(list(reversed(wf)), 2)
+
+
+class TestPq:
+    def test_codes_compact_and_in_range(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        books = train_pq_codebooks(emb, m=4, n_codes=16)
+        assert books.shape == (4, 16, 16)
+        enc = pq_encode(emb, books)
+        assert [f.dataType.simpleString() for f in enc.schema.fields[1:]] == ["tinyint"] * 4
+        stats = enc.agg(
+            *[F.min(f"code_{j}").alias(f"lo{j}") for j in range(4)],
+            *[F.max(f"code_{j}").alias(f"hi{j}") for j in range(4)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert stats.n == emb.count()
+        for j in range(4):
+            assert 0 <= stats[f"lo{j}"] and stats[f"hi{j}"] < 16
+
+    def test_adc_recall_floor_vs_brute_force(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.similarity import (
+            cosine_topk,
+            pq_adc_topk,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        brute = set(
+            (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()
+        )
+        pq = set(
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(emb, q, k=10, m=16, n_codes=16).collect()
+        )
+        # recall 0.54 measured on this near-uniform corpus; floor well above chance
+        assert len(pq & brute) / len(brute) >= 0.4
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from etl_complete_with_spark_spark.operators.similarity import pq_adc_topk
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, pq_adc_topk(emb, q, k=5).collect()))
+        b = sorted(map(tuple, pq_adc_topk(emb, q, k=5).collect()))
+        assert a == b
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest
+
+        from etl_complete_with_spark_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 6) for i in range(20)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq_codebooks(df, m=4, n_codes=4)
