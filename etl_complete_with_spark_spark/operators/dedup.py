@@ -803,3 +803,73 @@ def embedding_neardup_pairs_blas_tiled(
                 yield pd.DataFrame({"id1": lo, "id2": hi, "cosine": cos})
 
     return pairs.mapInPandas(score, "id1 long, id2 long, cosine double")
+
+
+# ---------------------------------------------------------------------------
+# Repeated-n-gram corpus profiling (hashed-window substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def duplicate_ngram_profile(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 77,
+) -> DataFrame:
+    """Per-document duplicated-passage profile: how much of each doc's
+    token stream appears VERBATIM elsewhere in the corpus.
+
+    The Spark-friendly form of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — there
+    built on suffix arrays, which don't distribute): every overlapping
+    ``n``-token window is hashed to 60 bits; a window is *duplicated* if
+    its hash occurs >= 2 times corpus-wide (within OR across documents —
+    a doc-internal verbatim repeat is exactly as harmful to an LM).
+
+    Returns (id, ``n_windows``, ``n_dup_windows``, ``dup_ratio_bp``)
+    with the ratio in integer basis points; docs shorter than ``n``
+    tokens have zero windows. Downstream policy (drop doc / cut spans /
+    downweight) is the caller's.
+
+    Scale: two shuffles, both carrying 8-byte window hashes and never
+    text — (1) count by hash, (2) re-join counts to postings, then a
+    per-doc aggregate. Postings are |tokens| rows, the same order as the
+    shingle tables in the MinHash path; with hot boilerplate windows the
+    count table is skew-safe (AQE) because the join key is the hash
+    itself.
+    """
+    from .text import normalized_text
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(windows).alias("w"))
+        .withColumn("h", md5_hash60(F.col("w"), seed))
+        .select("id", "h")
+    )
+    # null h <=> the doc had zero windows (explode_outer kept the row)
+    postings = postings.localCheckpoint(eager=False)  # two consumers below
+    counts = postings.filter(F.col("h").isNotNull()).groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = (
+        postings.join(counts, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("h")).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_ratio_bp",
+        F.when(F.col("n_windows") == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(10000.0) * F.col("n_dup_windows") / F.col("n_windows")))
+        .cast("long"),
+    )

@@ -92,3 +92,85 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
             F.floor(F.lit(10000.0) * F.col("n") / F.lit(total)).cast("long"),
         )
     )
+
+
+def countmin_partials(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256, seed: int = 11
+) -> DataFrame:
+    """Per-partition Count-Min sketches -> (j, cell, cnt) rows.
+
+    Each partition builds a local depth x width counter array (cells
+    updated per DISTINCT key per batch via vectorized value_counts — the
+    md5 row-hashes cost |batch vocab| x depth digests, not |rows|), then
+    emits its non-zero cells. CM sketches merge by cell-wise addition,
+    so a groupBy(j, cell).sum over these rows IS the corpus sketch —
+    the same mergeable-summary shape as misra_gries_partials and the
+    HLL daily-rollup entry.
+    """
+    import hashlib
+
+    def cell_of(key, j: int) -> int:
+        digest = hashlib.md5(f"{key}#{seed}#{j}".encode()).hexdigest()
+        return int(digest[:15], 16) % width
+
+    def sketch(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells = np.zeros((depth, width), dtype="int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, cnt in pdf[key_col].value_counts().items():
+                for j in range(depth):
+                    cells[j, cell_of(key, j)] += int(cnt)
+        j_idx, c_idx = np.nonzero(cells)
+        yield pd.DataFrame(
+            {"j": j_idx.astype("int32"), "cell": c_idx.astype("int32"),
+             "cnt": cells[j_idx, c_idx]}
+        )
+
+    out = df.select(key_col).mapInPandas(sketch, "j int, cell int, cnt long")
+    return out
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    probe_keys: list,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Point-frequency estimates for ``probe_keys`` from a merged
+    Count-Min sketch: est(key) = min over rows j of cell(j, h_j(key)).
+
+    Guarantees (Cormode & Muthukrishnan 2005): est >= true count always
+    (collisions only ever ADD); est <= true + excess where the excess is
+    n/width in expectation per row and the min over ``depth``
+    independent rows makes large excess exponentially unlikely. The
+    merged sketch is depth x width cells REGARDLESS of corpus size —
+    the driver collect here is bounded at 1024 longs, never data.
+
+    Returns a DataFrame (``key_col``, est long).
+    """
+    import hashlib
+
+    merged = (
+        countmin_partials(df, key_col, depth, width, seed)
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    cells = {(r.j, r.cell): r.cnt for r in merged}
+
+    def cell_of(key, j: int) -> int:
+        digest = hashlib.md5(f"{key}#{seed}#{j}".encode()).hexdigest()
+        return int(digest[:15], 16) % width
+
+    rows = [
+        (k, min(cells.get((j, cell_of(k, j)), 0) for j in range(depth)))
+        for k in probe_keys
+    ]
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(rows, f"{key_col} {key_type}, est long")

@@ -1763,3 +1763,46 @@ def cdc_apply_orders(spark, sf_dir):
     )
     feed = ins.unionByName(upd).unionByName(dele)
     return cdc_apply(feed, ["o_orderkey"], seq_col="seq", op_col="op")
+
+
+@query(
+    "sketch_countmin_users",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS est_ge_exact,
+           TRUE AS est_within_bound
+    FROM events WHERE user_id < 10 GROUP BY user_id
+    """,
+)
+def sketch_countmin_users(spark, sf_dir):
+    """Count-Min point-frequency sketch (operators/frequency.countmin_*,
+    Cormode & Muthukrishnan 2005) under the accuracy-contract pattern:
+    per-partition 4x256 sketches merged by cell-wise sum (a
+    corpus-size-independent 1KB of state — the same mergeable shape as
+    the HLL and Misra-Gries entries), probed for ten user ids. Spark
+    emits the EXACT counts plus the two CM guarantees as booleans
+    (one-sided overestimate; excess <= 4n/width, loose enough that the
+    4-row min makes failure on fixed data a real regression); the
+    oracle asserts exact counts and literal TRUE."""
+    import math
+
+    from .operators.frequency import countmin_estimates
+
+    ev = load(spark, sf_dir, "events")
+    probes = list(range(10))
+    n_total = ev.count()
+    width = 256
+    bound = math.ceil(4 * n_total / width)
+    est = countmin_estimates(ev, "user_id", probes, depth=4, width=width)
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return exact.join(F.broadcast(est), "user_id").select(
+        "user_id",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+        (F.col("est") <= F.col("exact_n") + F.lit(bound)).alias("est_within_bound"),
+    )

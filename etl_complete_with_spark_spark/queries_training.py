@@ -2196,3 +2196,103 @@ def pagerank_suppliers(spark, sf_dir):
         (F.lit(10_000_000) + F.col("supp")).alias("src"), F.col("cust").alias("dst")
     )
     return pagerank_fixed_point(fwd.unionByName(rev), iters=5)
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        FROM events),
+    g AS (
+        SELECT *, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Gap-based session windows via Structured Streaming's
+    ``session_window`` (streaming/ingest.sessionize — dynamic-gap state
+    merged incrementally per micro-batch), driven to completion on the
+    bounded file source. The oracle is the batch lag-island equivalent:
+    a session splits exactly when the inter-event gap >= 30 min and
+    closes at last_event + gap — stream-batch parity is the correctness
+    contract, same as stream_windowed_counts. Note the tie-safe island
+    sum: events sharing a timestamp merge in both formulations."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.ingest import sessionize, stream_source
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = stream_source(spark, stage)
+    name = f"ssz_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).withColumn("n_events", F.col("n_events").cast("long"))
+
+
+@query(
+    "corpus_dup_ngram_profile",
+    f"""
+    WITH norm AS (SELECT doc_id AS id, {_NORM_TOKS} AS tk FROM documents),
+    w0 AS (
+        SELECT id,
+               [array_to_string(list_slice(tk, i, i + 7), ' ')
+                for i in range(1, len(tk) - 6)] AS ws
+        FROM norm),
+    p AS (
+        SELECT id, {_hash60_sql('wn', 77)} AS h
+        FROM (SELECT id, unnest(ws) AS wn FROM w0)),
+    counts AS (SELECT h, count(*) AS cnt FROM p GROUP BY h),
+    perdoc AS (
+        SELECT id, count(*) AS n_windows,
+               sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS ndup
+        FROM p JOIN counts USING (h) GROUP BY id)
+    SELECT n.id AS doc_id,
+           CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(pd.ndup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0
+                     ELSE floor(10000.0 * pd.ndup / pd.n_windows) END AS BIGINT)
+               AS dup_ratio_bp
+    FROM norm n LEFT JOIN perdoc pd ON pd.id = n.id
+    """,
+)
+def corpus_dup_ngram_profile(spark, sf_dir):
+    """Repeated-passage profiling (operators/dedup.duplicate_ngram_profile):
+    the distributable form of Lee et al. 2021's exact-substring dedup —
+    every overlapping 8-token window hashed to 60 bits, a window counted
+    as duplicated when its hash occurs >= 2x corpus-wide, per-doc ratios
+    in basis points. Suffix arrays don't shard; hashed windows shuffle 8
+    bytes each and the whole pass is two hash aggregations + one join."""
+    from .operators.dedup import duplicate_ngram_profile
+
+    out = duplicate_ngram_profile(load(spark, sf_dir, "documents"), n=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_ratio_bp"
+    )

@@ -57,3 +57,56 @@ class TestMisraGries:
     def test_empty_input(self, spark):
         df = spark.createDataFrame([], "k string")
         assert heavy_hitters(df, "k", k=3).count() == 0
+
+
+class TestCountMin:
+    def test_never_underestimates_and_exact_when_sparse(self, spark):
+        from collections import Counter
+
+        from etl_complete_with_spark_spark.operators.frequency import (
+            countmin_estimates,
+        )
+
+        keys = ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"]
+        exact = Counter(keys)
+        df = _stream(spark, keys, partitions=3)
+        est = {
+            r.k: r.est
+            for r in countmin_estimates(df, "k", ["a", "b", "c", "d", "zz"]).collect()
+        }
+        for key in "abcd":
+            assert est[key] >= exact[key]
+        # 4 distinct keys in 4x256 cells: collisions impossible to matter
+        assert est == {"a": 50, "b": 30, "c": 5, "d": 1, "zz": 0}
+
+    def test_merge_equals_single_partition(self, spark):
+        """Cell-wise mergeability: estimates are partitioning-invariant."""
+        import random
+
+        from etl_complete_with_spark_spark.operators.frequency import (
+            countmin_estimates,
+        )
+
+        rng = random.Random(5)
+        keys = [f"k{rng.randrange(300)}" for _ in range(3000)]
+        probes = [f"k{i}" for i in range(10)]
+        e1 = {r.k: r.est for r in countmin_estimates(_stream(spark, keys, 1), "k", probes).collect()}
+        e8 = {r.k: r.est for r in countmin_estimates(_stream(spark, keys, 8), "k", probes).collect()}
+        assert e1 == e8
+
+    def test_overestimate_bounded_under_collision_load(self, spark):
+        import random
+        from collections import Counter
+
+        from etl_complete_with_spark_spark.operators.frequency import (
+            countmin_estimates,
+        )
+
+        rng = random.Random(11)
+        keys = [f"k{rng.randrange(2000)}" for _ in range(6000)]  # >> width
+        exact = Counter(keys)
+        probes = [f"k{i}" for i in range(20)]
+        est = {r.k: r.est for r in countmin_estimates(_stream(spark, keys, 4), "k", probes).collect()}
+        bound = 4 * 6000 // 256  # documented loose contract bound
+        for p in probes:
+            assert exact[p] <= est[p] <= exact[p] + bound

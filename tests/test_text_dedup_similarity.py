@@ -651,3 +651,41 @@ class TestPq:
         )
         with pytest.raises(ValueError, match="not divisible"):
             train_pq_codebooks(df, m=4, n_codes=4)
+
+
+class TestDuplicateNgramProfile:
+    def _profile(self, spark, rows, n=3):
+        from etl_complete_with_spark_spark.operators.dedup import (
+            duplicate_ngram_profile,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.id: r for r in duplicate_ngram_profile(df, n=n).collect()}
+
+    def test_cross_doc_verbatim_passage_detected(self, spark):
+        shared = "alpha beta gamma delta"
+        rows = [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared} nine eight"),
+            (3, "totally different words here now"),
+        ]
+        p = self._profile(spark, rows, n=3)
+        # "alpha beta gamma" and "beta gamma delta" are shared 3-grams
+        assert p[1].n_dup_windows == 2 and p[2].n_dup_windows == 2
+        assert p[3].n_dup_windows == 0
+        assert p[1].n_windows == 5 and p[3].n_windows == 3
+
+    def test_doc_internal_repeat_counts(self, spark):
+        p = self._profile(spark, [(1, "x y z x y z")], n=3)
+        # windows: xyz yzx zxy xyz -> 'x y z' occurs twice -> 2 dup windows
+        assert p[1].n_windows == 4 and p[1].n_dup_windows == 2
+        assert p[1].dup_ratio_bp == 5000
+
+    def test_short_and_empty_docs_zero_windows(self, spark):
+        p = self._profile(spark, [(1, "a b"), (2, "   "), (3, "")], n=3)
+        for i in (1, 2, 3):
+            assert p[i].n_windows == 0 and p[i].dup_ratio_bp == 0
+
+    def test_normalization_case_and_whitespace(self, spark):
+        p = self._profile(spark, [(1, "Foo  Bar Baz"), (2, "foo bar   baz")], n=3)
+        assert p[1].n_dup_windows == 1 and p[2].n_dup_windows == 1
