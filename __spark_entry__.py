@@ -31,8 +31,8 @@ PRIORITY_WINDOW: list[str] = [
     # always-pinned flagship + live-JDBC rows
     "pipeline_work_to_trusted",
     "jdbc_resync_orders",
-    # --- the 30 queries with NO row in any prior CORRECTNESS artifact
-    # (r01∪r02∪r03 union = 93/123; this round closes the gap to 123).
+    # --- the 40 queries with NO row in any prior CORRECTNESS artifact
+    # (r01∪r02∪r03 union = 93/133; this round closes the gap to 133).
     # TPC-H mid-range (§2.4b)
     "q2_min_cost_supplier",
     "q5_local_supplier_volume",
@@ -60,32 +60,33 @@ PRIORITY_WINDOW: list[str] = [
     "skew_key_profile_events",
     "cohort_weekly_retention",
     "agg_approx_stats",
+    "rfm_customer_segments",
+    "markov_event_transitions",
+    "cdc_apply_orders",
+    "sketch_countmin_users",
     # training-data / graph / embeddings not yet externally recorded
     "dedup_cluster_keep_star",
     "ann_tiled_topk",
+    "ann_pq_topk",
     "sample_weighted_quality",
     "sketch_merge_daily_users",
     "embedding_vector_stats",
+    "text_gopher_rules",
+    "heavy_hitter_tokens",
+    "pagerank_suppliers",
+    "stream_sessionize",
+    "corpus_dup_ngram_profile",
+    # round-4 additions (also never recorded)
+    "dedup_containment",
+    "knn_label_vote",
+    "bm25_doc_search",
+    "triangle_coorder_parts",
+    "sketch_quantile_bottomk",
+    "ewma_user_value",
     # --- fillers: entries with exactly one prior green row, diverse
     # families, so repeat evidence accrues where it is thinnest.
-    "emb_gram_int8",
-    "ann_int8_topk",
-    "emb_label_centroids",
-    "text_unigram_lm_score",
     "dedup_semantic_cluster",
-    "fuzzy_match_part_names",
-    "jsonl_roundtrip_orders",
-    "table_profile_orders",
-    "grouped_user_stats",
-    "json_extract_props",
-    "stream_static_enrich",
-    "decontaminate_ngram_overlap",
-    "sample_token_budget_mix",
     "agg_approx_accuracy",
-    "order_burst_components",
-    "variant_props_stats",
-    "scd2_customer_versions",
-    "dq_orders_expectations",
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has

@@ -873,3 +873,57 @@ def duplicate_ngram_profile(
         .otherwise(F.floor(F.lit(10000.0) * F.col("n_dup_windows") / F.col("n_windows")))
         .cast("long"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Document pairs where the smaller shingle set is nearly CONTAINED in
+    the larger: max-containment = |A ∩ B| / min(|A|, |B|) >= threshold.
+
+    Asymmetric-overlap dedup: a short document quoted verbatim inside a
+    long one has high containment but low symmetric Jaccard (the union is
+    dominated by the long side), so Jaccard-threshold dedup misses
+    boilerplate-wrapped copies, quote extractions, and subset scrapes.
+    Broder's containment coefficient is the standard fix.
+
+    Same plan shape (and scale posture) as :func:`ngram_jaccard_pairs`:
+    60-bit hashed shingle postings, stop-shingle frequency cap to kill f²
+    join blow-up, id1 < id2 self-join, per-doc set sizes joined back.
+    Returns (id1, id2, containment).
+    """
+    posting = explode_shingles(df, id_col, text_col, n).select(
+        "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
+    )
+    posting = posting.localCheckpoint(eager=False)
+    sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_shingle_freq is not None:
+        freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        posting = posting.join(
+            freq.filter(F.col("df_") <= max_shingle_freq), "shingle"
+        ).drop("df_")
+    a = posting.select(F.col("id").alias("id1"), "shingle")
+    b = posting.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n1", "n2"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )

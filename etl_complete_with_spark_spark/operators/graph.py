@@ -375,3 +375,81 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count via the degree-ordered node-iterator join.
+
+    Returns a single-row DataFrame ``(n_nodes, n_edges, n_triangles)``
+    over the undirected simple graph induced by ``edges`` (self-loops
+    dropped, direction and duplicates collapsed).
+
+    Scale design: each undirected edge is *oriented* from its lower to
+    its higher endpoint under the total order (degree, id). Orientation
+    makes the graph a DAG in which every triangle ``a < b < c`` appears
+    as exactly the edge pattern ``a->b, a->c, b->c``, so summing
+    ``|N_out(u) ∩ N_out(v)|`` over oriented edges ``(u, v)`` counts each
+    triangle exactly once. The out-neighborhoods are materialized as
+    per-vertex sorted arrays — bounded by O(sqrt(m)) elements under
+    degree orientation, so a row never blows up on hub vertices — and
+    the count is two joins of the edge list against that adjacency
+    table plus an array intersection per edge. Versus the classic
+    wedge-enumeration join (generate all N_out(u)² wedge rows, probe
+    the edge set), this never shuffles the O(m^1.5) wedge stream: the
+    shuffled volume stays O(m · sqrt(m) worst case, O(m · avg_outdeg)
+    typical) inside array payloads, with the intersection done
+    map-side. Everything is joins + aggregates, no driver-side state.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    # three consumers (degrees, orientation join, edge count)
+    und = und.localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("s")
+        )
+        .select("s.u", "s.v")
+        # two consumers (adjacency build + the per-edge intersection scan)
+        .localCheckpoint(eager=False)
+    )
+    # per-vertex out-neighborhood, sorted — O(sqrt(m))-bounded arrays
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    tri = (
+        oriented.join(adj.select(F.col("u"), F.col("nbrs").alias("nu")), "u")
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+            "left",  # sinks of the orientation DAG have no out-list
+        )
+        .select(
+            F.size(
+                F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), F.array()))
+            ).alias("t")
+        )
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

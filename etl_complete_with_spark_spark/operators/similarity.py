@@ -696,3 +696,47 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification of ``queries`` against the
+    labeled ``corpus``.
+
+    Returns (query_id, predicted_label, votes): the label holding the
+    plurality among the k cosine-nearest corpus vectors. Deterministic
+    end to end: neighbor ranking inherits :func:`cosine_topk`'s
+    round-before-rank + id tie-break, and vote ties break on (best — i.e.
+    lowest — neighbor rank, then smallest label).
+
+    Scale: the expensive part IS :func:`cosine_topk` (broadcast queries ×
+    corpus scan, no corpus shuffle); the vote is a groupBy over q·k rows.
+    For 100 TB corpora swap the neighbor stage for ivf_topk / pq_adc_topk
+    — the voting contract is unchanged.
+    """
+    nn = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.min("rank").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("best_rank").asc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("predicted_label"), "votes")
+    )

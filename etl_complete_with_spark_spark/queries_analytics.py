@@ -1806,3 +1806,195 @@ def sketch_countmin_users(spark, sf_dir):
         (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
         (F.col("est") <= F.col("exact_n") + F.lit(bound)).alias("est_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: triangle counting, mergeable quantile sketch, EWMA
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_coorder_parts",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+    edges AS (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p),
+    nodes AS (
+        SELECT count(DISTINCT v) AS n FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+    tri AS (
+        SELECT count(*) AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(tri.c AS BIGINT) AS n_triangles
+    FROM nodes CROSS JOIN tri
+    """,
+)
+def triangle_coorder_parts(spark, sf_dir):
+    """Triangle count of the 1995-96 part co-order graph (parts sharing
+    an order are adjacent) via graph.triangle_count — degree-ordered
+    orientation + per-vertex sorted out-neighbor arrays + one
+    array-intersection per edge. The oracle counts the same triangles
+    with the simpler a<b<c id-order 3-way join — identical count, but
+    the id-order plan has no hub bound, which is exactly why the engine
+    side orients by degree. The shipdate slice is a cohort analysis
+    (and keeps the quadratic-ish co-order edge set proportionate in the
+    bench); the predicate pushes down to the parquet scan."""
+    from .operators import graph as GR
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return GR.triangle_count(edges)
+
+
+@query(
+    "sketch_quantile_bottomk",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(least(256, count(*)) AS BIGINT) AS sample_k,
+           TRUE AS p50_in_p40_p60,
+           TRUE AS p90_in_p85_p95
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_quantile_bottomk(spark, sf_dir):
+    """Mergeable QUANTILE sketches — completing the mergeable-summary
+    family (HLL distinct, Count-Min frequency, Misra-Gries heavy
+    hitters) for the remaining dashboard staple: per-(type, day)
+    bottom-k=256 hash-rank samples are built once at ingest; any
+    cross-day quantile is answered by MERGING sketches (union, re-cut to
+    the 256 smallest ranks — provably the bottom-k of the full stream)
+    and reading the sorted sample. History is never rescanned. DKW gives
+    ~±10% rank error at k=256, so the accuracy contract (same pattern
+    as agg_approx_accuracy) checks the sample p50 against the exact
+    p40..p60 band and p90 against p85..p95; the hash rank is md5-derived
+    so the sample — and therefore the booleans — are bit-reproducible."""
+    from .operators import quantiles as QS
+
+    ev = load(spark, sf_dir, "events")
+    daily = QS.bottomk_sample(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "event_id",
+        "value",
+        k=256,
+    )
+    merged = QS.merge_bottomk(daily, ["event_type"], "event_id", k=256)
+    est = merged.groupBy("event_type").agg(
+        QS.sample_quantile(0.5).alias("est_p50"),
+        QS.sample_quantile(0.9).alias("est_p90"),
+        F.count(F.lit(1)).cast("long").alias("sample_k"),
+    )
+    # one percentile buffer (array form), not four — each scalar
+    # percentile agg keeps its own per-group value buffer
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("percentile(value, array(0.40D, 0.60D, 0.85D, 0.95D))").alias("ps"),
+    ).select(
+        "event_type",
+        "n_rows",
+        F.col("ps")[0].alias("p40"),
+        F.col("ps")[1].alias("p60"),
+        F.col("ps")[2].alias("p85"),
+        F.col("ps")[3].alias("p95"),
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_rows",
+        "sample_k",
+        ((F.col("est_p50") >= F.col("p40")) & (F.col("est_p50") <= F.col("p60"))).alias(
+            "p50_in_p40_p60"
+        ),
+        ((F.col("est_p90") >= F.col("p85")) & (F.col("est_p90") <= F.col("p95"))).alias(
+            "p90_in_p85_p95"
+        ),
+    )
+
+
+# EWMA weights alpha=0.3 over the 8 previous events, embedded as identical
+# decimal literals in both engines (pow() can differ by an ulp across
+# libm implementations; a parsed decimal literal cannot).
+_EWMA_W = [round(0.3 * 0.7**j, 8) for j in range(8)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE({w} * lag(cents, {j + 1}) OVER w, 0)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cents, {j + 1}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH x AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id, user_id,
+           round(cents / 100.0, 2) AS value_now,
+           CASE WHEN lag(cents, 1) OVER w IS NULL THEN NULL
+                ELSE round(({num}) / ({den}) / 100.0, 4) END AS ewma_prev,
+           CASE WHEN lag(cents, 1) OVER w IS NULL THEN FALSE
+                ELSE cents / 100.0 >
+                     3 * round(({num}) / ({den}) / 100.0, 4) END AS is_spike
+    FROM x
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    """
+
+
+@query("ewma_user_value", _ewma_oracle())
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA baseline + spike flag — streaming-style anomaly
+    detection as a batch window op. The EWMA is the finite 8-lag form
+    (exact, not recursive, so it is window-expressible in any engine);
+    dollar values ride as exact integer cents, weights are fixed decimal
+    literals, and the lag terms are summed in one written order — the
+    whole pipeline is float-deterministic. One shuffle on user_id; the
+    frame is 8 rows regardless of history length."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lags = [F.lag("cents", j + 1).over(w) for j in range(8)]
+    num = sum(
+        (F.coalesce(F.lit(wt) * lg, F.lit(0.0)) for wt, lg in zip(_EWMA_W, lags)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0)) for wt, lg in zip(_EWMA_W, lags)),
+        start=F.lit(0.0),
+    )
+    ewma = F.round(num / den / 100.0, 4)
+    has_prior = lags[0].isNotNull()
+    return x.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("cents") / 100.0, 2).alias("value_now"),
+        F.when(has_prior, ewma).alias("ewma_prev"),
+        F.when(has_prior, F.col("cents") / 100.0 > 3 * ewma)
+        .otherwise(F.lit(False))
+        .alias("is_spike"),
+    )

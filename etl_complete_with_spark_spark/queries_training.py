@@ -2296,3 +2296,147 @@ def corpus_dup_ngram_profile(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_ratio_bp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: containment dedup, kNN classification, BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment",
+    f"""
+    {_JACCARD_POSTING}
+    SELECT id1, id2, round(c * 1.0 / least(s1.n, s2.n), 4) AS containment
+    FROM common
+    JOIN sizes s1 ON id1 = s1.id
+    JOIN sizes s2 ON id2 = s2.id
+    WHERE round(c * 1.0 / least(s1.n, s2.n), 4) >= 0.6
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-subset dedup: Broder max-containment
+    |A∩B| / min(|A|,|B|) >= 0.6 over trigram shingles. Catches the
+    quote-extraction / boilerplate-wrapped-copy pairs whose union-dominated
+    Jaccard stays under any sane symmetric threshold. Same inverted-index
+    plan as dedup_ngram_jaccard — only the final normalizer changes."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.6, max_shingle_freq=None
+    )
+
+
+@query(
+    "knn_label_vote",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nn AS (
+        SELECT q.vec_id AS query_id, c.label AS nbr_label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id
+               ) AS rk
+        FROM e q JOIN e c ON c.vec_id >= 20
+        WHERE q.vec_id < 20
+        QUALIFY rk <= 5),
+    v AS (
+        SELECT query_id, nbr_label, count(*) AS votes, min(rk) AS best_rank
+        FROM nn GROUP BY 1, 2)
+    SELECT query_id, nbr_label AS predicted_label, CAST(votes AS BIGINT) AS votes
+    FROM v
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY votes DESC, best_rank ASC, nbr_label ASC) = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """k-NN majority-vote classification (k=5, cosine) of the first 20
+    vectors against the labeled rest — fully deterministic voting contract
+    (round-before-rank neighbors; vote ties break on best rank then
+    smallest label). The neighbor stage is the broadcast-queries exact
+    scan; swap in ivf/pq for 100 TB corpora, voting unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.knn_classify(
+        emb.filter(F.col("vec_id") >= 20), emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    sc = (
+        "round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+        " * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6)"
+    )
+    parts = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0)" for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_NORM_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            WHERE term IN ({terms}) GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ({terms}) GROUP BY 1, 2),
+    scored AS (
+        SELECT t.doc_id, t.term, {sc} AS sc
+        FROM tf t JOIN df_ d USING (term)
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s),
+    agg AS (SELECT doc_id, round({parts}, 4) AS bm25 FROM scored GROUP BY doc_id)
+    SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@query("bm25_doc_search", _bm25_oracle())
+def bm25_doc_search(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) document retrieval for a fixed query term
+    set — TF-IDF's production successor with document-length
+    normalization. Per-term partial scores are rounded to 6 and summed in
+    a FIXED written order (conditional-max pivot, not a float groupBy
+    sum) so both engines add identical doubles identically; corpus stats
+    (N, avgdl) are exact-integer-derived. Top-20 is TakeOrderedAndProject
+    on the already-aggregated doc set — no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term"),
+    ).localCheckpoint(eager=False)  # 3 consumers: dl, df, tf
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = dl.localCheckpoint(eager=False)  # 2 consumers: stats, scored
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    ft = tok.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = ft.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = ft.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    sc = F.round(
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("sc", sc)
+    )
+    term_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    total = term_cols[0]
+    for c in term_cols[1:]:
+        total = total + c
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(total, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
