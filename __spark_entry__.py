@@ -83,11 +83,11 @@ PRIORITY_WINDOW: list[str] = [
     "triangle_coorder_parts",
     "sketch_quantile_bottomk",
     "ewma_user_value",
-    # --- fillers: entries with exactly one prior green row, diverse
-    # families, so repeat evidence accrues where it is thinnest.
-    "dedup_semantic_cluster",
-    "agg_approx_accuracy",
+    "kmeans_embeddings_int",
+    "stream_quantile_sketch",
 ]
+# Still-unrecorded after this round (window is full at 50):
+# debounce_events, robust_outlier_prices — next round's first swaps.
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
 # a green row in some prior CORRECTNESS artifact AND its operator family

@@ -840,17 +840,28 @@ def duplicate_ngram_profile(
     """
     from .text import normalized_text
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
+    # token array materialized as a column (evaluated once per row), and
+    # each window built from n O(1) element_at lookups instead of a
+    # per-window ``slice`` array copy — same performance shaping as
+    # explode_shingles: higher-order functions are interpreted, so
+    # per-element allocation dominates (measured ~2x on this pass)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty
     windows = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     postings = (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(windows).alias("w"))
+        base.select("id", F.explode_outer(windows).alias("w"))
         .withColumn("h", md5_hash60(F.col("w"), seed))
         .select("id", "h")
     )

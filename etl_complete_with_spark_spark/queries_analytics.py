@@ -1998,3 +1998,279 @@ def ewma_user_value(spark, sf_dir):
         .otherwise(F.lit(False))
         .alias("is_spike"),
     )
+
+
+@query(
+    "stream_quantile_sketch",
+    """
+    WITH h AS (
+        SELECT event_type, value, event_id,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#41'), 1, 15)
+                    AS BIGINT) AS rh
+        FROM events),
+    s AS (
+        SELECT * FROM h
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY rh, event_id) <= 256)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS sample_k,
+           round(quantile_cont(value, 0.5), 4) AS est_p50,
+           round(quantile_cont(value, 0.9), 4) AS est_p90
+    FROM s GROUP BY event_type
+    """,
+)
+def stream_quantile_sketch(spark, sf_dir):
+    """STREAMING maintenance of the mergeable bottom-k quantile sketch:
+    events arrive in two disjoint micro-batches (staged by event_id
+    parity); each batch appends its per-type bottom-256 sketch via
+    foreachBatch (epoch-keyed overwrite — crash-idempotent); the final
+    quantile read merges the persisted sketches. Because bottom-k by
+    deterministic hash rank is a true mergeable summary, the merged
+    streaming sketch is BIT-IDENTICAL to the single-pass batch sketch —
+    so the oracle replays the global bottom-k directly in SQL (same
+    md5-rank, same re-cut) and checks the estimated quantile VALUES
+    exactly, not just error bands. The stream is never rescanned;
+    per-batch state is k rows per type."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .operators import quantiles as QS
+    from .streaming.ingest import quantile_sketch_stream
+
+    stage = tempfile.mkdtemp(prefix="sqs_in_")
+    out = tempfile.mkdtemp(prefix="sqs_out_")
+    # pyarrow staging preserves the TIMESTAMP(NANOS) physical type, so
+    # stream_source's schema probe sees exactly what production files have
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    even = pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0)
+    pq.write_table(tbl.filter(even), f"{stage}/part-0.parquet")
+    pq.write_table(tbl.filter(pc.invert(even)), f"{stage}/part-1.parquet")
+    try:
+        q = quantile_sketch_stream(
+            spark,
+            stage,
+            sketch_dir=f"{out}/sketch",
+            checkpoint_dir=f"{out}/ckpt_{uuid.uuid4().hex[:8]}",
+            k=256,
+            max_files_per_trigger=1,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sketches = spark.read.parquet(f"{out}/sketch").drop("epoch")
+        merged = QS.merge_bottomk(sketches, ["event_type"], "event_id", k=256)
+        return (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("sample_k"),
+                F.round(QS.sample_quantile(0.5), 4).alias("est_p50"),
+                F.round(QS.sample_quantile(0.9), 4).alias("est_p90"),
+            )
+            # materialize before the temp dirs vanish
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "debounce_events",
+    """
+    WITH x AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+    l AS (
+        SELECT *, lag(us) OVER (
+            PARTITION BY user_id, event_type ORDER BY us, event_id) AS pus
+        FROM x)
+    SELECT event_id, user_id, event_type
+    FROM l WHERE pus IS NULL OR us - pus > 300000000
+    """,
+)
+def debounce_events(spark, sf_dir):
+    """Debounce: drop repeat (user, type) events arriving within 300 s of
+    the previously KEPT-or-seen one (lag-based — the standard burst
+    suppressor for click storms and retry floods). Time math in exact
+    epoch microseconds (fractional-second timestamps make 'seconds
+    between' engine-ambiguous; integer micros are not). One shuffle on
+    (user_id, event_type); the streaming twin is dropDuplicates
+    WithinWatermark on the same key."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        x.withColumn("pus", F.lag("us").over(w))
+        .filter(F.col("pus").isNull() | (F.col("us") - F.col("pus") > 300_000_000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "robust_outlier_prices",
+    """
+    WITH med AS (
+        SELECT l_returnflag AS rf, quantile_cont(l_extendedprice, 0.5) AS m
+        FROM lineitem GROUP BY 1),
+    mad AS (
+        SELECT rf, quantile_cont(abs(l_extendedprice - m), 0.5) AS d
+        FROM lineitem JOIN med ON l_returnflag = rf GROUP BY rf),
+    j AS (SELECT l_returnflag AS rf, l_extendedprice AS x, m, d
+          FROM lineitem JOIN med ON l_returnflag = med.rf
+                        JOIN mad ON l_returnflag = mad.rf)
+    SELECT rf AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(m, 4) AS med_price,
+           round(d, 4) AS mad_price,
+           CAST(sum(CASE WHEN abs(0.6745 * (x - m) / d) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j GROUP BY rf, m, d
+    """,
+)
+def robust_outlier_prices(spark, sf_dir):
+    """Robust outlier detection via MAD (median absolute deviation):
+    modified z-score 0.6745·(x-med)/MAD > 3.5 — the robust-statistics
+    standard that mean/stddev z-scores can't give you when the outliers
+    themselves inflate the stddev. Two grouped median passes with the
+    (tiny) per-group medians broadcast back between them; the flag
+    comparison is identical double arithmetic in both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_extendedprice").alias("x")
+    )
+    med = li.groupBy("rf").agg(F.expr("percentile(x, 0.5)").alias("m"))
+    j1 = li.join(F.broadcast(med), "rf")
+    mad = j1.groupBy("rf").agg(
+        F.expr("percentile(abs(x - m), 0.5)").alias("d")
+    )
+    j2 = j1.join(F.broadcast(mad), "rf")
+    return j2.groupBy("rf", "m", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.when(F.abs(0.6745 * (F.col("x") - F.col("m")) / F.col("d")) > 3.5, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        F.col("rf").alias("l_returnflag"),
+        "n_items",
+        F.round("m", 4).alias("med_price"),
+        F.round("d", 4).alias("mad_price"),
+        "n_outliers",
+    )
+
+
+@query(
+    "top_event_trigrams",
+    """
+    WITH x AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events),
+    t AS (
+        SELECT lag(event_type, 2) OVER w AS e1,
+               lag(event_type, 1) OVER w AS e2,
+               event_type AS e3
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM t WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def top_event_trigrams(spark, sf_dir):
+    """Sequence mining: the 20 most frequent 3-step behavioral paths
+    (sliding event-type trigrams per user timeline) — the n-gram
+    generalization of markov_event_transitions' bigram matrix, and the
+    feature extractor behavioral-model training data pipelines run over
+    clickstreams. One shuffle on user_id for the lag window, one for
+    the trigram count; the final top-20 is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = x.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        t.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 4) -> str:
+    """Fixed-round CTE replay of graph.kcore_peel over the 1995-96
+    co-order graph (same edge construction as triangle_coorder_parts)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each round references its predecessor several
+    # times — un-materialized, the replay re-evaluates e0 O(6^rounds)
+    # times (minutes at sf0.1 instead of seconds)
+    sql = ["""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p)"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql.append(f""",
+    k{r} AS MATERIALIZED (
+        SELECT v FROM (
+            SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev})
+        GROUP BY v HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT a, b FROM {prev}
+        WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r}))""")
+        prev = f"e{r}"
+    sql.append(f"""
+    SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY v""")
+    return "".join(sql)
+
+
+@query("kcore_coorder_parts", _kcore_oracle())
+def kcore_coorder_parts(spark, sf_dir):
+    """4 rounds of 4-core peeling on the 1995-96 part co-order graph
+    (graph.kcore_peel): the standard dense-subgraph extractor (peel
+    low-degree fringe until only the cohesive core remains). Fixed-round
+    + integer-exact ⇒ the oracle replays the entire iteration as chained
+    CTEs, like kmeans_embeddings_int. Per round: one degree groupBy and
+    two semi-joins; lineage checkpointed per round."""
+    from .operators import graph as GR
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return GR.kcore_peel(edges, k=4, rounds=4)

@@ -2147,15 +2147,17 @@ def _pagerank_oracle(iters=5, damping=85, scale=10**9) -> str:
     Spark ``div`` on BIGINT), one CTE per power iteration."""
     teleport = (scale * (100 - damping)) // 100
     ctes = [
-        f"""base AS (
+        f"""base AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-    e AS (
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+    e AS MATERIALIZED (
         SELECT cust AS src, 10000000 + supp AS dst FROM base
         UNION ALL
         SELECT 10000000 + supp AS src, cust AS dst FROM base),
-    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
     r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
     ]
     for i in range(1, iters + 1):
@@ -2173,7 +2175,7 @@ def _pagerank_oracle(iters=5, damping=85, scale=10**9) -> str:
 @query("pagerank_suppliers", _pagerank_oracle())
 def pagerank_suppliers(spark, sf_dir):
     """PageRank over the bipartite customer<->supplier graph implied by
-    orders (operators/graph.pagerank_fixed_point, 5 power iterations,
+    1995 orders (operators/graph.pagerank_fixed_point, 5 power iterations,
     damping 0.85) in scaled-integer arithmetic — bit-identical across
     engines/partitionings because integer sums are order-independent,
     unlike float PageRank whose shuffle-order ulp drift compounds per
@@ -2182,7 +2184,10 @@ def pagerank_suppliers(spark, sf_dir):
     chained CTEs."""
     from .operators.graph import pagerank_fixed_point
 
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
     li = load(spark, sf_dir, "lineitem")
     base = (
         o.join(li, o.o_orderkey == li.l_orderkey)
@@ -2439,4 +2444,80 @@ def bm25_doc_search(spark, sf_dir):
         .agg(F.round(total, 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 3, scale: int = 10_000, dim: int = 64) -> str:
+    """Full SQL replay of operators/kmeans.kmeans_int: because every
+    quantity in the loop is exact int64 (quantized inputs, integer
+    distances, truncated-mean centroids, lowest-id tie-breaks), the
+    entire iterative algorithm — not just its final state — is
+    reproducible as chained CTEs, one (assign, update) pair per round.
+    DuckDB's ``//`` floors while Spark's ``div`` truncates, so the
+    negative-sum case spells the sign out explicitly."""
+    d2 = "list_sum(list_transform(list_zip(p.qv, c.qv), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    sums = ", ".join(f"sum(qv[{i + 1}]) AS s{i}" for i in range(dim))
+    cent = ", ".join(
+        f"CASE WHEN s{i} < 0 THEN -((-s{i}) // n) ELSE s{i} // n END"
+        for i in range(dim)
+    )
+    sql = [
+        f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+        FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, qv
+        FROM (SELECT * FROM q ORDER BY id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""",
+    a{r} AS MATERIALIZED (
+        SELECT p.id, p.qv, c.cid, {d2} AS d2
+        FROM q p CROSS JOIN {prev} c
+        QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid) = 1),
+    c{r} AS MATERIALIZED (
+        SELECT cid, CAST(n AS BIGINT) AS n, list_value({cent}) AS qv
+        FROM (SELECT cid, count(*) AS n, {sums} FROM a{r} GROUP BY cid)
+        UNION ALL
+        SELECT o.cid, CAST(0 AS BIGINT), o.qv FROM {prev} o
+        WHERE o.cid NOT IN (SELECT cid FROM a{r}))"""
+        )
+        prev = f"c{r}"
+    sql.append(
+        f""",
+    final AS MATERIALIZED (
+        SELECT p.id, c.cid, {d2} AS d2
+        FROM q p CROSS JOIN {prev} c
+        QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid) = 1)
+    SELECT CAST(cid AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(d2) AS BIGINT) AS inertia
+    FROM final GROUP BY cid"""
+    )
+    return "".join(sql)
+
+
+@query("kmeans_embeddings_int", _kmeans_oracle())
+def kmeans_embeddings_int(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 3 fixed rounds) in EXACT int64
+    arithmetic (`operators/kmeans.py`): vectors quantized once at
+    scale=1e4, centroids broadcast as literals each round (the model
+    ships to the data — per-round shuffle is O(k·d), independent of
+    corpus size), per-cluster per-dimension integer-mean update via one
+    groupBy. Exact integer math makes assignments bit-identical across
+    engines and partitionings, so the ORACLE REPLAYS THE WHOLE ITERATIVE
+    ALGORITHM in SQL — the strongest correctness statement an iterative
+    operator can carry. Output: per-cluster size + exact inertia."""
+    from .operators.kmeans import kmeans_int
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = kmeans_int(emb, k=8, rounds=3, scale=10_000, dim=64)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("dist").cast("long").alias("inertia"),
     )

@@ -425,3 +425,52 @@ def neardup_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def quantile_sketch_stream(
+    spark: SparkSession,
+    events_path: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming maintenance of the mergeable bottom-k quantile sketch
+    (`operators/quantiles.py`): each micro-batch contributes its
+    per-event_type bottom-k rows to a persistent sketch table; any later
+    reader answers quantile queries by merging sketches (union + re-cut
+    to the k smallest hash ranks) — the stream is never rescanned.
+
+    Because bottom-k by a deterministic uniform hash is a TRUE mergeable
+    summary (the k smallest ranks of a union are a subset of each part's
+    k smallest), the merged streaming sketch is bit-identical to the
+    batch sketch over the same rows regardless of how arrival split the
+    batches — asserted in test_streaming.py and by the exact SQL oracle
+    of the `stream_quantile_sketch` catalog entry.
+
+    Same epoch-keyed overwrite recipe as :func:`neardup_ingest_stream`
+    (crash-replayed batches rewrite their own ``epoch=<id>/`` dir, so
+    the sketch table converges); state per (type, batch) is bounded by k
+    rows — no executor state store, no watermark needed.
+    """
+    import os
+
+    from ..operators.quantiles import bottomk_sample
+
+    stream = stream_source(spark, events_path, max_files_per_trigger)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sketch = bottomk_sample(
+            batch_df, ["event_type"], "event_id", "value", k=k
+        ).select("event_type", "value", "rank_hash", "event_id")
+        sketch.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"epoch={int(epoch_id)}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

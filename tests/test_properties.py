@@ -647,3 +647,78 @@ class TestPagerankFixedPoint:
         r1 = {r.node: r.rank for r in pagerank_fixed_point(df1).collect()}
         r13 = {r.node: r.rank for r in pagerank_fixed_point(df13).collect()}
         assert r1 == r13  # integer arithmetic: no shuffle-order drift
+
+
+class TestBottomKMergeProperties:
+    """The mergeable-summary contract of operators/quantiles: for ANY
+    partition of the stream into groups, per-group bottom-k sketches
+    re-cut to k after union equal the global bottom-k exactly."""
+
+    @SETTINGS
+    @given(
+        n=st.integers(min_value=0, max_value=120),
+        n_groups=st.integers(min_value=1, max_value=6),
+        k=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_merge_equals_global_bottomk(self, spark, n, n_groups, k, seed):
+        import random
+
+        from etl_complete_with_spark_spark.operators.quantiles import (
+            bottomk_sample,
+            merge_bottomk,
+            with_rank_hash,
+        )
+
+        rng = random.Random(seed)
+        rows = [
+            (i, f"g{rng.randrange(n_groups)}", float(rng.randrange(1000)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, grp string, value double"
+        )
+        per_group = bottomk_sample(df, ["grp"], "event_id", "value", k=k)
+        merged = merge_bottomk(per_group.drop("grp"), [], "event_id", k=k)
+        direct = (
+            with_rank_hash(df, "event_id")
+            .orderBy("rank_hash", "event_id")
+            .limit(k)
+        )
+        got = sorted(r.event_id for r in merged.collect())
+        want = sorted(r.event_id for r in direct.collect())
+        assert got == want
+        assert len(got) == min(k, n)
+
+
+class TestTriangleCountProperties:
+    @SETTINGS
+    @given(
+        n_nodes=st.integers(min_value=1, max_value=14),
+        density=st.floats(min_value=0.0, max_value=1.0),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_matches_bruteforce(self, spark, n_nodes, density, seed):
+        import itertools
+        import random
+
+        from etl_complete_with_spark_spark.operators.graph import triangle_count
+
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n_nodes), 2)
+            if rng.random() < density
+        ]
+        if not edges:
+            return  # triangle_count requires a non-empty frame to infer nothing; trivially consistent
+        adj = set(edges)
+        want = sum(
+            1
+            for x, y, z in itertools.combinations(range(n_nodes), 3)
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = triangle_count(df).collect()[0]
+        assert row.n_triangles == want
+        assert row.n_edges == len(edges)

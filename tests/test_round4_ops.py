@@ -167,3 +167,173 @@ class TestBottomKQuantiles:
         assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
         per = s1.groupBy("grp").count().collect()
         assert all(r["count"] == 10 for r in per)
+
+
+class TestKmeansInt:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_separated_clusters_recovered(self, spark):
+        from etl_complete_with_spark_spark.operators.kmeans import kmeans_int
+
+        # two tight blobs far apart; k=2, init = points 0 and 1 (one in
+        # each blob by construction)
+        blob_a = [(0, [0.0, 0.0]), (2, [0.01, 0.0]), (4, [0.0, 0.02])]
+        blob_b = [(1, [5.0, 5.0]), (3, [5.01, 5.0]), (5, [5.0, 5.02])]
+        out = kmeans_int(self._df(spark, blob_a + blob_b), k=2, rounds=2, dim=2)
+        got = {r.id: r.cluster_id for r in out.collect()}
+        assert got[0] == got[2] == got[4] == 0
+        assert got[1] == got[3] == got[5] == 1
+
+    def test_partitioning_invariant(self, spark):
+        from etl_complete_with_spark_spark.operators.kmeans import kmeans_int
+
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+        ]
+        a = kmeans_int(self._df(spark, rows), k=4, rounds=3, dim=8)
+        b = kmeans_int(
+            self._df(spark, rows).repartition(17), k=4, rounds=3, dim=8
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        from etl_complete_with_spark_spark.operators.kmeans import (
+            update_centroids,
+            assign_clusters,
+            quantize_vectors,
+        )
+
+        # centroid 1 sits far from every point -> loses all members
+        df = quantize_vectors(
+            self._df(spark, [(0, [0.0, 0.0]), (1, [0.1, 0.1])]),
+            "vec_id",
+            "embedding",
+            10_000,
+        )
+        cents = [[0, 0], [9_999_999, 9_999_999]]
+        assigned = assign_clusters(df, cents)
+        new = update_centroids(assigned, cents, 2)
+        assert new[1] == [9_999_999, 9_999_999]
+        assert new[0] == [500, 500]  # trunc mean of (0,0) and (1000,1000)
+
+    def test_negative_sum_truncates_toward_zero(self, spark):
+        from etl_complete_with_spark_spark.operators.kmeans import (
+            update_centroids,
+            assign_clusters,
+            quantize_vectors,
+        )
+
+        df = quantize_vectors(
+            self._df(spark, [(0, [-0.0001, 0.0]), (1, [-0.0002, 0.0])]),
+            "vec_id",
+            "embedding",
+            10_000,
+        )
+        # sums = -3, n = 2 -> trunc(-1.5) = -1 (not floor's -2)
+        new = update_centroids(assign_clusters(df, [[0, 0]]), [[0, 0]], 2)
+        assert new[0][0] == -1
+
+
+class TestStreamQuantileSketch:
+    def test_stream_merge_equals_batch_sketch(self, spark, tmp_path):
+        """Mergeability under streaming: per-batch sketches over disjoint
+        halves merge to EXACTLY the single-pass batch sketch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_complete_with_spark_spark.operators.quantiles import (
+            bottomk_sample,
+            merge_bottomk,
+        )
+        from etl_complete_with_spark_spark.streaming.ingest import (
+            quantile_sketch_stream,
+        )
+
+        rows = [
+            (i, 1_700_000_000_000_000_000 + i * 10**9, i % 50, "t", float(i % 37), "{}")
+            for i in range(1000)
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        )
+        stage = tmp_path / "in"
+        stage.mkdir()
+        pq.write_table(tbl.slice(0, 400), str(stage / "a.parquet"))
+        pq.write_table(tbl.slice(400), str(stage / "b.parquet"))
+        out = tmp_path / "sk"
+        q = quantile_sketch_stream(
+            spark,
+            str(stage),
+            sketch_dir=str(out),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            k=32,
+            max_files_per_trigger=1,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed = merge_bottomk(
+            spark.read.parquet(str(out)).drop("epoch"),
+            ["event_type"],
+            "event_id",
+            k=32,
+        )
+        batch = bottomk_sample(
+            spark.createDataFrame(
+                [(r[0], r[3], r[4]) for r in rows],
+                "event_id long, event_type string, value double",
+            ),
+            ["event_type"],
+            "event_id",
+            "value",
+            k=32,
+        )
+        got = sorted((r.event_id, r.value) for r in streamed.collect())
+        want = sorted((r.event_id, r.value) for r in batch.collect())
+        assert got == want and len(got) == 32
+
+
+class TestKcorePeel:
+    def test_fringe_peeled_core_survives(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import kcore_peel
+
+        import itertools
+
+        # K5 core (every degree 4) + a path of pendants hanging off it
+        core = list(itertools.combinations(range(5), 2))
+        fringe = [(4, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(core + fringe, "src long, dst long")
+        out = {r.node: r.deg for r in kcore_peel(df, k=3, rounds=3).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert all(d == 4 for d in out.values())
+
+    def test_cascading_peel_needs_rounds(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import kcore_peel
+
+        # chain 0-1-2-3-4: 2-core peels the chain endpoints round by
+        # round; after enough rounds nothing survives
+        chain = [(i, i + 1) for i in range(4)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        assert kcore_peel(df, k=2, rounds=1).count() == 3  # endpoints gone
+        assert kcore_peel(df, k=2, rounds=3).count() == 0  # fully peeled
+
+    def test_cycle_is_its_own_2core(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import kcore_peel
+
+        cyc = [(i, (i + 1) % 6) for i in range(6)]
+        out = kcore_peel(
+            spark.createDataFrame(cyc, "src long, dst long"), k=2, rounds=4
+        )
+        assert out.count() == 6
