@@ -517,3 +517,47 @@ def kcore_peel(
     return degrees(und).select(
         F.col("v").alias("node"), F.col("deg").cast("long").alias("deg")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted multi-source BFS, ``rounds`` frontier expansions ->
+    (node, dist) for every node within ``rounds`` hops of any source.
+
+    Each round: one join of the current distance table onto the
+    (symmetrized) edge list + one groupBy-min — the relational frontier
+    expansion. Fixed round count keeps the job graph static and makes
+    the whole iteration CTE-replayable (``bfs_coorder_parts``), exactly
+    like kmeans_int / kcore_peel; production swaps in a
+    converge-when-frontier-empty loop with the same body. Lineage is
+    checkpointed per round. Distances are exact integers.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(rounds):
+        frontier = (
+            sym.join(dist.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

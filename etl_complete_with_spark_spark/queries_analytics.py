@@ -2274,3 +2274,119 @@ def kcore_coorder_parts(spark, sf_dir):
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return GR.kcore_peel(edges, k=4, rounds=4)
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Chained-CTE replay of graph.bfs_levels over the 1995-96 co-order
+    graph from the minimum part id in the slice. MATERIALIZED: the round
+    CTEs reference their predecessors twice each."""
+    sql = ["""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p != b.p),
+    d0 AS (SELECT min(p) AS node, CAST(0 AS BIGINT) AS dist FROM pairs)"""]
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        sql.append(f""",
+    d{r} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.b AS node, {prev}.dist + 1 AS dist
+            FROM {prev} JOIN e ON e.a = {prev}.node)
+        GROUP BY node)""")
+        prev = f"d{r}"
+    sql.append(f"""
+    SELECT node, dist FROM {prev}""")
+    return "".join(sql)
+
+
+@query("bfs_coorder_parts", _bfs_oracle())
+def bfs_coorder_parts(spark, sf_dir):
+    """4-hop BFS from the lowest part id over the 1995-96 co-order graph
+    (graph.bfs_levels): relational frontier expansion — one edge join +
+    one groupBy-min per round, distances exact integers, fixed rounds ⇒
+    the oracle replays the iteration as chained CTEs (the kmeans/kcore
+    replay pattern applied to traversal)."""
+    from .operators import graph as GR
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    source = li.agg(F.min("l_partkey").alias("node"))
+    return GR.bfs_levels(edges, source, rounds=4)
+
+
+@query(
+    "item_cooccurrence_similarity",
+    """
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS MATERIALIZED (SELECT p, count(*) AS f FROM pairs GROUP BY p),
+    cooc AS MATERIALIZED (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS c
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p != b.p
+        GROUP BY 1, 2)
+    SELECT pa AS p_partkey, pb AS similar_partkey,
+           CAST(c AS BIGINT) AS n_coorders,
+           round(c / sqrt(fa.f * fb.f), 4) AS cosine_sim
+    FROM cooc
+    JOIN freq fa ON fa.p = pa
+    JOIN freq fb ON fb.p = pb
+    WHERE pa < 50
+    QUALIFY row_number() OVER (
+        PARTITION BY pa
+        ORDER BY round(c / sqrt(fa.f * fb.f), 4) DESC, pb) <= 5
+    """,
+)
+def item_cooccurrence_similarity(spark, sf_dir):
+    """Item-item collaborative-filtering similarity: co-order counts
+    normalized by item frequency (cosine over the order-incidence
+    vectors), top-5 similar items per query item. The classic
+    co-occurrence recommender built from joins + aggregates; scores are
+    rounded before the rank so both engines break ties identically. The
+    frequency table is small after aggregation -> broadcast back; the
+    query-side filter (pa < 50) bounds the ranked output, not the
+    co-occurrence aggregation (which production would cap per-basket
+    exactly like the stop-shingle cap in ngram_jaccard_pairs)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("f").alias("fb"))
+    sim = F.round(F.col("c") / F.sqrt(F.col("fa") * F.col("fb")), 4)
+    w = Window.partitionBy("pa").orderBy(F.col("cosine_sim").desc(), F.col("pb").asc())
+    return (
+        cooc.filter(F.col("pa") < 50)
+        .join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .withColumn("cosine_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("pa").alias("p_partkey"),
+            F.col("pb").alias("similar_partkey"),
+            F.col("c").cast("long").alias("n_coorders"),
+            "cosine_sim",
+        )
+    )

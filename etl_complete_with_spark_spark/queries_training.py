@@ -2521,3 +2521,68 @@ def kmeans_embeddings_int(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum("dist").cast("long").alias("inertia"),
     )
+
+
+@query(
+    "golden_record_parts",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name AS v FROM part),
+    b AS (SELECT v, string_split(v, ' ')[-1] AS blk FROM n),
+    pairs AS (
+        SELECT x.v AS v1, y.v AS v2
+        FROM b x JOIN b y ON x.blk = y.blk AND x.v < y.v
+        WHERE levenshtein(x.v, y.v) <= 3),
+    sym AS (SELECT v1 AS a, v2 AS b FROM pairs
+            UNION SELECT v2, v1 FROM pairs),
+    reach(id, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    p2 AS (
+        SELECT p.p_partkey, p.p_name, p.p_retailprice,
+               coalesce(c.component, p.p_name) AS cluster
+        FROM part p LEFT JOIN comp c ON c.id = p.p_name)
+    SELECT p_partkey, p_name, cluster, golden_partkey,
+           p_partkey = golden_partkey AS is_golden
+    FROM (
+        SELECT p2.*,
+               first_value(p_partkey) OVER (
+                   PARTITION BY cluster
+                   ORDER BY p_retailprice DESC, p_partkey) AS golden_partkey
+        FROM p2)
+    """,
+)
+def golden_record_parts(spark, sf_dir):
+    """Entity-resolution MASTERING composite — the full MDM workflow in
+    one plan: blocked fuzzy matching (dedup.blocked_fuzzy_pairs,
+    Levenshtein <= 3 within noun blocks) -> connected components over
+    the match graph (graph.connected_components — transitive: 'red
+    widget' ~ 'rd widget' ~ 'rd widgets' merge even when the endpoints
+    don't match pairwise) -> survivorship: the golden record per cluster
+    is the highest-retail-price row (ties to lowest partkey). Singleton
+    names are their own cluster via the left join + coalesce. The oracle
+    replays matching with DuckDB levenshtein, clustering with a
+    recursive closure, and survivorship with the same window."""
+    from .operators.graph import connected_components
+
+    part = load(spark, sf_dir, "part")
+    name_pairs = D.blocked_fuzzy_pairs(part, "p_name", max_distance=3)
+    comp = connected_components(name_pairs, src="v1", dst="v2").select(
+        F.col("id").alias("p_name"), "component"
+    )
+    p2 = part.select("p_partkey", "p_name", "p_retailprice").join(
+        comp, "p_name", "left"
+    ).withColumn("cluster", F.coalesce("component", "p_name"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return p2.withColumn(
+        "golden_partkey", F.first("p_partkey").over(w)
+    ).select(
+        "p_partkey",
+        "p_name",
+        "cluster",
+        "golden_partkey",
+        (F.col("p_partkey") == F.col("golden_partkey")).alias("is_golden"),
+    )

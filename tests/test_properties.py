@@ -722,3 +722,41 @@ class TestTriangleCountProperties:
         row = triangle_count(df).collect()[0]
         assert row.n_triangles == want
         assert row.n_edges == len(edges)
+
+
+class TestContainmentProperties:
+    @SETTINGS
+    @given(
+        docs=st.lists(
+            st.lists(words, min_size=0, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_containment_dominates_jaccard(self, spark, docs):
+        """max-containment |A∩B|/min(|A|,|B|) >= Jaccard |A∩B|/|A∪B| for
+        every pair, and both live in [0, 1]."""
+        from etl_complete_with_spark_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        cont = {
+            (r.id1, r.id2): r.containment
+            for r in containment_pairs(
+                df, threshold=0.0, max_shingle_freq=None
+            ).collect()
+        }
+        jac = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, threshold=0.0, max_shingle_freq=None
+            ).collect()
+        }
+        assert set(jac) == set(cont)  # same candidate pairs at threshold 0
+        for pair, j in jac.items():
+            c = cont[pair]
+            assert 0.0 <= j <= c <= 1.0

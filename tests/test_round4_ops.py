@@ -337,3 +337,29 @@ class TestKcorePeel:
             spark.createDataFrame(cyc, "src long, dst long"), k=2, rounds=4
         )
         assert out.count() == 6
+
+
+class TestBfsLevels:
+    def _run(self, spark, edges, sources, rounds):
+        from etl_complete_with_spark_spark.operators.graph import bfs_levels
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in sources], "node long")
+        return {r.node: r.dist for r in bfs_levels(e, s, rounds).collect()}
+
+    def test_path_graph_levels(self, spark):
+        chain = [(i, i + 1) for i in range(6)]
+        got = self._run(spark, chain, [0], rounds=3)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # beyond 3 hops: absent
+
+    def test_multi_source_min(self, spark):
+        chain = [(i, i + 1) for i in range(6)]
+        got = self._run(spark, chain, [0, 6], rounds=2)
+        # distances from the NEAREST source; symmetric edges
+        assert got == {0: 0, 1: 1, 2: 2, 6: 0, 5: 1, 4: 2}
+
+    def test_cycle_and_unreachable(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (10, 11)]
+        got = self._run(spark, edges, [0], rounds=4)
+        assert got == {0: 0, 1: 1, 2: 1}
+        assert 10 not in got and 11 not in got
