@@ -2586,3 +2586,106 @@ def golden_record_parts(spark, sf_dir):
         "golden_partkey",
         (F.col("p_partkey") == F.col("golden_partkey")).alias("is_golden"),
     )
+
+
+@query(
+    "sparse_tfidf_cosine_pairs",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest({_NORM_TOKS}) AS term FROM documents WHERE doc_id < 200),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df_ AS MATERIALIZED (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+    wv AS MATERIALIZED (
+        SELECT doc_id, term,
+               CAST(round(round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                          * 1000000) AS BIGINT) AS wi
+        FROM tf JOIN df_ df USING (term) CROSS JOIN n),
+    nrm AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS n2 FROM wv GROUP BY doc_id),
+    dots AS MATERIALIZED (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(sum(a.wi * b.wi) AS BIGINT) AS dot
+        FROM wv a JOIN wv b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id1, id2,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+               AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id1
+    JOIN nrm nb ON nb.doc_id = id2
+    WHERE round(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.5
+    """,
+)
+def sparse_tfidf_cosine_pairs(spark, sf_dir):
+    """WEIGHTED set similarity: document pairs with TF-IDF-weighted
+    cosine >= 0.5 via sparse posting-list dot products — the weighted
+    upgrade of shingle-Jaccard (rare terms dominate the score instead
+    of every token counting equally). Plan shape: per-term weight
+    vectors -> self-join on term (the sparse dot product — only
+    co-occurring terms pair, never a dense matrix) -> normalize by
+    per-doc norms joined back. Weights are quantized to 1e-6 integers
+    so the dot products and squared norms are EXACT int64 sums
+    (order-independent — a float groupBy dot could flip a 4-decimal
+    rounding between engines/partitionings); the only float steps are
+    two sqrt's and one division over those exact integers, identical in
+    both engines. int64 headroom: w <= ~150 -> wi <= 1.5e8, per-pair
+    dot <= terms * 2.25e16 — safe to ~400 shared terms per pair.
+    Bounded to doc_id < 200 (the all-pairs verification slice, like
+    dedup_embedding_cosine); the scale path blocks on rare terms with a
+    stop-term cap exactly like ngram_jaccard_pairs."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term"),
+    ).localCheckpoint(eager=False)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    wv = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "wi",
+            F.round(
+                F.round(
+                    F.col("tf")
+                    * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                    6,
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .select("doc_id", "term", "wi")
+        .localCheckpoint(eager=False)
+    )
+    nrm = wv.groupBy("doc_id").agg(F.sum(F.col("wi") * F.col("wi")).alias("n2"))
+    a = wv.select(F.col("doc_id").alias("id1"), "term", F.col("wi").alias("wa"))
+    b = wv.select(F.col("doc_id").alias("id2"), "term", F.col("wi").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id1"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id2"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+        4,
+    )
+    return (
+        dots.join(F.broadcast(na), "id1")
+        .join(F.broadcast(nb), "id2")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("id1", "id2", "cosine")
+    )
