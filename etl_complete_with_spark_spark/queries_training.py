@@ -2689,3 +2689,46 @@ def sparse_tfidf_cosine_pairs(spark, sf_dir):
         .filter(F.col("cosine") >= 0.5)
         .select("id1", "id2", "cosine")
     )
+
+
+@query(
+    "pyds_synthetic_rollup",
+    f"""
+    WITH g AS (SELECT range AS event_id FROM range(2000, 20000)),
+    r AS (
+        SELECT event_id,
+               CAST({_hash60_sql("CAST(event_id AS VARCHAR)", 5)} % 10 AS INTEGER) AS bucket,
+               {_hash60_sql("CAST(event_id AS VARCHAR)", 6)} % 100000 AS value_cents
+        FROM g)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value_cents) AS BIGINT) AS total_cents
+    FROM r GROUP BY bucket
+    """,
+)
+def pyds_synthetic_rollup(spark, sf_dir):
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API,
+    sources/pyds.py): the reference's range-sliced extraction lifecycle
+    as a first-class pluggable source — ``partitions()`` plans one
+    InputPartition per half-open slice using the SAME
+    slicing.int_intervals / chunk tier logic as the JDBC path, and
+    ``pushFilters()`` narrows the planned slices source-side (the
+    ``event_id >= 2000`` filter below prunes slices before a single row
+    is generated — asserted in test_pyds.py). Rows are md5-derived
+    functions of event_id, so the oracle replays the source itself from
+    generate_series and checks the aggregate exactly."""
+    from .sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format(pyds.SOURCE_NAME)
+        .option("start", "0")
+        .option("end", "20000")
+        .option("chunk", "2500")
+        .load()
+        .filter(F.col("event_id") >= 2000)
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("total_cents"),
+    )

@@ -1,0 +1,139 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+the reference's numeric-range extraction lifecycle as a FIRST-CLASS
+pluggable source.
+
+The reference (carga_int.py / utils.py:227-330) implements range-sliced
+parallel extraction by hand: probe bounds, compute chunk tiers, build
+one predicate per slice, feed them to ``spark.read.jdbc``. Spark 4's
+DataSource API lets that whole lifecycle live INSIDE a source:
+
+- ``partitions()`` plans one ``InputPartition`` per half-open slice —
+  the same ``slicing.int_intervals`` / ``chunk_ids_for_rowcount`` tier
+  logic the JDBC/Mongo paths use, so a partition here is exactly a
+  reference extraction slice;
+- ``pushFilters()`` accepts range predicates on the partition column
+  and NARROWS THE PLANNED SLICES (true source-side pushdown — pruned
+  slices are never generated, the Python worker never yields their
+  rows); unsupported filters are returned for Spark to evaluate;
+- ``read(partition)`` yields deterministic rows: every attribute is an
+  md5-derived function of ``event_id`` (the `dedup.md5_hash60` 60-bit
+  construction), so any engine — the DuckDB oracle included — can
+  replay the source bit-for-bit from ``generate_series``.
+
+This is the extensibility proof for §2.1: a user-defined system (REST
+API, internal store, message log) plugs into the engine as
+``spark.read.format("synthetic_events")`` with slicing and pushdown
+semantics identical to the built-in extraction paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..slicing import chunk_ids_for_rowcount, int_intervals
+
+SOURCE_NAME = "synthetic_events"
+
+
+def hash60(value: str, seed: int) -> int:
+    """Python twin of dedup.md5_hash60 / the oracle's _hash60_sql:
+    ``CAST('0x' || substr(md5(v || '#seed'), 1, 15) AS BIGINT)``."""
+    return int(hashlib.md5(f"{value}#{seed}".encode()).hexdigest()[:15], 16)
+
+
+def row_for(event_id: int) -> tuple[int, int, int]:
+    """The deterministic record function — shared, documented contract
+    between the source and every replaying oracle."""
+    return (
+        event_id,
+        hash60(str(event_id), 5) % 10,
+        hash60(str(event_id), 6) % 100_000,
+    )
+
+
+class _SliceParation(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.start = int(options.get("start", 0))
+        self.end = int(options.get("end", 10_000))  # half-open
+        chunk = options.get("chunk")
+        self.chunk = (
+            int(chunk)
+            if chunk is not None
+            else chunk_ids_for_rowcount(self.end - self.start)
+        )
+
+    def pushFilters(self, filters):  # noqa: ANN001 - Spark Filter types
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            col = getattr(f, "attribute", ("",))
+            if tuple(col) == ("event_id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.start = max(self.start, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.start = max(self.start, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.end = min(self.end, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.end = min(self.end, int(f.value) + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.start = max(self.start, int(f.value))
+                    self.end = min(self.end, int(f.value) + 1)
+                    continue
+            remaining.append(f)
+        return remaining
+
+    def partitions(self) -> Iterable[InputPartition]:
+        if self.end <= self.start:
+            # fully pruned: one empty slice — Spark treats an empty
+            # partition list as "unpartitioned" and calls read(None)
+            return [_SliceParation(self.start, self.start)]
+        return [
+            _SliceParation(iv.start, iv.end)
+            for iv in int_intervals(self.start, self.end, self.chunk)
+        ]
+
+    def read(self, partition: _SliceParation) -> Iterator[tuple]:
+        for event_id in range(partition.start, partition.end):
+            yield row_for(event_id)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return "event_id bigint, bucket int, value_cents bigint"
+
+    def reader(self, schema) -> SyntheticEventsReader:  # noqa: ANN001
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:  # noqa: ANN001
+    """Idempotent registration of the source on a session. Also enables
+    Python-data-source filter pushdown (runtime-settable; off by default
+    in Spark 4.1) — without it a reader implementing ``pushFilters`` is
+    rejected outright."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

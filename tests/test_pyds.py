@@ -1,0 +1,63 @@
+"""Custom Python DataSource (sources/pyds.py): slicing, pushdown,
+determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_complete_with_spark_spark.sources import pyds
+
+
+def _read(spark, **opts):
+    pyds.register(spark)
+    r = spark.read.format(pyds.SOURCE_NAME)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+class TestSyntheticEventsSource:
+    def test_rows_match_contract(self, spark):
+        rows = sorted(
+            _read(spark, start=0, end=50).collect(), key=lambda r: r.event_id
+        )
+        assert len(rows) == 50
+        for r in rows:
+            assert (r.event_id, r.bucket, r.value_cents) == pyds.row_for(r.event_id)
+
+    def test_partition_planning_uses_slices(self, spark):
+        df = _read(spark, start=0, end=1000, chunk=100)
+        assert df.rdd.getNumPartitions() == 10
+        assert df.count() == 1000
+        # tier logic engaged when chunk is omitted
+        assert _read(spark, start=0, end=4000).rdd.getNumPartitions() == 4
+
+    def test_filter_pushdown_prunes_slices(self, spark):
+        df = _read(spark, start=0, end=1000, chunk=100).filter(
+            (F.col("event_id") >= 930) & (F.col("event_id") < 960)
+        )
+        # pushFilters narrowed [0,1000) to [930,960) BEFORE planning:
+        # a single 100-wide slice, not ten
+        assert df.rdd.getNumPartitions() == 1
+        assert df.count() == 30
+        ids = sorted(r.event_id for r in df.collect())
+        assert ids == list(range(930, 960))
+
+    def test_equality_pushdown_and_empty_range(self, spark):
+        one = _read(spark, start=0, end=1000).filter(F.col("event_id") == 77)
+        assert [r.event_id for r in one.collect()] == [77]
+        none = _read(spark, start=0, end=1000).filter(
+            (F.col("event_id") > 500) & (F.col("event_id") < 400)
+        )
+        assert none.count() == 0
+
+    def test_unsupported_filters_still_applied_by_spark(self, spark):
+        df = _read(spark, start=0, end=200).filter(F.col("bucket") == 3)
+        rows = df.collect()
+        assert rows and all(r.bucket == 3 for r in rows)
+        assert all(pyds.row_for(r.event_id)[1] == 3 for r in rows)
+
+    def test_deterministic_across_partitionings(self, spark):
+        a = sorted(map(tuple, _read(spark, start=0, end=500, chunk=50).collect()))
+        b = sorted(map(tuple, _read(spark, start=0, end=500, chunk=499).collect()))
+        assert a == b
