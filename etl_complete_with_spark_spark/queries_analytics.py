@@ -2390,3 +2390,50 @@ def item_cooccurrence_similarity(spark, sf_dir):
             "cosine_sim",
         )
     )
+
+
+@query(
+    "incremental_rollup_orders",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_rollup_orders(spark, sf_dir):
+    """Incremental VIEW MAINTENANCE: the daily revenue rollup maintained
+    by additively merging per-batch partial aggregates
+    (operators/merge.merge_additive) instead of rescanning history —
+    the exact-aggregate twin of the mergeable-sketch family. Here the
+    history arrives as two batches (split by order key parity); each
+    contributes a (day, count, cents) partial and the state merge is
+    one full-outer join on the rollup key. Integer cents make the
+    result bit-identical to the full recompute under ANY split — which
+    is exactly what the oracle checks (it computes the rollup over all
+    orders in one pass)."""
+    from .operators.merge import merge_additive
+
+    o = load(spark, sf_dir, "orders").select(
+        # day as midnight TIMESTAMP, not DATE: the gate's pandas
+        # canonicalizer stringifies date cells differently per engine
+        F.to_date("o_orderdate").cast("timestamp").alias("day"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def partial(batch):
+        return batch.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+
+    state = partial(o.filter(F.col("o_orderkey") % 2 == 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = merge_additive(state, delta, ["day"], ["n_orders", "cents"])
+    return merged.select(
+        "day",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+    )

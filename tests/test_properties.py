@@ -760,3 +760,43 @@ class TestContainmentProperties:
         for pair, j in jac.items():
             c = cont[pair]
             assert 0.0 <= j <= c <= 1.0
+
+
+class TestAdditiveMergeProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=-1000, max_value=1000),  # value
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        cut=st.integers(min_value=0, max_value=40),
+    )
+    def test_any_split_merges_to_full_aggregate(self, spark, rows, cut):
+        """merge_additive(partial(A), partial(B)) == partial(A ∪ B) for
+        any split point — the commutative-monoid contract."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators.merge import merge_additive
+
+        def df(data):
+            return spark.createDataFrame(
+                [(k, v) for k, v in data], "k int, v long"
+            )
+
+        def partial(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").alias("s"),
+            )
+
+        cut = min(cut, len(rows))
+        merged = merge_additive(
+            partial(df(rows[:cut])), partial(df(rows[cut:])), ["k"], ["n", "s"]
+        )
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, partial(df(rows)).collect()))
+        assert got == want
