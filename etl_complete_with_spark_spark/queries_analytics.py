@@ -2437,3 +2437,68 @@ def incremental_rollup_orders(spark, sf_dir):
         "n_orders",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
     )
+
+
+@query(
+    "stream_incremental_rollup",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def stream_incremental_rollup(spark, sf_dir):
+    """The incremental_rollup_orders view maintained UNDER STREAMING
+    (streaming/ingest.incremental_rollup_stream): orders arrive as two
+    disjoint micro-batches, each appends its per-day partial aggregate
+    (epoch-keyed overwrite — crash-idempotent), and the rollup read
+    merges the partials with one groupBy-sum. The merge_additive
+    monoid property makes the result bit-identical to the one-pass
+    batch rollup for ANY arrival split, so the oracle is the exact
+    full recompute."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .streaming.ingest import incremental_rollup_stream
+
+    stage = tempfile.mkdtemp(prefix="sir_in_")
+    out = tempfile.mkdtemp(prefix="sir_out_")
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet")
+    even = pc.equal(pc.bit_wise_and(tbl["o_orderkey"], 1), 0)
+    pq.write_table(tbl.filter(even), f"{stage}/part-0.parquet")
+    pq.write_table(tbl.filter(pc.invert(even)), f"{stage}/part-1.parquet")
+    try:
+        q = incremental_rollup_stream(
+            spark,
+            stage,
+            rollup_dir=f"{out}/rollup",
+            checkpoint_dir=f"{out}/ckpt_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        partials = spark.read.parquet(f"{out}/rollup").drop("epoch")
+        return (
+            partials.groupBy("day")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").alias("cents"),
+            )
+            .select(
+                F.col("day").cast("timestamp").alias("day"),
+                "n_orders",
+                F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

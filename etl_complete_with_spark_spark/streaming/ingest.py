@@ -474,3 +474,59 @@ def quantile_sketch_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def incremental_rollup_stream(
+    spark: SparkSession,
+    events_path: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental view maintenance of the daily orders rollup:
+    each micro-batch writes its own per-day PARTIAL aggregate (count +
+    exact integer cents) into ``rollup_dir/epoch=<id>/``; readers merge
+    all partials with one groupBy-sum — `operators/merge.merge_additive`
+    algebra, maintained under streaming. History is never rescanned;
+    per-epoch state is the batch's day-cardinality, not its row count.
+
+    Epoch-keyed overwrite (the neardup_ingest_stream recipe) makes
+    crash replays idempotent, and the commutative-monoid property —
+    hypothesis-tested for merge_additive — guarantees the merged result
+    is bit-identical to the one-pass batch rollup regardless of how
+    arrival split the batches, so the catalog entry carries an EXACT
+    full-recompute oracle.
+    """
+    import os
+
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(
+            F.to_date(F.col("o_orderdate").cast("timestamp")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(rollup_dir, f"epoch={int(epoch_id)}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
