@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -561,3 +561,47 @@ def bfs_levels(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection, ``rounds``
+    fixed iterations -> (node, label).
+
+    Every node starts labeled with itself; each round every node adopts
+    the label most frequent among its NEIGHBORS' current labels (ties
+    to the smallest label — fully deterministic, unlike the classic
+    randomized-order LPA). Per round: one edge join + one (node, label)
+    count + one per-node top-1 window (partitioned by node — bounded
+    partitions). Fixed rounds + deterministic tie-break ⇒ chained-CTE
+    replay oracle, like kmeans/kcore/BFS. Nodes are the edge endpoints,
+    so every node has a neighbor and the adopt step is total.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -363,3 +363,39 @@ class TestBfsLevels:
         got = self._run(spark, edges, [0], rounds=4)
         assert got == {0: 0, 1: 1, 2: 1}
         assert 10 not in got and 11 not in got
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import label_propagation
+
+        import itertools
+
+        k1 = list(itertools.combinations([0, 1, 2, 3], 2))
+        k2 = list(itertools.combinations([10, 11, 12, 13], 2))
+        bridge = [(3, 10)]
+        df = spark.createDataFrame(k1 + k2 + bridge, "src long, dst long")
+        out = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+        # each clique converges on its minimum label
+        assert {out[i] for i in [0, 1, 2]} == {0}
+        assert {out[i] for i in [11, 12, 13]} == {10}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import label_propagation
+
+        import random
+
+        rng = random.Random(3)
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(120))
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+        b = sorted(
+            map(tuple, label_propagation(df.repartition(11), rounds=3).collect())
+        )
+        assert a == b
