@@ -2732,3 +2732,67 @@ def pyds_synthetic_rollup(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("value_cents").cast("long").alias("total_cents"),
     )
+
+
+_KL_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _kl_oracle() -> str:
+    term = (
+        "COALESCE(max(CASE WHEN lang = '{L}' THEN"
+        " round((pc * 1.0 / st) * ln((pc * 1.0 / st) / (cc * 1.0 / ct)), 8)"
+        " END), 0)"
+    )
+    terms = " + ".join(term.format(L=lang) for lang in _KL_LANGS)
+    return f"""
+    WITH per AS MATERIALIZED (
+        SELECT source, lang, count(*) AS pc FROM documents GROUP BY 1, 2),
+    st_ AS (SELECT source, sum(pc) AS st FROM per GROUP BY 1),
+    cl AS (SELECT lang, sum(pc) AS cc FROM per GROUP BY 1),
+    ct_ AS (SELECT sum(pc) AS ct FROM per),
+    j AS (
+        SELECT per.source, per.lang, per.pc, st_.st, cl.cc, ct_.ct
+        FROM per JOIN st_ USING (source) JOIN cl USING (lang) CROSS JOIN ct_)
+    SELECT source,
+           CAST(max(st) AS BIGINT) AS n_docs,
+           round({terms}, 6) AS kl_to_corpus
+    FROM j GROUP BY source
+    """
+
+
+@query("mixture_kl_by_source", _kl_oracle())
+def mixture_kl_by_source(spark, sf_dir):
+    """Corpus MIXTURE-DRIFT monitor: per-source KL divergence of the
+    language distribution from the corpus-wide distribution — the
+    training-data dashboard number that tells you a crawl source's
+    language mix is sliding. Per-language terms are rounded to 8 and
+    summed in a FIXED written order over the (known, pinned) language
+    set — the BM25 float discipline — so the sum is engine-identical;
+    counts and totals are exact integers throughout. All tables after
+    the first aggregation are language/source-cardinality small:
+    broadcast joins, no second scan."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("pc"))
+    per = per.localCheckpoint(eager=False)  # 4 consumers
+    st = per.groupBy("source").agg(F.sum("pc").alias("st"))
+    cl = per.groupBy("lang").agg(F.sum("pc").alias("cc"))
+    ct = per.agg(F.sum("pc").alias("ct"))
+    j = (
+        per.join(F.broadcast(st), "source")
+        .join(F.broadcast(cl), "lang")
+        .crossJoin(F.broadcast(ct))
+    )
+    p = F.col("pc") * 1.0 / F.col("st")
+    q = F.col("cc") * 1.0 / F.col("ct")
+    term = F.round(p * F.log(p / q), 8)
+    parts = [
+        F.coalesce(F.max(F.when(F.col("lang") == lang, term)), F.lit(0.0))
+        for lang in _KL_LANGS
+    ]
+    total = parts[0]
+    for c in parts[1:]:
+        total = total + c
+    return j.groupBy("source").agg(
+        F.max("st").cast("long").alias("n_docs"),
+        F.round(total, 6).alias("kl_to_corpus"),
+    )
