@@ -506,3 +506,68 @@ class TestNeardupIngestStream:
         # and the filter actually dropped something (the corpus has dups)
         n_docs = sum(len(p) for p in batches)
         assert len(expect) < n_docs
+
+
+class TestScd2DimStream:
+    def test_stream_matches_sequential_batch_application(self, spark, tmp_path):
+        """Two micro-batches of attribute updates through scd2_dim_stream
+        == sequential scd2_init + scd2_apply with the same epoch-derived
+        timestamps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_complete_with_spark_spark.operators.scd2 import (
+            scd2_apply,
+            scd2_init,
+        )
+        from etl_complete_with_spark_spark.streaming.ingest import scd2_dim_stream
+
+        b0 = [(1, "paris"), (2, "rome"), (3, "oslo")]
+        b1 = [(1, "lyon"), (2, "rome"), (4, "cairo")]  # 1 changes, 2 no-op, 4 new
+        stage = tmp_path / "in"
+        stage.mkdir()
+        import os as _os
+
+        for i, rows in enumerate([b0, b1]):
+            p = stage / f"part-{i}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array([r[0] for r in rows], pa.int64()),
+                        "city": pa.array([r[1] for r in rows]),
+                    }
+                ),
+                str(p),
+            )
+            # file-stream batch order follows modification time; pin it
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        dim_dir = tmp_path / "dim"
+        q = scd2_dim_stream(
+            spark,
+            str(stage),
+            dim_dir=str(dim_dir),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            key="id",
+            tracked=["city"],
+            schema="id long, city string",
+            max_files_per_trigger=1,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(dim_dir / "_CURRENT") as fh:
+            cur = fh.read().strip()
+        streamed = sorted(
+            map(tuple, spark.read.parquet(str(dim_dir / cur)).collect())
+        )
+
+        def df(rows):
+            return spark.createDataFrame(rows, "id long, city string")
+
+        dim = scd2_init(df(b0), "2024-01-01 00:00:00")
+        dim = scd2_apply(dim, df(b1), "id", ["city"], "2024-01-02 00:00:00")
+        want = sorted(map(tuple, dim.collect()))
+        assert streamed == want
+        # key 1: two versions; key 2: one (no-op); keys 3,4: one each
+        assert len(streamed) == 5
