@@ -174,6 +174,29 @@ _JACCARD_POSTING = f"""
 """
 
 
+# Shared trigram-Jaccard near-dup pairs (threshold 0.5, no freq cap) for
+# the three queries that consume the identical pair set
+# (dedup_ngram_jaccard, dedup_cluster_keep, dedup_cluster_keep_star).
+# One posting self-join per (session, sf_dir) instead of three — the
+# same materialize-once pattern as queries_analytics._coorder_edges;
+# lazy localCheckpoint, so unused cache entries cost nothing.
+_JACCARD_PAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = D.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"),
+            n=3,
+            threshold=0.5,
+            max_shingle_freq=None,
+        ).localCheckpoint(eager=False)
+        _JACCARD_PAIRS_CACHE[key] = cached
+    return cached
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
@@ -191,9 +214,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     bigrams) because this corpus's 40-word vocabulary makes every bigram a
     hot posting (the f² join blowup); real corpora instead use
     ``max_shingle_freq`` to drop boilerplate shingles."""
-    return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
-    )
+    return _jaccard_pairs(spark, sf_dir)
 
 
 _MH_K, _MH_BANDS, _MH_N, _MH_T = 16, 4, 3, 0.5
@@ -345,9 +366,7 @@ def dedup_cluster_keep(spark, sf_dir):
     exact cross-engine check of an iterative distributed algorithm."""
     from .operators.graph import connected_components
 
-    pairs = D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
-    ).select("id1", "id2")
+    pairs = _jaccard_pairs(spark, sf_dir).select("id1", "id2")
     comp = connected_components(pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
@@ -366,9 +385,7 @@ def dedup_cluster_keep_star(spark, sf_dir):
     to land the identical labeling."""
     from .operators.graph import connected_components_star
 
-    pairs = D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_freq=None
-    ).select("id1", "id2")
+    pairs = _jaccard_pairs(spark, sf_dir).select("id1", "id2")
     comp = connected_components_star(pairs)
     return comp.select(
         F.col("id").alias("doc_id"),
