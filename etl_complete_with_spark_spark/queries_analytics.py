@@ -1824,11 +1824,10 @@ def sketch_countmin_users(spark, sf_dir):
 _COORDER_CACHE: dict = {}
 
 
-def _coorder_edges(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _COORDER_CACHE.get(key)
-    if cached is not None:
-        return cached
+def _coorder_edges_plan(spark, sf_dir):
+    """The un-checkpointed edge construction (cohort filter pushes down
+    to the parquet scan — asserted in test_plans.py, where the
+    checkpointed cached form would hide the scan node)."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -1840,12 +1839,15 @@ def _coorder_edges(spark, sf_dir):
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .localCheckpoint(eager=False)
-    )
+    return a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def _coorder_edges(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COORDER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = _coorder_edges_plan(spark, sf_dir).localCheckpoint(eager=False)
     _COORDER_CACHE[key] = edges
     return edges
 

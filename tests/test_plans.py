@@ -236,3 +236,49 @@ class TestAdaptiveExecution:
         final = agg._jdf.queryExecution().executedPlan().toString()
         assert "AQEShuffleRead" in final and "coalesced" in final, final[:1500]
         assert agg.rdd.getNumPartitions() < 32
+
+
+class TestRound4PlanShapes:
+    def test_coorder_cohort_filter_reaches_scan(self, spark, sf_dir):
+        # the 1995-96 cohort predicate must prune at the parquet scan;
+        # asserted on the pre-checkpoint construction (the cached form
+        # truncates lineage, hiding the scan node from the final plan)
+        from etl_complete_with_spark_spark.queries_analytics import (
+            _coorder_edges_plan,
+        )
+
+        df = _coorder_edges_plan(spark, sf_dir)
+        assert P.has_pushed_filter(
+            df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"
+        )
+
+    def test_bm25_stats_broadcast(self, spark, sf_dir):
+        df = QUERIES["bm25_doc_search"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
+        assert "TakeOrderedAndProject" in P.physical_plan(df)
+
+    def test_knn_corpus_not_shuffled(self, spark, sf_dir):
+        df = QUERIES["knn_label_vote"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
+
+    def test_ewma_single_shuffle(self, spark, sf_dir):
+        df = QUERIES["ewma_user_value"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 1
+        assert "SinglePartition" not in P.physical_plan(df)
+
+    def test_debounce_single_shuffle_no_global_window(self, spark, sf_dir):
+        df = QUERIES["debounce_events"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 1
+        assert "SinglePartition" not in P.physical_plan(df)
+
+    def test_trigrams_top20_is_take_ordered(self, spark, sf_dir):
+        df = QUERIES["top_event_trigrams"](spark, sf_dir)
+        assert "TakeOrderedAndProject" in P.physical_plan(df)
+
+    def test_sparse_cosine_stats_broadcast(self, spark, sf_dir):
+        df = QUERIES["sparse_tfidf_cosine_pairs"](spark, sf_dir)
+        assert P.has_broadcast_join(df)
+
+    def test_quantile_sketch_no_global_window(self, spark, sf_dir):
+        df = QUERIES["sketch_quantile_bottomk"](spark, sf_dir)
+        assert "SinglePartition" not in P.physical_plan(df)
