@@ -546,21 +546,29 @@ def bfs_levels(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    dist = sources.select(
+    visited = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).cast("long").alias("dist")
-    )
-    for _ in range(rounds):
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for r in range(1, rounds + 1):
+        # FRONTIER-ONLY expansion: join edges against the last level's
+        # nodes, not the whole visited set — per-round work tracks the
+        # frontier size (the textbook BFS invariant; at 100 TB the
+        # visited set dwarfs the frontier after a few hops), and the
+        # anti-join discards already-settled nodes so the min-dist
+        # groupBy only deduplicates WITHIN the new level.
         frontier = (
-            sym.join(dist.withColumnRenamed("node", "a"), "a")
-            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
-        )
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            sym.join(
+                frontier.select(F.col("node").alias("a")), "a"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
             .localCheckpoint(eager=False)
         )
-    return dist
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    return visited
 
 
 def label_propagation(
@@ -593,15 +601,23 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(rounds):
+        # top-1 label per node as a max-of-struct AGGREGATE, not a rank
+        # window: (c, -label) maximized == highest count, ties to the
+        # smallest label — two hash aggregates instead of a per-node
+        # sort, and map-side partials cap the second shuffle at
+        # node-cardinality rows per partition.
         labels = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("top")
+            )
+            .select("node", (-F.col("top.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

@@ -70,12 +70,22 @@ def merge_bottomk(
     k: int,
 ) -> DataFrame:
     """Merge per-group sketches up to ``merge_cols`` granularity: union
-    the candidate rows, keep the k smallest ranks. Input is already
-    k-bounded per fine group, so this window sorts at most
-    k × (groups-per-merge-key) rows per partition."""
+    the candidate rows, drop duplicate identities, keep the k smallest
+    ranks. Input is already k-bounded per fine group, so this window
+    sorts at most k × (groups-per-merge-key) rows per partition.
+
+    The identity dedup makes the merge correct under AT-LEAST-ONCE
+    delivery: a row replayed into two different sketches (duplicate
+    event across micro-batches, overlapping backfills) carries the same
+    deterministic rank hash, so without the dedup it would occupy two
+    sample slots and bias the quantile read; with it, merging any
+    multiset of sketches over the same logical stream converges to the
+    same bottom-k (idempotent ∪ mergeable — tested in
+    test_round4_ops.py)."""
     w = Window.partitionBy(*merge_cols).orderBy("rank_hash", id_col)
     return (
-        sketches.withColumn("rn", F.row_number().over(w))
+        sketches.dropDuplicates([*merge_cols, id_col])
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

@@ -399,3 +399,29 @@ class TestLabelPropagation:
             map(tuple, label_propagation(df.repartition(11), rounds=3).collect())
         )
         assert a == b
+
+
+class TestBottomKDuplicateTolerance:
+    def test_merge_idempotent_under_replay(self, spark):
+        """Merging a sketch with a REPLAYED copy of itself (at-least-once
+        delivery) yields the identical bottom-k."""
+        rows = [(i, float(i % 31)) for i in range(400)]
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        base = bottomk_sample(df, [], "event_id", "value", k=16)
+        replayed = base.unionByName(base)  # every sketch row duplicated
+        merged = merge_bottomk(replayed, [], "event_id", k=16)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+
+    def test_overlapping_batches_do_not_bias_sample(self, spark):
+        rows = [(i, float(i)) for i in range(300)]
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        # two "batches" with an overlapping middle third
+        b1 = bottomk_sample(df.filter("event_id < 200"), [], "event_id", "value", 16)
+        b2 = bottomk_sample(df.filter("event_id >= 100"), [], "event_id", "value", 16)
+        merged = merge_bottomk(b1.unionByName(b2), [], "event_id", k=16)
+        direct = bottomk_sample(df, [], "event_id", "value", k=16)
+        assert sorted(r.event_id for r in merged.collect()) == sorted(
+            r.event_id for r in direct.collect()
+        )
