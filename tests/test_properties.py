@@ -800,3 +800,87 @@ class TestAdditiveMergeProperties:
         got = sorted(map(tuple, merged.collect()))
         want = sorted(map(tuple, partial(df(rows)).collect()))
         assert got == want
+
+
+class TestGraphIterationProperties:
+    @SETTINGS
+    @given(
+        n_nodes=st.integers(min_value=2, max_value=16),
+        density=st.floats(min_value=0.1, max_value=0.8),
+        k=st.integers(min_value=2, max_value=4),
+        seed=st.integers(min_value=0, max_value=9999),
+    )
+    def test_kcore_converged_matches_python_peel(self, spark, n_nodes, density, k, seed):
+        import itertools
+        import random
+
+        from etl_complete_with_spark_spark.operators.graph import kcore_peel
+
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n_nodes), 2)
+            if rng.random() < density
+        ]
+        if not edges:
+            return
+        # python reference: iterate peeling to the fixed point
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        while True:
+            weak = [v for v, ns in adj.items() if len(ns) < k]
+            if not weak:
+                break
+            for v in weak:
+                for u in adj.pop(v):
+                    adj.get(u, set()).discard(v)
+        want = {v: len(ns) for v, ns in adj.items()}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # n_nodes rounds always reach the fixed point
+        got = {
+            r.node: r.deg for r in kcore_peel(df, k=k, rounds=n_nodes).collect()
+        }
+        assert got == want
+
+    @SETTINGS
+    @given(
+        n_nodes=st.integers(min_value=2, max_value=16),
+        density=st.floats(min_value=0.05, max_value=0.6),
+        rounds=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=9999),
+    )
+    def test_bfs_matches_python_levels(self, spark, n_nodes, density, rounds, seed):
+        import itertools
+        import random
+        from collections import deque
+
+        from etl_complete_with_spark_spark.operators.graph import bfs_levels
+
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n_nodes), 2)
+            if rng.random() < density
+        ]
+        if not edges:
+            return
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        src = min(adj)
+        want = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for u in adj[v]:
+                if u not in want:
+                    want[u] = want[v] + 1
+                    q.append(u)
+        want = {v: d for v, d in want.items() if d <= rounds}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(src,)], "node long")
+        got = {r.node: r.dist for r in bfs_levels(df, s, rounds).collect()}
+        assert got == want
