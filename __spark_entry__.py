@@ -26,13 +26,14 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # analytics / TPC-H / windowing half of the catalog.  This list pins one
 # representative of every COVERAGE.md operator family into that window; the
 # remaining catalog entries follow in registration order and are still fully
-# covered by the local gate (``scripts/oracle_check.py``, all 115 queries).
+# covered by the local gate (``scripts/oracle_check.py``, all 155 queries).
 PRIORITY_WINDOW: list[str] = [
     # always-pinned flagship + live-JDBC rows
     "pipeline_work_to_trusted",
     "jdbc_resync_orders",
-    # --- the 40 queries with NO row in any prior CORRECTNESS artifact
-    # (r01∪r02∪r03 union = 93/133; this round closes the gap to 133).
+    # --- 48 queries with NO row in any prior CORRECTNESS artifact
+    # (r01∪r02∪r03 union = 93; the catalog has since grown to 155 —
+    # later round-4 additions queue for r05, see the note below).
     # TPC-H mid-range (§2.4b)
     "q2_min_cost_supplier",
     "q5_local_supplier_volume",
