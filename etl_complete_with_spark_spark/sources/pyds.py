@@ -60,7 +60,7 @@ def row_for(event_id: int) -> tuple[int, int, int]:
     )
 
 
-class _SliceParation(InputPartition):
+class _SlicePartition(InputPartition):
     def __init__(self, start: int, end: int) -> None:
         self.start = start
         self.end = end
@@ -113,13 +113,13 @@ class SyntheticEventsReader(DataSourceReader):
         if self.end <= self.start:
             # fully pruned: one empty slice — Spark treats an empty
             # partition list as "unpartitioned" and calls read(None)
-            return [_SliceParation(self.start, self.start)]
+            return [_SlicePartition(self.start, self.start)]
         return [
-            _SliceParation(iv.start, iv.end)
+            _SlicePartition(iv.start, iv.end)
             for iv in int_intervals(self.start, self.end, self.chunk)
         ]
 
-    def read(self, partition: _SliceParation) -> Iterator[tuple]:
+    def read(self, partition: _SlicePartition) -> Iterator[tuple]:
         for event_id in range(partition.start, partition.end):
             yield row_for(event_id)
 
