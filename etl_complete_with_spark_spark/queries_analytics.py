@@ -2623,3 +2623,77 @@ def lpa_communities_parts(spark, sf_dir):
 
     edges = _coorder_edges(spark, sf_dir)
     return GR.label_propagation(edges, rounds=3)
+
+
+@query(
+    "forecast_eval_seasonal_naive",
+    """
+    WITH m AS MATERIALIZED (
+        SELECT n.n_name,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+    j AS (
+        SELECT a.n_name, a.month, a.cents AS actual, p.cents AS predicted
+        FROM m a JOIN m p
+          ON p.n_name = a.n_name
+         AND p.month = a.month - INTERVAL 12 MONTH)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(abs(actual - predicted) * 10000 // actual) AS BIGINT)
+               AS total_ape_bp,
+           round(sum(abs(actual - predicted) * 10000 // actual)
+                 / (count(*) * 100.0), 4) AS mape_pct
+    FROM j GROUP BY n_name
+    """,
+)
+def forecast_eval_seasonal_naive(spark, sf_dir):
+    """Forecast-evaluation harness: the SEASONAL-NAIVE baseline (predict
+    month m with month m-12) scored by MAPE per nation — the sanity
+    baseline every revenue-forecast model must beat, and the shape of
+    any backtest pipeline (time-shifted self-join on the entity+period
+    key, never a window lag, so calendar GAPS can't silently misalign
+    the horizon). Error math is exact integers end to end: revenue as
+    integer cents, per-month absolute percentage error floored to basis
+    points, MAPE as an exact-ratio division rounded once — no float
+    accumulation anywhere. Dims broadcast; one shuffle for the monthly
+    rollup, one for the self-join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .localCheckpoint(eager=False)  # both sides of the self-join
+    )
+    a = m.select("n_name", "month", F.col("cents").alias("actual"))
+    p = m.select(
+        "n_name",
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        F.col("cents").alias("predicted"),
+    )
+    ape_bp = F.expr("abs(actual - predicted) * 10000 div actual")
+    return (
+        a.join(p, ["n_name", "month"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum(ape_bp).cast("long").alias("total_ape_bp"),
+            F.round(
+                F.sum(ape_bp) / (F.count(F.lit(1)) * 100.0), 4
+            ).alias("mape_pct"),
+        )
+    )
