@@ -2697,3 +2697,82 @@ def forecast_eval_seasonal_naive(spark, sf_dir):
             ).alias("mape_pct"),
         )
     )
+
+
+@query(
+    "regression_price_vs_quantity",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_price_vs_quantity(spark, sf_dir):
+    """Grouped ordinary-least-squares fit (price ~ quantity per return
+    flag): slope = cov/var, intercept = ȳ − slope·x̄, R² = corr² —
+    single-pass co-moment aggregation, one shuffle, the same numeric
+    envelope as stats_price_quantity (both engines accumulate co-moments
+    in doubles; results rounded once). Spark has the same regr_*
+    aggregates as DuckDB since 3.4 — used directly."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "time_to_purchase_stats",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        FROM events GROUP BY user_id),
+    d AS (
+        SELECT user_id, (t_purchase - t_signup) // 1000000 AS delta_s
+        FROM f
+        WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+          AND t_purchase >= t_signup)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
+           round(sum(delta_s) / (count(*) * 1.0), 2) AS avg_s
+    FROM d
+    """,
+)
+def time_to_purchase_stats(spark, sf_dir):
+    """Funnel LATENCY: distribution of signup -> first-purchase delay.
+    One conditional-min aggregation per user (no window, no self-join),
+    integer-second deltas (epoch micros floored — both engines share the
+    integer math), exact interpolated percentiles and an exact-ratio
+    mean rounded once. The time-to-convert metric every growth dashboard
+    pairs with funnel_signup_click_purchase's conversion counts."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    d = f.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        F.expr("(t_purchase - t_signup) div 1000000").alias("delta_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.sum("delta_s") / (F.count(F.lit(1)) * 1.0), 2).alias("avg_s"),
+    )
