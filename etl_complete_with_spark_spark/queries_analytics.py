@@ -2776,3 +2776,155 @@ def time_to_purchase_stats(spark, sf_dir):
         F.round(F.expr("percentile(delta_s, 0.9)"), 4).alias("p90_s"),
         F.round(F.sum("delta_s") / (F.count(F.lit(1)) * 1.0), 2).alias("avg_s"),
     )
+
+
+@query(
+    "association_rules_parts",
+    """
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM pairs),
+    freq AS MATERIALIZED (SELECT p, count(*) AS f FROM pairs GROUP BY p),
+    cooc AS MATERIALIZED (
+        SELECT a.p AS ante, b.p AS cons, count(*) AS c
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p != b.p
+        GROUP BY 1, 2)
+    SELECT ante AS antecedent, cons AS consequent,
+           CAST(c AS BIGINT) AS n_baskets,
+           CAST(c * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(c * 1000000 // fa.f AS BIGINT) AS confidence_ppm,
+           CAST((c * 1000000 // fa.f) * n.n_orders // fb.f AS BIGINT)
+               AS lift_ppm
+    FROM cooc
+    JOIN freq fa ON fa.p = ante
+    JOIN freq fb ON fb.p = cons
+    CROSS JOIN n
+    WHERE c >= 2 AND c * 1000000 // fa.f >= 100000
+    """,
+)
+def association_rules_parts(spark, sf_dir):
+    """Market-basket ASSOCIATION RULES (ante ⇒ cons) over order baskets:
+    support, confidence and lift in exact integer parts-per-million
+    (floored rationals — no float accumulation anywhere), mined with the
+    co-occurrence join + broadcast-back item frequencies and pruned by
+    min-support (c >= 2) and min-confidence (>= 10% — calibrated to this
+    corpus's wide, shallow baskets; production tunes both). The groupBy-join
+    formulation of Apriori's pair level — the level that matters in
+    practice; higher-order itemsets nest the same plan. Lift > 1e6 ppm
+    reads 'bought together more than chance'."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = li.localCheckpoint(eager=False)  # 3 consumers
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ante"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("cons"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("ante"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("cons"), F.col("f").alias("fb"))
+    conf = F.expr("c * 1000000 div fa")
+    return (
+        cooc.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fb), "cons")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("c") >= 2) & (conf >= 100_000))
+        .select(
+            F.col("ante").alias("antecedent"),
+            F.col("cons").alias("consequent"),
+            F.col("c").cast("long").alias("n_baskets"),
+            F.expr("c * 1000000 div n_orders").cast("long").alias("support_ppm"),
+            conf.cast("long").alias("confidence_ppm"),
+            F.expr("(c * 1000000 div fa) * n_orders div fb")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+_PSI_BANDS = [0, 50_000, 100_000, 150_000, 200_000, 300_000, 400_000]  # cents
+
+
+def _psi_oracle() -> str:
+    edges = _PSI_BANDS + [None]
+    bucket_case = "CASE " + " ".join(
+        f"WHEN cents < {hi} THEN {i}"
+        for i, hi in enumerate(_PSI_BANDS[1:])
+    ) + f" ELSE {len(_PSI_BANDS) - 1} END"
+    term = (
+        "COALESCE(max(CASE WHEN bucket = {B} THEN"
+        " round(((ac * 1.0 / ta) - (bc * 1.0 / tb))"
+        " * ln((ac * 1.0 / ta) / (bc * 1.0 / tb)), 8) END), 0)"
+    )
+    terms = " + ".join(term.format(B=i) for i in range(len(_PSI_BANDS)))
+    return f"""
+    WITH x AS MATERIALIZED (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                    THEN 'a' ELSE 'b' END AS era,
+               {bucket_case} AS bucket
+        FROM (SELECT o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01')),
+    cnt AS (
+        SELECT bucket,
+               count(*) FILTER (WHERE era = 'a') AS ac,
+               count(*) FILTER (WHERE era = 'b') AS bc
+        FROM x GROUP BY bucket),
+    tot AS (SELECT sum(ac) AS ta, sum(bc) AS tb FROM cnt)
+    SELECT CAST(tot.ta AS BIGINT) AS n_1995,
+           CAST(tot.tb AS BIGINT) AS n_1996,
+           round({terms}, 6) AS psi
+    FROM cnt CROSS JOIN tot
+    GROUP BY tot.ta, tot.tb
+    """
+
+
+@query("psi_order_price_drift", _psi_oracle())
+def psi_order_price_drift(spark, sf_dir):
+    """Population Stability Index of the order-price distribution, 1995
+    vs 1996 — the model-monitoring drift score (PSI > 0.2 = retrain).
+    Fixed price bands (so the metric is comparable across runs — the
+    production convention), integer-cents bucketing, and the per-bucket
+    PSI terms rounded to 8 and summed in one FIXED written order (the
+    BM25/KL float discipline). Every band is populated in this data, so
+    the zero-count edge case (production adds Laplace smoothing) never
+    divides by zero. One scan, one tiny pivot."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucket = F.lit(len(_PSI_BANDS) - 1)
+    for i, hi in reversed(list(enumerate(_PSI_BANDS[1:]))):
+        bucket = F.when(cents < hi, F.lit(i)).otherwise(bucket)
+    era = F.when(F.col("o_orderdate") < "1996-01-01", "a").otherwise("b")
+    cnt = (
+        o.select(era.alias("era"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("era") == "a", 1)).alias("ac"),
+            F.count(F.when(F.col("era") == "b", 1)).alias("bc"),
+        )
+    )
+    tot = cnt.agg(F.sum("ac").alias("at"), F.sum("bc").alias("bt"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    pa = F.col("ac") * 1.0 / F.col("at")
+    pb = F.col("bc") * 1.0 / F.col("bt")
+    term = F.round((pa - pb) * F.log(pa / pb), 8)
+    parts = [
+        F.coalesce(F.max(F.when(F.col("bucket") == i, term)), F.lit(0.0))
+        for i in range(len(_PSI_BANDS))
+    ]
+    total = parts[0]
+    for c in parts[1:]:
+        total = total + c
+    return j.groupBy().agg(
+        F.max("at").cast("long").alias("n_1995"),
+        F.max("bt").cast("long").alias("n_1996"),
+        F.round(total, 6).alias("psi"),
+    )
