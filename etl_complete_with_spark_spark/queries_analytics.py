@@ -2928,3 +2928,130 @@ def psi_order_price_drift(spark, sf_dir):
         F.max("bt").cast("long").alias("n_1996"),
         F.round(total, 6).alias("psi"),
     )
+
+
+def _sampled_mad_oracle(k: int = 1024) -> str:
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # (11.8k dupes at sf0.01); folding part/supp keys AND the price into
+    # the row id makes any remaining rank ties VALUE-identical, so the
+    # sampled value multiset — and every estimate — is deterministic in
+    # both engines even when row_number picks a different tied copy.
+    rid = (
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+        " || '-' || CAST(l_partkey AS VARCHAR)"
+        " || '-' || CAST(l_suppkey AS VARCHAR)"
+        " || '-' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+    )
+    rh = f"CAST('0x' || substr(md5({rid} || '#41'), 1, 15) AS BIGINT)"
+    return f"""
+    WITH x AS MATERIALIZED (
+        SELECT l_returnflag AS rf, l_extendedprice AS v,
+               {rid} AS rid, {rh} AS rh
+        FROM lineitem),
+    s AS MATERIALIZED (
+        SELECT * FROM x
+        QUALIFY row_number() OVER (PARTITION BY rf ORDER BY rh, rid) <= {k}),
+    med AS MATERIALIZED (
+        SELECT rf, count(*) AS sample_k,
+               quantile_cont(v, 0.5) AS est_med
+        FROM s GROUP BY rf),
+    mad AS MATERIALIZED (
+        SELECT s.rf, quantile_cont(abs(s.v - med.est_med), 0.5) AS est_mad
+        FROM s JOIN med ON med.rf = s.rf GROUP BY s.rf)
+    SELECT x.rf AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(max(med.sample_k) AS BIGINT) AS sample_k,
+           round(max(med.est_med), 4) AS est_med,
+           round(max(mad.est_mad), 4) AS est_mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (x.v - med.est_med) / mad.est_mad)
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM x
+    JOIN med ON med.rf = x.rf
+    JOIN mad ON mad.rf = x.rf
+    GROUP BY x.rf
+    """
+
+
+@query("robust_outlier_prices_sampled", _sampled_mad_oracle())
+def robust_outlier_prices_sampled(spark, sf_dir):
+    """The 100 TB path for robust_outlier_prices: median and MAD
+    estimated from the per-group bottom-k=1024 hash-rank sample
+    (operators/quantiles — ±~3% rank error by DKW) instead of two exact
+    sorts over the full data; the full scan happens ONCE, only to count
+    flags against the broadcast (k-bounded) estimates. The sample is
+    md5-deterministic, so unlike t-digest this sketch replays in SQL and
+    the oracle checks the estimates and flag counts EXACTLY — same
+    pattern as stream_quantile_sketch."""
+    from .operators.quantiles import bottomk_sample
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("v"),
+        # see _sampled_mad_oracle: id folds in part/supp/price so rank
+        # ties are value-identical (duplicate (orderkey, linenumber)
+        # rows exist in this data)
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        ).alias("rid"),
+        (F.col("l_orderkey") % 64).alias("l_orderkey_mod"),
+    ).localCheckpoint(eager=False)  # sample + final count scan
+    # two-level sampling: bottom-k per (rf, shard) — 3×64 bounded
+    # partitions instead of 3 near-global sorts — then merged to rf;
+    # mergeability makes the result EXACTLY the per-rf global bottom-k,
+    # so the oracle's direct global formulation still matches.
+    sharded = bottomk_sample(
+        li.withColumn("shard", F.col("l_orderkey_mod")),
+        ["rf", "shard"],
+        "rid",
+        "v",
+        k=1024,
+    )
+    from .operators.quantiles import merge_bottomk
+
+    s = merge_bottomk(sharded.drop("shard"), ["rf"], "rid", k=1024).localCheckpoint(
+        eager=False
+    )  # med + mad passes
+    med = s.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("long").alias("sample_k"),
+        F.expr("percentile(value, 0.5)").alias("est_med"),
+    )
+    mad = (
+        s.join(F.broadcast(med.select("rf", "est_med")), "rf")
+        .groupBy("rf")
+        .agg(F.expr("percentile(abs(value - est_med), 0.5)").alias("est_mad"))
+    )
+    return (
+        li.join(F.broadcast(med), "rf")
+        .join(F.broadcast(mad), "rf")
+        .groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.max("sample_k").alias("sample_k"),
+            F.round(F.max("est_med"), 4).alias("est_med"),
+            F.round(F.max("est_mad"), 4).alias("est_mad"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        0.6745 * (F.col("v") - F.col("est_med")) / F.col("est_mad")
+                    )
+                    > 3.5,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            "n_items",
+            "sample_k",
+            "est_med",
+            "est_mad",
+            "n_outliers",
+        )
+    )
