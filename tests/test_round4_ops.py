@@ -425,3 +425,21 @@ class TestBottomKDuplicateTolerance:
         assert sorted(r.event_id for r in merged.collect()) == sorted(
             r.event_id for r in direct.collect()
         )
+
+
+class TestBottomKDuplicateIdentities:
+    def test_value_identical_ties_are_deterministic(self, spark):
+        """When the identity key is not unique but ties share the VALUE
+        (the robust_outlier_prices_sampled construction), the sampled
+        value multiset is identical across partitionings."""
+        rows = []
+        for i in range(300):
+            rows.append((f"id{i}", float(i % 40)))
+            if i % 3 == 0:  # duplicate identity, same value
+                rows.append((f"id{i}", float(i % 40)))
+        df = spark.createDataFrame(rows, "rid string, value double")
+        a = bottomk_sample(df, [], "rid", "value", k=32)
+        b = bottomk_sample(df.repartition(17), [], "rid", "value", k=32)
+        va = sorted(r.value for r in a.collect())
+        vb = sorted(r.value for r in b.collect())
+        assert va == vb and len(va) == 32
