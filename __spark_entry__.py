@@ -87,14 +87,17 @@ PRIORITY_WINDOW: list[str] = [
     "kmeans_embeddings_int",
     "stream_quantile_sketch",
 ]
-# Still-unrecorded after this round (window is full at 50):
-# debounce_events, robust_outlier_prices, top_event_trigrams,
-# kcore_coorder_parts, bfs_coorder_parts, lpa_communities_parts,
-# clustering_coefficient_parts, item_cooccurrence_similarity,
-# golden_record_parts, sparse_tfidf_cosine_pairs, pyds_synthetic_rollup,
+# Still-unrecorded after this round (window is full at 50; all are green
+# in the local gate): debounce_events, robust_outlier_prices,
+# robust_outlier_prices_sampled, top_event_trigrams, kcore_coorder_parts,
+# bfs_coorder_parts, lpa_communities_parts, clustering_coefficient_parts,
+# item_cooccurrence_similarity, golden_record_parts,
+# sparse_tfidf_cosine_pairs, pyds_synthetic_rollup,
 # incremental_rollup_orders, stream_incremental_rollup,
-# mixture_kl_by_source — next round's first swaps (the
-# reference-core/basic-join slots with 2+ green rows cede).
+# mixture_kl_by_source, forecast_eval_seasonal_naive,
+# regression_price_vs_quantity, time_to_purchase_stats,
+# association_rules_parts, psi_order_price_drift — next round's first
+# swaps (the reference-core/basic-join slots with 2+ green rows cede).
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
 # a green row in some prior CORRECTNESS artifact AND its operator family
