@@ -621,3 +621,64 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities in scaled-integer arithmetic ->
+    (node, role, score) with role in {'hub', 'auth'}.
+
+    Directed edges: hubs live on the src side, authorities on the dst
+    side (a node appearing on both sides carries both scores). Each
+    round: auth'(v) = Σ hub(u) over in-edges, hub'(u) = Σ auth(v) over
+    out-edges, each renormalized to max = ``scale`` by integer
+    multiply-then-truncate-divide — the same exactness contract as
+    pagerank_fixed_point (integer sums are shuffle-order-independent,
+    so results are bit-identical across engines and the whole iteration
+    replays as chained CTEs). The per-round max is a 1-row aggregate
+    cross-joined back (never collected). int64 headroom: scores <=
+    scale, degree sums <= deg·scale, rescale multiplies by scale —
+    safe while deg·scale² < 2^63 (deg up to ~9e3 at scale 1e6).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = (
+        e.select(F.col("u").alias("node")).distinct()
+        .withColumn("score", F.lit(scale).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    auth = None
+    for _ in range(iters):
+        raw_auth = (
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        am = raw_auth.agg(F.max("s").alias("m"))
+        auth = (
+            raw_auth.crossJoin(F.broadcast(am))
+            .select("node", F.expr(f"s * {scale} div m").alias("score"))
+            .localCheckpoint(eager=False)
+        )
+        raw_hub = (
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        hm = raw_hub.agg(F.max("s").alias("m"))
+        hub = (
+            raw_hub.crossJoin(F.broadcast(hm))
+            .select("node", F.expr(f"s * {scale} div m").alias("score"))
+            .localCheckpoint(eager=False)
+        )
+    return hub.select("node", F.lit("hub").alias("role"), "score").unionByName(
+        auth.select("node", F.lit("auth").alias("role"), "score")
+    )

@@ -2813,3 +2813,69 @@ def mixture_kl_by_source(spark, sf_dir):
         F.max("st").cast("long").alias("n_docs"),
         F.round(total, 6).alias("kl_to_corpus"),
     )
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Chained-CTE replay of graph.hits_scores on the 1995 customer ->
+    supplier order graph. Every CTE MATERIALIZED (each round reads its
+    predecessor twice)."""
+    sql = [
+        f"""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS u, 10000000 + l.l_suppkey AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, CAST({scale} AS BIGINT) AS score FROM base)"""
+    ]
+    prev_h = "h0"
+    for r in range(1, iters + 1):
+        sql.append(f""",
+    ra{r} AS MATERIALIZED (
+        SELECT e.v AS node, sum(h.score) AS s
+        FROM base e JOIN {prev_h} h ON h.node = e.u GROUP BY e.v),
+    a{r} AS MATERIALIZED (
+        SELECT node, s * {scale} // (SELECT max(s) FROM ra{r}) AS score
+        FROM ra{r}),
+    rh{r} AS MATERIALIZED (
+        SELECT e.u AS node, sum(a.score) AS s
+        FROM base e JOIN a{r} a ON a.node = e.v GROUP BY e.u),
+    h{r} AS MATERIALIZED (
+        SELECT node, s * {scale} // (SELECT max(s) FROM rh{r}) AS score
+        FROM rh{r})""")
+        prev_h = f"h{r}"
+    sql.append(f"""
+    SELECT node, 'hub' AS role, CAST(score AS BIGINT) AS score FROM h{iters}
+    UNION ALL
+    SELECT node, 'auth' AS role, CAST(score AS BIGINT) AS score FROM a{iters}""")
+    return "".join(sql)
+
+
+@query("hits_customer_supplier", _hits_oracle(iters=2))
+def hits_customer_supplier(spark, sf_dir):
+    """HITS hubs & authorities (graph.hits_scores, 2 rounds,
+    scaled-integer arithmetic) on the 1995 customer -> supplier order
+    graph: hub customers concentrate purchases on authoritative
+    suppliers and vice versa — the mutual-reinforcement ranking
+    PageRank's single score can't express. Same exactness contract as
+    the other five replayed iterative algorithms: integer sums +
+    truncating renormalization make every round bit-identical across
+    engines, so the oracle replays the full alternation as chained
+    CTEs."""
+    from .operators.graph import hits_scores
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_scores(edges, iters=2)

@@ -443,3 +443,34 @@ class TestBottomKDuplicateIdentities:
         va = sorted(r.value for r in a.collect())
         vb = sorted(r.value for r in b.collect())
         assert va == vb and len(va) == 32
+
+
+class TestHitsScores:
+    def test_star_hub_dominates(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import hits_scores
+
+        # customer 1 buys from every supplier; customers 2-4 from one each
+        edges = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10), (4, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {(r.role, r.node): r.score for r in hits_scores(df, iters=3).collect()}
+        scale = 10**6
+        # the all-suppliers customer is the max hub; supplier 10 (most
+        # in-edges incl. the best hub) is the max authority
+        assert out[("hub", 1)] == scale
+        assert out[("auth", 10)] == scale
+        assert out[("hub", 1)] > out[("hub", 2)]
+        assert out[("auth", 10)] > out[("auth", 12)]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from etl_complete_with_spark_spark.operators.graph import hits_scores
+
+        import random
+
+        rng = random.Random(11)
+        edges = list(
+            {(rng.randrange(20), 100 + rng.randrange(10)) for _ in range(60)}
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, hits_scores(df, iters=3).collect()))
+        b = sorted(map(tuple, hits_scores(df.repartition(13), iters=3).collect()))
+        assert a == b
