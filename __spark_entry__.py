@@ -22,87 +22,87 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
-# (dict insertion order).  Round 2's artifact therefore never covered the
-# analytics / TPC-H / windowing half of the catalog.  This list pins one
-# representative of every COVERAGE.md operator family into that window; the
-# remaining catalog entries follow in registration order and are still fully
-# covered by the local gate (``scripts/oracle_check.py``, all 155 queries).
+# (dict insertion order).  This list controls that window; the remaining
+# catalog entries follow in registration order and are still fully covered
+# by the local gate (``scripts/oracle_check.py``, all 162 queries).
+#
+# ROUND 5: the r01∪r02∪r03∪r04 driver-green union is 141/162.  The 21
+# never-recorded queries (all round-4 additions that registered after the
+# 50-slot window filled) take slots 3-23, driving the union to 162/162 —
+# every catalog query externally recorded.  The remaining 27 slots re-record
+# the LEAST-recorded queries (exactly one green row, earliest round first,
+# registration order as the tiebreak) per the rotation policy below.
 PRIORITY_WINDOW: list[str] = [
     # always-pinned flagship + live-JDBC rows
     "pipeline_work_to_trusted",
     "jdbc_resync_orders",
-    # --- 48 queries with NO row in any prior CORRECTNESS artifact
-    # (r01∪r02∪r03 union = 93; the catalog has since grown to 155 —
-    # later round-4 additions queue for r05, see the note below).
-    # TPC-H mid-range (§2.4b)
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_discount_revenue_bands",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    # analytics not yet externally recorded
-    "supplier_balance_by_nation",
-    "orders_monthly_rollup",
-    "first_last_event_per_user",
-    "funnel_signup_click_purchase",
-    "table_diff_customer_batches",
-    "calendar_dim",
-    "histogram_order_prices",
-    "skew_key_profile_events",
-    "cohort_weekly_retention",
-    "agg_approx_stats",
-    "rfm_customer_segments",
-    "markov_event_transitions",
-    "cdc_apply_orders",
-    "sketch_countmin_users",
-    # training-data / graph / embeddings not yet externally recorded
-    "dedup_cluster_keep_star",
-    "ann_tiled_topk",
-    "ann_pq_topk",
-    "sample_weighted_quality",
-    "sketch_merge_daily_users",
-    "embedding_vector_stats",
-    "text_gopher_rules",
-    "heavy_hitter_tokens",
-    "pagerank_suppliers",
-    "stream_sessionize",
-    "corpus_dup_ngram_profile",
-    # round-4 additions (also never recorded)
-    "dedup_containment",
-    "knn_label_vote",
-    "bm25_doc_search",
-    "triangle_coorder_parts",
-    "sketch_quantile_bottomk",
-    "ewma_user_value",
-    "kmeans_embeddings_int",
-    "stream_quantile_sketch",
+    # --- the 21 queries with NO row in any prior CORRECTNESS artifact
+    # entity resolution / text similarity
+    "golden_record_parts",
+    "sparse_tfidf_cosine_pairs",
+    "top_event_trigrams",
+    "item_cooccurrence_similarity",
+    # custom Python DataSource (read pushdown + 2PC write)
+    "pyds_synthetic_rollup",
+    # distribution drift / stats / forecasting
+    "mixture_kl_by_source",
+    "psi_order_price_drift",
+    "regression_price_vs_quantity",
+    "time_to_purchase_stats",
+    "forecast_eval_seasonal_naive",
+    # robust stats: exact reference twin + the sampled 100 TB path
+    # (this round rebuilt on the map-side bottom-k pre-cut)
+    "robust_outlier_prices",
+    "robust_outlier_prices_sampled",
+    # iterative graph suite
+    "hits_customer_supplier",
+    "kcore_coorder_parts",
+    "bfs_coorder_parts",
+    "clustering_coefficient_parts",
+    "lpa_communities_parts",
+    # incremental view maintenance (batch + streaming twins)
+    "incremental_rollup_orders",
+    "stream_incremental_rollup",
+    # sessionization / market basket
+    "debounce_events",
+    "association_rules_parts",
+    # --- 27 re-record slots: least-recorded (single green row), oldest
+    # artifact first — r02 rows
+    "grouped_user_stats",
+    "json_extract_props",
+    "ann_lsh_topk",
+    "mm_extract_features",
+    "emb_quantize_int8",
+    "emb_gram_int8",
+    "ann_int8_topk",
+    "emb_label_centroids",
+    "text_unigram_lm_score",
+    "table_profile_orders",
+    "dedup_semantic_cluster",
+    "fuzzy_match_part_names",
+    "jsonl_roundtrip_orders",
+    "ann_ivf_topk",
+    "decontaminate_ngram_overlap",
+    "sample_token_budget_mix",
+    "stream_static_enrich",
+    "orc_roundtrip_orders",
+    "udtf_token_runs",
+    "bpe_top_pairs",
+    # r03 rows
+    "rollup_revenue_by_nation_region",
+    "running_revenue_per_customer",
+    "left_outer_order_counts",
+    "anti_join_customers_without_orders",
+    "orders_above_customer_avg",
+    "agg_approx_accuracy",
+    "semi_join_priority_orders",
 ]
-# Still-unrecorded after this round (window is full at 50; all are green
-# in the local gate): debounce_events, robust_outlier_prices,
-# robust_outlier_prices_sampled, top_event_trigrams, kcore_coorder_parts,
-# bfs_coorder_parts, lpa_communities_parts, clustering_coefficient_parts,
-# item_cooccurrence_similarity, golden_record_parts,
-# sparse_tfidf_cosine_pairs, pyds_synthetic_rollup,
-# incremental_rollup_orders, stream_incremental_rollup,
-# mixture_kl_by_source, forecast_eval_seasonal_naive,
-# regression_price_vs_quantity, time_to_purchase_stats,
-# association_rules_parts, psi_order_price_drift — next round's first
-# swaps (the reference-core/basic-join slots with 2+ green rows cede).
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
 # a green row in some prior CORRECTNESS artifact AND its operator family
 # retains at least one externally recorded representative; freed slots go
-# first to never-recorded queries, then to the least-recorded ones.
+# first to never-recorded queries, then to the least-recorded ones
+# (earliest-recorded round first, registration order as the tiebreak).
 
 
 def _ordered(src: dict) -> dict:

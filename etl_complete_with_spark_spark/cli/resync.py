@@ -28,7 +28,7 @@ from ..pipeline import ResyncConfig, ResyncPipeline
 from ..schema_registry import SchemaRegistry
 from ..session import get_spark
 from ..slicing import database_from_url, disable_ssl_for_mysql, driver_from_url
-from ..sources import JdbcSource, MongoSource, ParquetSource
+from ..sources import JdbcSource, MongoSource, MongoTwinSource, ParquetSource
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--status-endpoint", help="REST endpoint for run status callbacks")
     p.add_argument("--sequential", action="store_true",
                    help="per-slice resumable jobs instead of one parallel read")
+    p.add_argument("--no-recovery", action="store_true",
+                   help="mongodb_carga_* lifecycle: retry each slice but never "
+                   "resume from the manifest (reference "
+                   "mongodb_carga_date.py:160-195)")
     p.add_argument("--merge-keys", help="comma-separated business key columns; "
                    "when given, phase 2 (transform+merge into TRUSTED) runs too")
     p.add_argument("--no-hyphen-separator", action="store_true",
@@ -82,6 +86,16 @@ def build_source(args, spark=None):
         schema = SchemaRegistry(args.schema_registry).resolve(
             spark, args.namespace, args.dataset, lake=Lake(args.lake_root)
         )
+    import os
+
+    if os.path.exists(args.connection):
+        # parquet twin of the Mongo lifecycle: same registry resolve,
+        # same slice semantics, local parquet instead of the connector
+        # (whose jar the test image lacks — COVERAGE.md); a mongodb://
+        # URI takes the real-connector branch below unchanged
+        return MongoTwinSource(
+            args.connection, args.partition_column, schema=schema
+        )
     return MongoSource(
         args.connection,
         database_from_url(args.connection, args.namespace),  # D7 parity
@@ -108,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         end=end,
         amount=args.amount,
         id_request=args.id_request,
+        recovery=not args.no_recovery,
     )
     lake = Lake(args.lake_root)
     pipe = ResyncPipeline(build_source(args, spark), lake, cfg, status_callback=status)

@@ -23,9 +23,10 @@ which this implementation's loop structure accommodates directly.
 
 from __future__ import annotations
 
+import math
 import warnings
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -643,13 +644,40 @@ def hits_scores(
     replays as chained CTEs). The per-round max is a 1-row aggregate
     cross-joined back (never collected). int64 headroom: scores <=
     scale, degree sums <= deg·scale, rescale multiplies by scale —
-    safe while deg·scale² < 2^63 (deg up to ~9e3 at scale 1e6).
+    safe while deg·scale² < 2^63 (deg up to ~9e3 at scale 1e6). The
+    bound is ENFORCED, not assumed: the max in/out-degree is measured
+    up front (one aggregate over the deduped edge set) and, if
+    deg·scale² would overflow, ``scale`` shrinks to the largest safe
+    value with a RuntimeWarning — coarser score granularity, never a
+    silent int64 wraparound.
     """
+    if iters < 1:
+        raise ValueError(f"hits_scores: iters must be >= 1, got {iters}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    deg_max = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()[0]
+    )
+    if deg_max is None:
+        raise ValueError("hits_scores: empty edge set")
+    if deg_max * scale * scale >= 2**63:
+        safe = math.isqrt((2**63 - 1) // deg_max)
+        warnings.warn(
+            f"hits_scores: max degree {deg_max} at scale {scale} would "
+            f"overflow int64 (deg*scale^2 >= 2^63); rescaled to "
+            f"scale={safe}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        scale = safe
     hub = (
         e.select(F.col("u").alias("node")).distinct()
         .withColumn("score", F.lit(scale).cast("long"))

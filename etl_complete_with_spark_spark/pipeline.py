@@ -60,6 +60,14 @@ class ResyncConfig:
     retry_sleep_s: float = 0.0  # reference: 60 (carga_date.py:215)
     id_request: str = ""
     reference_compat_chunks: bool = False
+    # The JDBC carga_date lifecycle resumes from the slice manifest /
+    # watermark (S9); the mongodb_carga_* programs retry each slice but
+    # never recover a crashed run (mongodb_carga_date.py:160-195 — a
+    # re-invocation reprocesses the full window). recovery=False models
+    # that lifecycle: the sequential runner ignores the manifest's
+    # already-done set (it still RECORDS slices, so flipping back to
+    # recovery=True resumes correctly).
+    recovery: bool = True
 
 
 @dataclass
@@ -166,7 +174,11 @@ class ResyncPipeline:
         manifest-based resume: already-completed slices are skipped, so a
         crashed run re-invoked with the same window continues where it
         stopped without duplicating WORK data."""
-        done = {tuple(e) for e in self._read_manifest(spark)}
+        done = (
+            {tuple(e) for e in self._read_manifest(spark)}
+            if self.cfg.recovery
+            else set()
+        )
         for iv in intervals:
             if (str(iv.start), str(iv.end)) in done:
                 result.skipped.append(iv)

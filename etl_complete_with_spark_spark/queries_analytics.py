@@ -1918,14 +1918,21 @@ def sketch_quantile_bottomk(spark, sf_dir):
     from .operators import quantiles as QS
 
     ev = load(spark, sf_dir, "events")
-    daily = QS.bottomk_sample(
-        ev.withColumn("day", F.to_date("ts")),
+    # scale path end-to-end: map-side pre-cut at the scan (zero corpus
+    # shuffle), per-(type, day) ingest sketches, then merge-of-merged up
+    # to event_type — every exchange after the scan is k-bounded
+    daily = QS.merge_bottomk_hash(
+        QS.bottomk_precut(
+            ev.withColumn("day", F.to_date("ts")),
+            ["event_type", "day"],
+            "value",
+            k=256,
+            id_col="event_id",
+        ),
         ["event_type", "day"],
-        "event_id",
-        "value",
         k=256,
     )
-    merged = QS.merge_bottomk(daily, ["event_type"], "event_id", k=256)
+    merged = QS.merge_bottomk_hash(daily, ["event_type"], k=256)
     est = merged.groupBy("event_type").agg(
         QS.sample_quantile(0.5).alias("est_p50"),
         QS.sample_quantile(0.9).alias("est_p90"),
@@ -2032,14 +2039,15 @@ def ewma_user_value(spark, sf_dir):
     "stream_quantile_sketch",
     """
     WITH h AS (
-        SELECT event_type, value, event_id,
+        SELECT event_type, value,
                CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#41'), 1, 15)
                     AS BIGINT) AS rh
         FROM events),
     s AS (
-        SELECT * FROM h
+        SELECT event_type, rh, min(value) AS value FROM h
+        GROUP BY event_type, rh
         QUALIFY row_number() OVER (
-            PARTITION BY event_type ORDER BY rh, event_id) <= 256)
+            PARTITION BY event_type ORDER BY rh) <= 256)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS sample_k,
            round(quantile_cont(value, 0.5), 4) AS est_p50,
@@ -2091,7 +2099,7 @@ def stream_quantile_sketch(spark, sf_dir):
         finally:
             q.stop()
         sketches = spark.read.parquet(f"{out}/sketch").drop("epoch")
-        merged = QS.merge_bottomk(sketches, ["event_type"], "event_id", k=256)
+        merged = QS.merge_bottomk_hash(sketches, ["event_type"], k=256)
         return (
             merged.groupBy("event_type")
             .agg(
@@ -2933,9 +2941,12 @@ def psi_order_price_drift(spark, sf_dir):
 def _sampled_mad_oracle(k: int = 1024) -> str:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
     # (11.8k dupes at sf0.01); folding part/supp keys AND the price into
-    # the row id makes any remaining rank ties VALUE-identical, so the
-    # sampled value multiset — and every estimate — is deterministic in
-    # both engines even when row_number picks a different tied copy.
+    # the row id makes hash ties VALUE-identical. The sample replays the
+    # engine's pre-cut semantics exactly: k smallest DISTINCT rank
+    # hashes per group, min value per hash (duplicate identities — same
+    # hash, same folded value — collapse in both engines, so replayed
+    # rows can never occupy two sample slots; post-dedup ORDER BY rh is
+    # a total order, no tie-break column needed).
     rid = (
         "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
         " || '-' || CAST(l_partkey AS VARCHAR)"
@@ -2946,11 +2957,11 @@ def _sampled_mad_oracle(k: int = 1024) -> str:
     return f"""
     WITH x AS MATERIALIZED (
         SELECT l_returnflag AS rf, l_extendedprice AS v,
-               {rid} AS rid, {rh} AS rh
+               {rh} AS rh
         FROM lineitem),
     s AS MATERIALIZED (
-        SELECT * FROM x
-        QUALIFY row_number() OVER (PARTITION BY rf ORDER BY rh, rid) <= {k}),
+        SELECT rf, rh, min(v) AS v FROM x GROUP BY rf, rh
+        QUALIFY row_number() OVER (PARTITION BY rf ORDER BY rh) <= {k}),
     med AS MATERIALIZED (
         SELECT rf, count(*) AS sample_k,
                quantile_cont(v, 0.5) AS est_med
@@ -2981,15 +2992,25 @@ def robust_outlier_prices_sampled(spark, sf_dir):
     flags against the broadcast (k-bounded) estimates. The sample is
     md5-deterministic, so unlike t-digest this sketch replays in SQL and
     the oracle checks the estimates and flag counts EXACTLY — same
-    pattern as stream_quantile_sketch."""
-    from .operators.quantiles import bottomk_sample
+    pattern as stream_quantile_sketch.
 
-    li = load(spark, sf_dir, "lineitem").select(
+    Scale shape (the round-4 "one scale-killer" fix): rank_hash is
+    computed AT THE SCAN and the row-identity string never leaves it —
+    bottomk_precut cuts every input partition to its own per-rf
+    bottom-k with zero shuffle, so the only corpus-wide movement is
+    (rf, v, rh) candidates, <= 1024 per (rf x input-partition). At 100
+    TB / 800k input splits that is <= 2.5 G candidate rows of 3 narrow
+    columns merged by a fully-parallel hash aggregate + salted two-level
+    cut — vs the previous fixed-192-partition window sort of the entire
+    corpus WITH a ~40-byte id payload (~500 GB per sort partition)."""
+    from .operators.quantiles import bottomk_precut, merge_bottomk_hash, with_rank_hash
+
+    base = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"),
         F.col("l_extendedprice").alias("v"),
-        # see _sampled_mad_oracle: id folds in part/supp/price so rank
-        # ties are value-identical (duplicate (orderkey, linenumber)
-        # rows exist in this data)
+        # see _sampled_mad_oracle: id folds in part/supp/price so
+        # hash ties are value-identical (duplicate (orderkey,
+        # linenumber) rows exist in this data)
         F.concat_ws(
             "-",
             F.col("l_orderkey").cast("string"),
@@ -2998,22 +3019,14 @@ def robust_outlier_prices_sampled(spark, sf_dir):
             F.col("l_suppkey").cast("string"),
             F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
         ).alias("rid"),
-        (F.col("l_orderkey") % 64).alias("l_orderkey_mod"),
-    ).localCheckpoint(eager=False)  # sample + final count scan
-    # two-level sampling: bottom-k per (rf, shard) — 3×64 bounded
-    # partitions instead of 3 near-global sorts — then merged to rf;
-    # mergeability makes the result EXACTLY the per-rf global bottom-k,
-    # so the oracle's direct global formulation still matches.
-    sharded = bottomk_sample(
-        li.withColumn("shard", F.col("l_orderkey_mod")),
-        ["rf", "shard"],
-        "rid",
-        "v",
-        k=1024,
     )
-    from .operators.quantiles import merge_bottomk
-
-    s = merge_bottomk(sharded.drop("shard"), ["rf"], "rid", k=1024).localCheckpoint(
+    # hash computed pre-exchange, id string dropped in the same scan
+    # projection; only (rf, v, rank_hash) is ever materialized
+    li = with_rank_hash(base, "rid").drop("rid").localCheckpoint(
+        eager=False
+    )  # sample + final count scan
+    pre = bottomk_precut(li, ["rf"], "v", k=1024)
+    s = merge_bottomk_hash(pre, ["rf"], k=1024).localCheckpoint(
         eager=False
     )  # med + mad passes
     med = s.groupBy("rf").agg(

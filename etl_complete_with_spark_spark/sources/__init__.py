@@ -10,6 +10,6 @@ source-agnostic:
 
 from .parquet import ParquetSource
 from .jdbc import JdbcSource
-from .mongodb import MongoSource
+from .mongodb import MongoSource, MongoTwinSource
 
-__all__ = ["ParquetSource", "JdbcSource", "MongoSource"]
+__all__ = ["ParquetSource", "JdbcSource", "MongoSource", "MongoTwinSource"]

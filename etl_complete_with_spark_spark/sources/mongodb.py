@@ -81,3 +81,43 @@ class MongoSource:
 
     def probe_max(self, spark: SparkSession):
         return self._read(spark).agg(F.max(self.partition_column)).first()[0]
+
+
+class MongoTwinSource(MongoSource):
+    """Parquet-backed twin of :class:`MongoSource` — byte-identical slice
+    semantics (same ``slice_condition``, same registry-schema
+    enforcement, same probes inherited from MongoSource) with only the
+    wire format swapped: ``spark.read.parquet`` instead of the
+    ``mongodb`` connector, whose jar is absent from this image
+    (COVERAGE.md environmental-dependency table). This is what lets the
+    mongodb_carga_* lifecycle (reference mongodb_carga_date.py:102-200:
+    registry resolve -> slice -> retry-without-recovery) run END TO END
+    through the CLI in tests; on a cluster with the connector, the same
+    pipeline takes a real MongoSource with zero other changes."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_column: str,
+        schema: StructType | None = None,
+        inclusive: bool = False,
+    ):
+        super().__init__(
+            uri=f"twin://{path}",
+            database="",
+            collection=path,
+            partition_column=partition_column,
+            schema=schema,
+            inclusive=inclusive,
+        )
+        self.path = path
+
+    def _read(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(self.path)
+        if self.schema is not None:
+            # the registry schema is authoritative, as with the real
+            # connector's explicit-schema load (no inference)
+            df = df.select(
+                [F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            )
+        return df

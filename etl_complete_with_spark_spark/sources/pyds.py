@@ -189,14 +189,21 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages):  # noqa: ANN001
         import json
         import os
+        import shutil
 
         total = 0
+        n_files = 0
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{i:05d}.jsonl")
             os.replace(m.temp_path, final)
             total += m.rows
+            n_files += 1
+        # losing task attempts (retries whose message Spark discarded)
+        # left temps behind — promote-then-clean makes commit exactly-once:
+        # only the winners' files are visible, everything else is gone
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(json.dumps({"rows": total, "files": len(list(messages))}))
+            fh.write(json.dumps({"rows": total, "files": n_files}))
 
     def abort(self, messages):  # noqa: ANN001
         import os

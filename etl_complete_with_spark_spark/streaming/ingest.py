@@ -27,6 +27,8 @@ flow-controlled instead of OOMing on backlog.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -455,16 +457,23 @@ def quantile_sketch_stream(
     """
     import os
 
-    from ..operators.quantiles import bottomk_sample
+    from ..operators.quantiles import bottomk_precut, merge_bottomk_hash
 
     stream = stream_source(spark, events_path, max_files_per_trigger)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sketch = bottomk_sample(
-            batch_df, ["event_type"], "event_id", "value", k=k
-        ).select("event_type", "value", "rank_hash", "event_id")
+        # map-side pre-cut inside the batch's own partitions, then a
+        # k-bounded merge: the persisted sketch is exactly k rows per
+        # type and the batch's corpus never crosses an exchange
+        sketch = merge_bottomk_hash(
+            bottomk_precut(
+                batch_df, ["event_type"], "value", k=k, id_col="event_id"
+            ),
+            ["event_type"],
+            k=k,
+        ).select("event_type", "value", "rank_hash")
         sketch.write.mode("overwrite").parquet(
             os.path.join(sketch_dir, f"epoch={int(epoch_id)}")
         )
@@ -532,6 +541,16 @@ def incremental_rollup_stream(
     )
 
 
+def epoch_batch_ts(epoch_id: int) -> str:
+    """Deterministic SCD2 version timestamp for a micro-batch: epoch 0
+    -> '2024-01-01 00:00:00', one day per epoch with REAL date
+    arithmetic (epoch 31 rolls into '2024-02-01', never '2024-01-32').
+    Day-granular and epoch-derived so a crash-recovered stream replays
+    identical version timestamps."""
+    day = datetime.date(2024, 1, 1) + datetime.timedelta(days=int(epoch_id))
+    return f"{day.isoformat()} 00:00:00"
+
+
 def scd2_dim_stream(
     spark: SparkSession,
     batches_path: str,
@@ -571,7 +590,7 @@ def scd2_dim_stream(
         if batch_df.isEmpty():
             return
         bspark = batch_df.sparkSession
-        batch_ts = f"2024-01-{int(epoch_id) + 1:02d} 00:00:00"
+        batch_ts = epoch_batch_ts(epoch_id)
         pointer = os.path.join(dim_dir, "_CURRENT")
         if os.path.exists(pointer):
             with open(pointer) as fh:

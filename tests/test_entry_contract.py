@@ -32,32 +32,34 @@ def test_queries_dict_leads_with_priority_window():
 
 
 def test_priority_window_follows_rotation_policy():
-    """Round-4 rotation (COVERAGE.md policy): the two flagship rows stay
+    """Round-5 rotation (COVERAGE.md policy): the two flagship rows stay
     pinned, and every catalog query with NO green row in any prior
-    CORRECTNESS artifact (the r01∪r02∪r03 union left 30) is in the
-    window, driving the all-time driver-green union to 123/123."""
+    CORRECTNESS artifact (the r01∪r02∪r03∪r04 union left exactly these
+    21) is in the window, driving the all-time driver-green union to
+    162/162 — external proof for the complete catalog."""
     window = set(entry.PRIORITY_WINDOW)
     assert {"pipeline_work_to_trusted", "jdbc_resync_orders"} <= window
 
     never_recorded = {
-        # TPC-H mid-range
-        "q2_min_cost_supplier", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "q7_volume_shipping", "q9_product_profit",
-        "q10_returned_items", "q11_important_stock",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_variety",
-        "q17_small_qty_revenue", "q19_discount_revenue_bands",
-        "q20_excess_shippers", "q21_suppliers_kept_waiting",
-        # analytics
-        "supplier_balance_by_nation", "orders_monthly_rollup",
-        "first_last_event_per_user", "funnel_signup_click_purchase",
-        "table_diff_customer_batches", "calendar_dim",
-        "histogram_order_prices", "skew_key_profile_events",
-        "cohort_weekly_retention", "agg_approx_stats",
-        # training-data / graph / embeddings
-        "dedup_cluster_keep_star", "ann_tiled_topk",
-        "sample_weighted_quality", "sketch_merge_daily_users",
-        "embedding_vector_stats",
+        # entity resolution / text similarity
+        "golden_record_parts", "sparse_tfidf_cosine_pairs",
+        "top_event_trigrams", "item_cooccurrence_similarity",
+        # custom Python DataSource
+        "pyds_synthetic_rollup",
+        # drift / stats / forecasting
+        "mixture_kl_by_source", "psi_order_price_drift",
+        "regression_price_vs_quantity", "time_to_purchase_stats",
+        "forecast_eval_seasonal_naive",
+        # robust stats (exact twin + sampled 100 TB path)
+        "robust_outlier_prices", "robust_outlier_prices_sampled",
+        # iterative graph suite
+        "hits_customer_supplier", "kcore_coorder_parts",
+        "bfs_coorder_parts", "clustering_coefficient_parts",
+        "lpa_communities_parts",
+        # incremental view maintenance
+        "incremental_rollup_orders", "stream_incremental_rollup",
+        # sessionization / market basket
+        "debounce_events", "association_rules_parts",
     }
     assert never_recorded <= window, f"missing: {never_recorded - window}"
 

@@ -137,3 +137,88 @@ class TestPhase2:
         t2 = pipe.transform_and_merge(spark, ["event_id"], batch_ts="2024-01-02 00:00:00")
         assert t2.count() == n1  # sk-merge absorbed the duplicates
         assert "sk" in t2.columns and "timestamp_kafka" in t2.columns
+
+
+class TestMongoLifecycleCli:
+    """The fourth reference entry-point family run END TO END: reference
+    mongodb_carga_date.py:102-200 is registry resolve -> date slicing ->
+    per-slice retry WITHOUT crash recovery -> lake write. The connector
+    jar is absent from the image (COVERAGE.md), so the CLI swaps in the
+    parquet-backed MongoTwinSource — same slice semantics, same registry
+    enforcement — keeping every other lifecycle stage identical."""
+
+    def test_cli_mongodb_twin_end_to_end(self, spark, tmp_path, sf_dir, capsys):
+        from etl_complete_with_spark_spark.cli.compat import main as compat_main
+        from etl_complete_with_spark_spark.schema_registry import SchemaRegistry
+
+        src_path = f"{sf_dir}/orders.parquet"
+        # registry schema: a COLUMN SUBSET of the collection — proves the
+        # explicit schema drives the load (Mongo's no-inference contract)
+        full = spark.read.parquet(src_path)
+        reg_schema = full.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        ).schema
+        reg = SchemaRegistry(str(tmp_path / "registry"))
+        reg.put("demo", "orders", reg_schema)
+
+        lake_root = str(tmp_path / "lake")
+        rc = compat_main([
+            "mongodb_carga_date",
+            "--connection", src_path,
+            "--namespace", "demo", "--dataset", "orders",
+            "--partition_column", "o_orderdate",
+            "--start_process", "1995-01-01", "--end_process", "2001-08-02",
+            "--amount", "400000",
+            "--lake-root", lake_root,
+            "--schema-registry", str(tmp_path / "registry"),
+            "--sequential", "--no-recovery",
+            "--merge-keys", "o_orderkey",
+            "--cloud_environment", "prd",  # reference arg, tolerated
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "slices loaded" in out and "rows after merge" in out
+
+        lake = Lake(lake_root)
+        work = lake.read_work(spark, "demo", "orders")
+        assert work.count() == full.count()
+        # registry subset enforced: only the 4 declared columns landed
+        assert sorted(work.columns) == sorted(c.name for c in reg_schema)
+        trusted = lake.read_trusted(spark, "demo", "orders")
+        assert trusted.count() == full.select("o_orderkey").distinct().count()
+        assert "sk" in trusted.columns and "timestamp_kafka" in trusted.columns
+
+    def test_no_recovery_reprocesses_full_window(self, spark, tmp_path, sf_dir):
+        """recovery=False (the mongodb_carga_* lifecycle): a re-invocation
+        ignores the manifest — every slice runs again (the reference
+        re-appends; with recovery=True the same re-run skips all)."""
+        src = ParquetSource(f"{sf_dir}/events.parquet", "event_id")
+        lake = Lake(str(tmp_path / "lake"))
+        base = dict(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=3000, amount=1000,
+        )
+        pipe_nr = ResyncPipeline(src, lake, ResyncConfig(recovery=False, **base))
+        r1 = pipe_nr.run(spark, parallel=False)
+        assert len(r1.completed) == 3 and not r1.skipped
+        r2 = pipe_nr.run(spark, parallel=False)
+        assert len(r2.completed) == 3 and not r2.skipped  # reprocessed
+        # the manifest was still RECORDED, so recovery mode resumes
+        pipe_rec = ResyncPipeline(src, lake, ResyncConfig(**base))
+        r3 = pipe_rec.run(spark, parallel=False)
+        assert len(r3.skipped) == 3 and not r3.completed
+
+    def test_no_recovery_still_retries_transient_failures(
+        self, spark, tmp_path, sf_dir
+    ):
+        """retry-without-recovery: the 4-attempt per-slice retry loop
+        (mongodb_carga_date.py:160-195) is independent of recovery."""
+        src = FlakySource(f"{sf_dir}/events.parquet", "event_id", n_failures=2)
+        lake = Lake(str(tmp_path / "lake"))
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=1000, amount=1000,
+            max_retries=4, recovery=False,
+        )
+        res = ResyncPipeline(src, lake, cfg).run(spark, parallel=False)
+        assert res.status == "success" and res.attempts == 3

@@ -3,6 +3,8 @@ determinism."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_complete_with_spark_spark.sources import pyds
@@ -103,6 +105,11 @@ class TestJsonlSink:
         assert not (out / "_SUCCESS").exists()
         assert not list(out.glob("part-*.jsonl"))
 
+    def test_commit_cleans_temporary(self, spark, tmp_path):
+        out = tmp_path / "sink_clean"
+        self._write(spark, spark.range(0, 10, 1, 2).selectExpr("id"), out)
+        assert not (out / "_temporary").exists()
+
     def test_overwrite_replaces(self, spark, tmp_path):
         import glob
         import json
@@ -116,3 +123,109 @@ class TestJsonlSink:
             for line in open(f)
         ]
         assert sorted(r["id"] for r in rows) == list(range(100, 105))
+
+
+class TestJsonlSinkExactlyOnce:
+    """Exactly-once commit under arbitrary task-retry interleavings.
+
+    Drives the DataSourceWriter protocol directly (no Spark jobs): every
+    logical task may run its write() several times — speculative copies,
+    retries after a lost executor — all against the SAME input partition.
+    Spark's contract forwards exactly one surviving commit message per
+    task to commit(). The property: whatever the retry counts and
+    whichever attempt wins, the committed output holds every task's rows
+    EXACTLY once, and nothing of the losing attempts is visible.
+
+    Reference point: the reference's append-only WORK zone
+    (cloud_utils.py:459-467 in /root/reference) re-appends on retry —
+    duplicated rows. The 2PC temp-promote protocol here is the rebuild's
+    upgrade, so it gets the adversarial test.
+    """
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tasks=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),  # rows per task
+                st.integers(min_value=1, max_value=4),  # attempts
+                st.integers(min_value=0, max_value=3),  # winning attempt idx
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        interleave_seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_commit_is_exactly_once_under_retries(
+        self, tmp_path_factory, tasks, interleave_seed
+    ):
+        import glob
+        import json
+        import random
+
+        from pyspark.sql import Row
+
+        out = tmp_path_factory.mktemp("sink_eo")
+        writer = pyds.JsonlSinkWriter({"path": str(out)})
+
+        # schedule: (task_id, attempt_idx) pairs in a shuffled global
+        # order — attempts of different tasks interleave arbitrarily
+        schedule = [
+            (tid, att)
+            for tid, (_, attempts, _) in enumerate(tasks)
+            for att in range(attempts)
+        ]
+        random.Random(interleave_seed).shuffle(schedule)
+
+        def task_rows(tid):
+            n_rows = tasks[tid][0]
+            return [Row(task=tid, seq=j) for j in range(n_rows)]
+
+        messages = {}
+        for tid, att in schedule:
+            msg = writer.write(iter(task_rows(tid)))
+            messages[(tid, att)] = msg
+
+        winners = []
+        for tid, (_, attempts, win_idx) in enumerate(tasks):
+            winners.append(messages[(tid, win_idx % attempts)])
+        writer.commit(winners)
+
+        got = sorted(
+            (json.loads(line)["task"], json.loads(line)["seq"])
+            for f in glob.glob(str(out / "part-*.jsonl"))
+            for line in open(f)
+        )
+        want = sorted(
+            (tid, j)
+            for tid, (n_rows, _, _) in enumerate(tasks)
+            for j in range(n_rows)
+        )
+        assert got == want  # every row exactly once, no loser rows
+        manifest = json.loads((out / "_SUCCESS").read_text())
+        assert manifest["rows"] == len(want)
+        assert manifest["files"] == len(tasks)
+        # losing attempts leave no visible residue
+        assert not (out / "_temporary").exists()
+        assert len(glob.glob(str(out / "part-*.jsonl"))) == len(tasks)
+
+    def test_abort_then_full_retry_commits_cleanly(self, tmp_path):
+        """A failed job (abort) followed by a full re-run of all tasks
+        must end exactly-once too — abort leaves nothing that a second
+        commit could double-promote."""
+        import glob
+        import json
+
+        from pyspark.sql import Row
+
+        out = tmp_path / "sink_abort_retry"
+        writer = pyds.JsonlSinkWriter({"path": str(out)})
+        first = [writer.write(iter([Row(task=t, seq=0)])) for t in range(3)]
+        writer.abort(first)
+        second = [writer.write(iter([Row(task=t, seq=0)])) for t in range(3)]
+        writer.commit(second)
+        got = sorted(
+            json.loads(line)["task"]
+            for f in glob.glob(str(out / "part-*.jsonl"))
+            for line in open(f)
+        )
+        assert got == [0, 1, 2]

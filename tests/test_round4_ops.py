@@ -246,8 +246,8 @@ class TestStreamQuantileSketch:
         import pyarrow.parquet as pq
 
         from etl_complete_with_spark_spark.operators.quantiles import (
-            bottomk_sample,
-            merge_bottomk,
+            bottomk_precut,
+            merge_bottomk_hash,
         )
         from etl_complete_with_spark_spark.streaming.ingest import (
             quantile_sketch_stream,
@@ -284,24 +284,27 @@ class TestStreamQuantileSketch:
             q.processAllAvailable()
         finally:
             q.stop()
-        streamed = merge_bottomk(
+        streamed = merge_bottomk_hash(
             spark.read.parquet(str(out)).drop("epoch"),
             ["event_type"],
-            "event_id",
             k=32,
         )
-        batch = bottomk_sample(
-            spark.createDataFrame(
-                [(r[0], r[3], r[4]) for r in rows],
-                "event_id long, event_type string, value double",
+        batch = merge_bottomk_hash(
+            bottomk_precut(
+                spark.createDataFrame(
+                    [(r[0], r[3], r[4]) for r in rows],
+                    "event_id long, event_type string, value double",
+                ),
+                ["event_type"],
+                "value",
+                k=32,
+                id_col="event_id",
             ),
             ["event_type"],
-            "event_id",
-            "value",
             k=32,
         )
-        got = sorted((r.event_id, r.value) for r in streamed.collect())
-        want = sorted((r.event_id, r.value) for r in batch.collect())
+        got = sorted((r.rank_hash, r.value) for r in streamed.collect())
+        want = sorted((r.rank_hash, r.value) for r in batch.collect())
         assert got == want and len(got) == 32
 
 
@@ -474,3 +477,42 @@ class TestHitsScores:
         a = sorted(map(tuple, hits_scores(df, iters=3).collect()))
         b = sorted(map(tuple, hits_scores(df.repartition(13), iters=3).collect()))
         assert a == b
+
+    def test_iters_must_be_positive(self, spark):
+        import pytest
+
+        from etl_complete_with_spark_spark.operators.graph import hits_scores
+
+        df = spark.createDataFrame([(1, 10)], "src long, dst long")
+        with pytest.raises(ValueError, match="iters"):
+            hits_scores(df, iters=0)
+        with pytest.raises(ValueError, match="iters"):
+            hits_scores(df, iters=-2)
+
+    def test_overflow_headroom_rescales_with_warning(self, spark):
+        """A hub whose degree breaks deg*scale^2 < 2^63 must trigger the
+        rescale warning instead of silently wrapping int64: degree 3 at
+        scale 2^31 gives 3*2^62 >= 2^63."""
+        import warnings as w
+
+        from etl_complete_with_spark_spark.operators.graph import hits_scores
+
+        edges = [(1, 10), (1, 11), (1, 12), (2, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            out = {
+                (r.role, r.node): r.score
+                for r in hits_scores(df, iters=2, scale=2**31).collect()
+            }
+        msgs = [str(c.message) for c in caught if c.category is RuntimeWarning]
+        assert any("overflow" in m and "rescaled" in m for m in msgs)
+        # rescaled run still normalizes: scores bounded by the safe scale
+        # (deg_max = 3: node 1's out-degree; in-degrees are all <= 2)
+        import math
+
+        safe = math.isqrt((2**63 - 1) // 3)
+        assert out[("hub", 1)] == max(
+            s for (role, _), s in out.items() if role == "hub"
+        )
+        assert all(0 <= s <= safe for s in out.values())

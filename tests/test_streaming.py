@@ -509,6 +509,19 @@ class TestNeardupIngestStream:
 
 
 class TestScd2DimStream:
+    def test_epoch_batch_ts_rolls_months(self):
+        """Version timestamps use real date arithmetic: a stream with
+        more than 31 micro-batches must roll into February, not emit
+        the invalid '2024-01-32'."""
+        from etl_complete_with_spark_spark.streaming.ingest import epoch_batch_ts
+
+        assert epoch_batch_ts(0) == "2024-01-01 00:00:00"
+        assert epoch_batch_ts(1) == "2024-01-02 00:00:00"
+        assert epoch_batch_ts(31) == "2024-02-01 00:00:00"
+        assert epoch_batch_ts(60) == "2024-03-01 00:00:00"  # 2024 is a leap year
+        assert epoch_batch_ts(365) == "2024-12-31 00:00:00"
+
+
     def test_stream_matches_sequential_batch_application(self, spark, tmp_path):
         """Two micro-batches of attribute updates through scd2_dim_stream
         == sequential scd2_init + scd2_apply with the same epoch-derived
