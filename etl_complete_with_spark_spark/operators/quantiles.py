@@ -47,11 +47,12 @@ def bottomk_sample(
 ) -> DataFrame:
     """Per-group bottom-k sketch: the k rows with the smallest hash rank.
 
-    Returns (group_cols..., value, rank_hash). Partitions are per-group,
-    so the window sort is bounded by group size; for 100 TB streams the
-    per-group day/shard granularity keeps partitions small, and the
-    heavy global cut happens only on already-k-bounded sketches in
-    :func:`merge_bottomk`.
+    Returns (group_cols..., value, rank_hash). SEMANTIC REFERENCE TWIN:
+    the window partitionBy is an exchange of the full input (hash + id
+    payload) into group-bounded partitions, so this variant is only for
+    small/fine-grained groups. The 100 TB build path is
+    :func:`bottomk_precut` + :func:`merge_bottomk_hash` below — map-side
+    cut at the scan, k-bounded exchanges everywhere after.
     """
     w = Window.partitionBy(*group_cols).orderBy("rank_hash", id_col)
     return (

@@ -108,6 +108,17 @@ def quality_score_expr(
     between engines, so no float ever gets rounded here; Spark and the
     DuckDB oracle agree exactly.
     """
+    return quality_score_bp_expr(n_tokens, n_distinct, stop_hits) / F.lit(10000.0)
+
+
+def quality_score_bp_expr(
+    n_tokens: Column, n_distinct: Column, stop_hits: Column
+) -> Column:
+    """The same composite score in raw integer BASIS POINTS (0..10000) —
+    the form to use whenever the score feeds further arithmetic or
+    cross-engine comparison (ranking, percentile lookups): integers
+    compare and divide exactly, the float form only exists for human
+    reading."""
     len_bp = F.least(n_tokens, F.lit(100)) * 40
     ttr_bp = F.when(n_tokens == 0, F.lit(0)).otherwise(
         F.floor(F.lit(3000.0) * n_distinct / n_tokens)
@@ -115,7 +126,7 @@ def quality_score_expr(
     stop_bp = F.when(n_tokens == 0, F.lit(0)).otherwise(
         F.least(F.floor(F.lit(30000.0) * stop_hits / n_tokens), F.lit(3000))
     )
-    return (len_bp + ttr_bp + stop_bp) / F.lit(10000.0)
+    return (len_bp + ttr_bp + stop_bp).cast("long")
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -126,6 +137,16 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
     return df.withColumn("quality_score", quality_score_expr(n, n_distinct, stop_hits))
+
+
+def with_quality_bp(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-basis-point quality score -> ``q_bp`` (long, 0..10000).
+    One codegen'd projection, same contract as with_quality_score."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
+    return df.withColumn("q_bp", quality_score_bp_expr(n, n_distinct, stop_hits))
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
