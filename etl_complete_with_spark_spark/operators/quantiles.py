@@ -16,8 +16,8 @@ Unlike reservoir sampling (RNG state, order-dependent) or t-digest
 reproducible on any engine that can md5 — which is what makes an exact
 cross-engine oracle possible.
 
-All heavy lifting is windows over (group, day) partitions and small
-unions — no global sort, no driver collect.
+All heavy lifting is partition-local pre-cuts and k-bounded merges —
+no global sort, no corpus-wide exchange, no driver collect.
 """
 
 from __future__ import annotations
@@ -37,61 +37,6 @@ def with_rank_hash(df: DataFrame, id_col: str, seed: int = BOTTOMK_SEED) -> Data
     )
 
 
-def bottomk_sample(
-    df: DataFrame,
-    group_cols: list[str],
-    id_col: str,
-    value_col: str,
-    k: int,
-    seed: int = BOTTOMK_SEED,
-) -> DataFrame:
-    """Per-group bottom-k sketch: the k rows with the smallest hash rank.
-
-    Returns (group_cols..., value, rank_hash). SEMANTIC REFERENCE TWIN:
-    the window partitionBy is an exchange of the full input (hash + id
-    payload) into group-bounded partitions, so this variant is only for
-    small/fine-grained groups. The 100 TB build path is
-    :func:`bottomk_precut` + :func:`merge_bottomk_hash` below — map-side
-    cut at the scan, k-bounded exchanges everywhere after.
-    """
-    w = Window.partitionBy(*group_cols).orderBy("rank_hash", id_col)
-    return (
-        with_rank_hash(df, id_col, seed)
-        .select(*group_cols, F.col(value_col).alias("value"), "rank_hash", id_col)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
-
-
-def merge_bottomk(
-    sketches: DataFrame,
-    merge_cols: list[str],
-    id_col: str,
-    k: int,
-) -> DataFrame:
-    """Merge per-group sketches up to ``merge_cols`` granularity: union
-    the candidate rows, drop duplicate identities, keep the k smallest
-    ranks. Input is already k-bounded per fine group, so this window
-    sorts at most k × (groups-per-merge-key) rows per partition.
-
-    The identity dedup makes the merge correct under AT-LEAST-ONCE
-    delivery: a row replayed into two different sketches (duplicate
-    event across micro-batches, overlapping backfills) carries the same
-    deterministic rank hash, so without the dedup it would occupy two
-    sample slots and bias the quantile read; with it, merging any
-    multiset of sketches over the same logical stream converges to the
-    same bottom-k (idempotent ∪ mergeable — tested in
-    test_round4_ops.py)."""
-    w = Window.partitionBy(*merge_cols).orderBy("rank_hash", id_col)
-    return (
-        sketches.dropDuplicates([*merge_cols, id_col])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
-
-
 def sample_quantile(q: float) -> F.Column:
     """Exact quantile of the (small) merged sample — aggregate expression
     over the ``value`` column."""
@@ -99,13 +44,15 @@ def sample_quantile(q: float) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
-# Map-side pre-cut path (the 100 TB variant).
-#
-# ``bottomk_sample`` windows over (group,) — correct, but the window's
-# partitionBy is an EXCHANGE of the full corpus (rank hash + row-identity
-# payload) into #groups-bounded partitions before any row is dropped. At
-# 100 TB with 3 groups that is ~hundreds of GB per sort partition: the
-# one scale-killer flagged in round 4's plan audit.
+# Map-side pre-cut path (the 100 TB variant — and, since round 6, the
+# ONLY variant: the retired ``bottomk_sample`` twin windowed over
+# (group,), an EXCHANGE of the full corpus (rank hash + row-identity
+# payload) into #groups-bounded partitions before any row was dropped.
+# At 100 TB with 3 groups that is ~hundreds of GB per sort partition —
+# the scale-killer flagged in round 4's plan audit — and its DuckDB
+# oracle silently assumed row identities were unique (round-4 ADVICE).
+# Both defects are structural, so the twin was deleted rather than
+# patched; its mergeability/replay tests moved to this path.
 #
 # The pre-cut variant never shuffles the corpus. rank_hash is computed at
 # the SCAN (before any exchange), then a mapInPandas pass cuts each INPUT

@@ -12,6 +12,7 @@ import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from etl_complete_with_spark_spark.operators.chunking import chunk_documents
 from etl_complete_with_spark_spark.operators.merge import merge_upsert
@@ -665,8 +666,8 @@ class TestBottomKMergeProperties:
         import random
 
         from etl_complete_with_spark_spark.operators.quantiles import (
-            bottomk_sample,
-            merge_bottomk,
+            bottomk_precut,
+            merge_bottomk_hash,
             with_rank_hash,
         )
 
@@ -678,15 +679,17 @@ class TestBottomKMergeProperties:
         df = spark.createDataFrame(
             rows, "event_id long, grp string, value double"
         )
-        per_group = bottomk_sample(df, ["grp"], "event_id", "value", k=k)
-        merged = merge_bottomk(per_group.drop("grp"), [], "event_id", k=k)
+        per_group = bottomk_precut(df, ["grp"], "value", k=k, id_col="event_id")
+        merged = merge_bottomk_hash(per_group.drop("grp"), [], k=k)
         direct = (
             with_rank_hash(df, "event_id")
-            .orderBy("rank_hash", "event_id")
+            .groupBy("rank_hash")
+            .agg(F.min("value").alias("value"))
+            .orderBy("rank_hash")
             .limit(k)
         )
-        got = sorted(r.event_id for r in merged.collect())
-        want = sorted(r.event_id for r in direct.collect())
+        got = sorted((r.rank_hash, r.value) for r in merged.collect())
+        want = sorted((r.rank_hash, r.value) for r in direct.collect())
         assert got == want
         assert len(got) == min(k, n)
 

@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from etl_complete_with_spark_spark.operators.dedup import containment_pairs
 from etl_complete_with_spark_spark.operators.graph import triangle_count
 from etl_complete_with_spark_spark.operators.quantiles import (
-    bottomk_sample,
-    merge_bottomk,
+    bottomk_precut,
+    merge_bottomk_hash,
     with_rank_hash,
 )
 from etl_complete_with_spark_spark.operators.similarity import knn_classify
@@ -143,27 +143,36 @@ class TestKnnClassify:
 class TestBottomKQuantiles:
     def test_merge_equals_global_bottomk(self, spark):
         """The defining mergeability property: per-day bottom-k sketches,
-        re-cut to k after union, give EXACTLY the global bottom-k."""
+        re-cut to k after union, give EXACTLY the global bottom-k (the k
+        smallest distinct rank hashes, each with its min value)."""
         rows = [(i, f"d{i % 7}", float(i % 101)) for i in range(2000)]
         df = spark.createDataFrame(rows, "event_id long, day string, value double")
         k = 64
-        daily = bottomk_sample(df, ["day"], "event_id", "value", k=k)
-        merged = merge_bottomk(daily.drop("day"), [], "event_id", k=k)
+        daily = bottomk_precut(df, ["day"], "value", k=k, id_col="event_id")
+        merged = merge_bottomk_hash(daily.drop("day"), [], k=k)
         direct = (
             with_rank_hash(df, "event_id")
-            .orderBy("rank_hash", "event_id")
+            .groupBy("rank_hash")
+            .agg(F.min("value").alias("value"))
+            .orderBy("rank_hash")
             .limit(k)
-            .select("event_id")
         )
-        got = sorted(r.event_id for r in merged.collect())
-        want = sorted(r.event_id for r in direct.collect())
+        got = sorted((r.rank_hash, r.value) for r in merged.collect())
+        want = sorted((r.rank_hash, r.value) for r in direct.collect())
         assert got == want and len(got) == k
 
     def test_sample_is_deterministic_and_groups_bounded(self, spark):
         rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(500)]
         df = spark.createDataFrame(rows, "event_id long, grp string, value double")
-        s1 = bottomk_sample(df, ["grp"], "event_id", "value", k=10)
-        s2 = bottomk_sample(df.repartition(13), ["grp"], "event_id", "value", k=10)
+
+        def sketch(d):
+            return merge_bottomk_hash(
+                bottomk_precut(d, ["grp"], "value", k=10, id_col="event_id"),
+                ["grp"],
+                k=10,
+            )
+
+        s1, s2 = sketch(df), sketch(df.repartition(13))
         assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
         per = s1.groupBy("grp").count().collect()
         assert all(r["count"] == 10 for r in per)
@@ -407,12 +416,13 @@ class TestLabelPropagation:
 class TestBottomKDuplicateTolerance:
     def test_merge_idempotent_under_replay(self, spark):
         """Merging a sketch with a REPLAYED copy of itself (at-least-once
-        delivery) yields the identical bottom-k."""
+        delivery) yields the identical bottom-k: duplicate hashes collapse
+        in the merge's min-value dedup."""
         rows = [(i, float(i % 31)) for i in range(400)]
         df = spark.createDataFrame(rows, "event_id long, value double")
-        base = bottomk_sample(df, [], "event_id", "value", k=16)
-        replayed = base.unionByName(base)  # every sketch row duplicated
-        merged = merge_bottomk(replayed, [], "event_id", k=16)
+        pre = bottomk_precut(df, [], "value", k=16, id_col="event_id")
+        base = merge_bottomk_hash(pre, [], k=16)
+        merged = merge_bottomk_hash(pre.unionByName(pre), [], k=16)
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, base.collect())
         )
@@ -421,28 +431,35 @@ class TestBottomKDuplicateTolerance:
         rows = [(i, float(i)) for i in range(300)]
         df = spark.createDataFrame(rows, "event_id long, value double")
         # two "batches" with an overlapping middle third
-        b1 = bottomk_sample(df.filter("event_id < 200"), [], "event_id", "value", 16)
-        b2 = bottomk_sample(df.filter("event_id >= 100"), [], "event_id", "value", 16)
-        merged = merge_bottomk(b1.unionByName(b2), [], "event_id", k=16)
-        direct = bottomk_sample(df, [], "event_id", "value", k=16)
-        assert sorted(r.event_id for r in merged.collect()) == sorted(
-            r.event_id for r in direct.collect()
+        b1 = bottomk_precut(df.filter("event_id < 200"), [], "value", 16, id_col="event_id")
+        b2 = bottomk_precut(df.filter("event_id >= 100"), [], "value", 16, id_col="event_id")
+        merged = merge_bottomk_hash(b1.unionByName(b2), [], k=16)
+        direct = merge_bottomk_hash(
+            bottomk_precut(df, [], "value", k=16, id_col="event_id"), [], k=16
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
         )
 
 
 class TestBottomKDuplicateIdentities:
-    def test_value_identical_ties_are_deterministic(self, spark):
-        """When the identity key is not unique but ties share the VALUE
-        (the robust_outlier_prices_sampled construction), the sampled
-        value multiset is identical across partitionings."""
+    def test_duplicate_identities_collapse_by_construction(self, spark):
+        """Duplicate identity keys share a rank hash, so they occupy ONE
+        sample slot (min value folded) — the sampled multiset is identical
+        across partitionings and never biased by the duplicates."""
         rows = []
         for i in range(300):
             rows.append((f"id{i}", float(i % 40)))
             if i % 3 == 0:  # duplicate identity, same value
                 rows.append((f"id{i}", float(i % 40)))
         df = spark.createDataFrame(rows, "rid string, value double")
-        a = bottomk_sample(df, [], "rid", "value", k=32)
-        b = bottomk_sample(df.repartition(17), [], "rid", "value", k=32)
+
+        def sketch(d):
+            return merge_bottomk_hash(
+                bottomk_precut(d, [], "value", k=32, id_col="rid"), [], k=32
+            )
+
+        a, b = sketch(df), sketch(df.repartition(17))
         va = sorted(r.value for r in a.collect())
         vb = sorted(r.value for r in b.collect())
         assert va == vb and len(va) == 32
