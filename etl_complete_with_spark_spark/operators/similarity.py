@@ -35,6 +35,34 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -
     ).withColumn(f"{out_vec}_nrm", l2_norm_expr(F.col(out_vec)))
 
 
+# Driver-side query-batch ceiling for the IVF / PQ-ADC paths. Both
+# collect the QUERY set (never the corpus) to build probe assignments /
+# ADC lookup tables with one BLAS call — correct and fast for the
+# retrieval shape they target (a bounded query batch against a huge
+# corpus), but unbounded it would quietly port the ANN problem to the
+# driver. The cap makes the contract explicit and the failure loud; for
+# corpus-scale query sets use the collect-free tiled path
+# (``cosine_topk_tiled``) or raise the cap deliberately after sizing
+# driver memory (rows x dim x 8 bytes).
+MAX_QUERY_BATCH = 100_000
+
+
+def _collect_query_batch(df: DataFrame, max_rows: int):
+    """Collect a query batch, refusing unbounded ones: fetches at most
+    ``max_rows + 1`` rows (LIMIT is pushed to the scan, so an oversized
+    input costs one extra row, not a driver OOM) and raises if the limit
+    was hit."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query batch exceeds max_query_rows={max_rows}; this path "
+            "collects the query set on the driver — use cosine_topk_tiled "
+            "for corpus-scale query sets, or raise max_query_rows after "
+            "sizing driver memory"
+        )
+    return rows
+
+
 def _pair_cosine() -> "F.Column":
     return dot_expr(F.col("qv"), F.col("cv")) / (F.col("qv_nrm") * F.col("cv_nrm"))
 
@@ -343,6 +371,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = MAX_QUERY_BATCH,
 ) -> DataFrame:
     """IVF ANN: assign the corpus to coarse centroids once, probe each
     query's ``nprobe`` nearest centroid lists, exact-rerank in-list.
@@ -377,7 +406,9 @@ def ivf_topk(
 
     assigned = c.mapInPandas(assign, f"{fields}, centroid_id long")
 
-    q_rows = _prep(queries, id_col, vec_col, "query_id", "qv").collect()
+    q_rows = _collect_query_batch(
+        _prep(queries, id_col, vec_col, "query_id", "qv"), max_query_rows
+    )
     qn = np.array([r.qv for r in q_rows])
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     probe_rows = [
@@ -636,6 +667,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = MAX_QUERY_BATCH,
 ) -> DataFrame:
     """PQ ANN via Asymmetric Distance Computation: the corpus is scanned
     in COMPRESSED form (m byte codes/vector) and each query carries a
@@ -655,7 +687,9 @@ def pq_adc_topk(
     books = train_pq_codebooks(corpus, m, n_codes, id_col, vec_col)
     encoded = pq_encode(corpus, books, id_col, vec_col)
 
-    q_rows = _prep(queries, id_col, vec_col, "query_id", "qv").collect()
+    q_rows = _collect_query_batch(
+        _prep(queries, id_col, vec_col, "query_id", "qv"), max_query_rows
+    )
     q_ids = np.array([int(r.query_id) for r in q_rows])
     q_mat = np.array([r.qv for r in q_rows])
     dsub = books.shape[2]

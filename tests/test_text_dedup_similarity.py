@@ -446,6 +446,27 @@ class TestIvf:
         # random-list chance by a wide margin even on near-uniform vectors
         assert len(part & brute) / len(brute) >= 0.5
 
+    def test_query_batch_bound_enforced(self, spark, sf_dir):
+        """IVF and PQ-ADC collect the QUERY set on the driver; the
+        max_query_rows ceiling must refuse oversized batches loudly
+        instead of porting the ANN problem to the driver."""
+        import pytest
+
+        from etl_complete_with_spark_spark.operators.similarity import (
+            ivf_topk,
+            pq_adc_topk,
+        )
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="query batch exceeds"):
+            ivf_topk(emb, q, k=3, max_query_rows=4)
+        with pytest.raises(ValueError, match="query batch exceeds"):
+            pq_adc_topk(emb, q, k=3, m=4, max_query_rows=4)
+        # at the bound, both paths still run
+        assert ivf_topk(emb, q, k=3, max_query_rows=5).count() > 0
+
 
 class TestQuantization:
     def test_error_bound_and_cosine_preservation(self, spark, sf_dir):
