@@ -88,20 +88,28 @@ def build_source(args, spark=None):
         )
     import os
 
+    # Route on the EXPLICIT scheme, never on local filesystem state: a
+    # mongodb:// URI always takes the real connector, anything else is
+    # the parquet twin of the Mongo lifecycle (same registry resolve,
+    # same slice semantics; the connector jar is absent in the test
+    # image — COVERAGE.md) and must point at an existing local path —
+    # a mistyped path errors here instead of surfacing as a confusing
+    # connector failure.
+    if args.connection.startswith(("mongodb://", "mongodb+srv://")):
+        return MongoSource(
+            args.connection,
+            database_from_url(args.connection, args.namespace),  # D7 parity
+            args.dataset,
+            args.partition_column,
+            schema=schema,
+        )
     if os.path.exists(args.connection):
-        # parquet twin of the Mongo lifecycle: same registry resolve,
-        # same slice semantics, local parquet instead of the connector
-        # (whose jar the test image lacks — COVERAGE.md); a mongodb://
-        # URI takes the real-connector branch below unchanged
         return MongoTwinSource(
             args.connection, args.partition_column, schema=schema
         )
-    return MongoSource(
-        args.connection,
-        database_from_url(args.connection, args.namespace),  # D7 parity
-        args.dataset,
-        args.partition_column,
-        schema=schema,
+    raise SystemExit(
+        f"error: --connection {args.connection!r} is neither a "
+        "mongodb://(+srv) URI nor an existing local parquet path"
     )
 
 

@@ -177,6 +177,16 @@ class JsonlSinkWriter(DataSourceWriter):
         import os
         import uuid
 
+        # zombie / speculative attempts: a task still running after the
+        # driver's commit() must not recreate _temporary (commit already
+        # rmtree'd it; its message was discarded, so its file would be
+        # unreferenced residue). _SUCCESS is written last by commit(),
+        # so its existence means this attempt already lost — drain the
+        # iterator without touching the filesystem.
+        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            for _ in iterator:
+                pass
+            return JsonlCommitMessage("", 0)
         os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
         temp = os.path.join(self.path, "_temporary", f"task-{uuid.uuid4().hex}.jsonl")
         n = 0
@@ -194,6 +204,8 @@ class JsonlSinkWriter(DataSourceWriter):
         total = 0
         n_files = 0
         for i, m in enumerate(messages):
+            if not m.temp_path:  # drained post-commit zombie attempt
+                continue
             final = os.path.join(self.path, f"part-{i:05d}.jsonl")
             os.replace(m.temp_path, final)
             total += m.rows
@@ -211,7 +223,7 @@ class JsonlSinkWriter(DataSourceWriter):
 
         shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
         for m in messages or []:
-            if m is not None and os.path.exists(m.temp_path):
+            if m is not None and m.temp_path and os.path.exists(m.temp_path):
                 os.remove(m.temp_path)
 
 

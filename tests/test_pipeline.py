@@ -188,6 +188,40 @@ class TestMongoLifecycleCli:
         assert trusted.count() == full.select("o_orderkey").distinct().count()
         assert "sk" in trusted.columns and "timestamp_kafka" in trusted.columns
 
+    def test_source_routing_is_scheme_explicit(self, sf_dir):
+        """build_source routes on the connection SCHEME, not on local
+        filesystem state: mongodb:// URIs take the real connector, plain
+        paths must exist (a typo errors immediately instead of falling
+        through to a confusing connector failure)."""
+        import argparse
+
+        import pytest
+
+        from etl_complete_with_spark_spark.cli.resync import build_source
+        from etl_complete_with_spark_spark.sources.mongodb import (
+            MongoSource,
+            MongoTwinSource,
+        )
+
+        def args(conn):
+            return argparse.Namespace(
+                source_kind="mongodb", connection=conn, namespace="ns",
+                dataset="orders", partition_column="o_orderdate",
+                schema_registry=None, lake_root=None, db_user=None,
+                db_pass=None,
+            )
+
+        assert type(build_source(args("mongodb://host:27017/db"))) is MongoSource
+        assert (
+            type(build_source(args("mongodb+srv://cluster.example/db")))
+            is MongoSource
+        )
+        assert isinstance(
+            build_source(args(f"{sf_dir}/orders.parquet")), MongoTwinSource
+        )
+        with pytest.raises(SystemExit, match="neither a"):
+            build_source(args(f"{sf_dir}/no_such_file.parquet"))
+
     def test_no_recovery_reprocesses_full_window(self, spark, tmp_path, sf_dir):
         """recovery=False (the mongodb_carga_* lifecycle): a re-invocation
         ignores the manifest — every slice runs again (the reference

@@ -39,6 +39,25 @@ class TestTokenStats:
         ).collect()
         assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
 
+    def test_quality_bp_matches_float_score(self, spark):
+        """with_quality_bp is the integer-basis-point form of the same
+        score: q_bp == quality_score * 10000 exactly (the float score is
+        DEFINED as bp/10000, so equality is exact, not approximate)."""
+        df = docs(
+            spark,
+            "the of and to in a is that for on it " * 20,
+            "a diverse sentence with many distinct interesting words here",
+            "x",
+            "",
+        )
+        rows = (
+            TX.with_quality_bp(TX.with_quality_score(df))
+            .select("quality_score", "q_bp")
+            .collect()
+        )
+        assert rows and all(r.q_bp == round(r.quality_score * 10000) for r in rows)
+        assert all(0 <= r.q_bp <= 10000 for r in rows)
+
 
 class TestLangId:
     def test_marker_based_prediction(self, spark):
