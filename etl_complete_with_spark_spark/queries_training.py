@@ -394,6 +394,47 @@ def dedup_cluster_keep_star(spark, sf_dir):
     )
 
 
+@query(
+    "cluster_aware_split_docs",
+    f"""
+    {_JACCARD_POSTING.replace("WITH norm", "WITH RECURSIVE norm", 1)},
+    pairs AS (
+        SELECT id1, id2
+        FROM common
+        JOIN sizes s1 ON id1 = s1.id
+        JOIN sizes s2 ON id2 = s2.id
+        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5),
+    sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component,
+                 {_hash60_sql('CAST(component AS VARCHAR)', 17)} % 100 AS bucket
+          FROM comp) t
+    """,
+)
+def cluster_aware_split_docs(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/splits.py): trigram-
+    Jaccard near-dup pairs -> connected components -> one deterministic
+    md5-derived 90/5/5 split per COMPONENT, inherited by every member
+    (singletons hash independently). By construction no near-dup pair
+    straddles a split boundary; the oracle recomputes the components via
+    DuckDB's recursive closure and replays the identical md5 bucket, so
+    the assignment is proven bit-reproducible cross-engine."""
+    from .operators.splits import cluster_aware_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    return cluster_aware_split(docs, pairs, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
