@@ -2529,6 +2529,107 @@ def stream_incremental_rollup(spark, sf_dir):
 
 
 @query(
+    "stream_scd2_dim",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    unchanged AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01' AS valid_from,
+               TIMESTAMP '2200-01-01' AS valid_to,
+               true AS is_current
+        FROM c WHERE c_custkey % 10 <> 0),
+    closed AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', false
+        FROM c WHERE c_custkey % 10 = 0),
+    opened AS (
+        SELECT c_custkey, c_name, c_acctbal + 100, TIMESTAMP '2024-01-02',
+               TIMESTAMP '2200-01-01', true
+        FROM c WHERE c_custkey % 10 = 0)
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+)
+def stream_scd2_dim(spark, sf_dir):
+    """SCD Type 2 dimension maintenance UNDER STREAMING
+    (streaming/ingest.scd2_dim_stream): the customer dim arrives as two
+    micro-batches — epoch 0 bootstraps every customer, epoch 1 bumps
+    every 10th customer's balance — applied via foreachBatch with
+    epoch-derived version timestamps and an atomic _CURRENT pointer
+    swap per epoch. The oracle declares the expected version table
+    directly (the same spec oracle as the batch twin
+    scd2_customer_versions, with epoch_batch_ts timestamps), so the
+    streaming path's change detection, closing/opening and replay-safe
+    epoch bookkeeping are all checked against the spec."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .streaming.ingest import scd2_dim_stream
+
+    stage = tempfile.mkdtemp(prefix="scd2_in_")
+    out = tempfile.mkdtemp(prefix="scd2_out_")
+    tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    bumped = tbl.set_column(
+        tbl.schema.get_field_index("c_acctbal"),
+        "c_acctbal",
+        pc.if_else(
+            # x % 10 == 0 via trunc-divide (this pyarrow lacks modulo)
+            pc.equal(
+                pc.subtract(
+                    tbl["c_custkey"],
+                    pc.multiply(pc.divide(tbl["c_custkey"], 10), 10),
+                ),
+                0,
+            ),
+            pc.add(tbl["c_acctbal"], 100),
+            tbl["c_acctbal"],
+        ),
+    )
+    pq.write_table(tbl, f"{stage}/part-0.parquet")
+    pq.write_table(bumped, f"{stage}/part-1.parquet")
+    # FileStreamSource orders by modification time: pin the bootstrap
+    # batch strictly older so epoch 0 is always the init batch
+    os.utime(f"{stage}/part-0.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{stage}/part-1.parquet", (1_700_000_100, 1_700_000_100))
+    try:
+        dim_dir = f"{out}/dim"
+        q = scd2_dim_stream(
+            spark,
+            stage,
+            dim_dir=dim_dir,
+            checkpoint_dir=f"{out}/ckpt_{uuid.uuid4().hex[:8]}",
+            key="c_custkey",
+            tracked=["c_name", "c_acctbal"],
+            schema="c_custkey bigint, c_name string, c_acctbal double",
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(os.path.join(dim_dir, "_CURRENT")) as fh:
+            cur = fh.read().strip()
+        return (
+            spark.read.parquet(os.path.join(dim_dir, cur))
+            .select(
+                "c_custkey", "c_name", "c_acctbal",
+                "valid_from", "valid_to", "is_current",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "clustering_coefficient_parts",
     """
     WITH pairs AS MATERIALIZED (
