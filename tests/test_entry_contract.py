@@ -32,36 +32,43 @@ def test_queries_dict_leads_with_priority_window():
 
 
 def test_priority_window_follows_rotation_policy():
-    """Round-5 rotation (COVERAGE.md policy): the two flagship rows stay
-    pinned, and every catalog query with NO green row in any prior
-    CORRECTNESS artifact (the r01∪r02∪r03∪r04 union left exactly these
-    21) is in the window, driving the all-time driver-green union to
-    162/162 — external proof for the complete catalog."""
+    """COVERAGE.md rotation policy, derived from the CORRECTNESS
+    artifacts on disk (not a per-round hardcoded list): the two flagship
+    rows stay pinned; every catalog query with NO green row in any prior
+    artifact is in the window; the re-record slots go to the
+    least-recorded queries, earliest-recorded round first."""
+    import glob
+    import json
+
     window = set(entry.PRIORITY_WINDOW)
     assert {"pipeline_work_to_trusted", "jdbc_resync_orders"} <= window
 
-    never_recorded = {
-        # entity resolution / text similarity
-        "golden_record_parts", "sparse_tfidf_cosine_pairs",
-        "top_event_trigrams", "item_cooccurrence_similarity",
-        # custom Python DataSource
-        "pyds_synthetic_rollup",
-        # drift / stats / forecasting
-        "mixture_kl_by_source", "psi_order_price_drift",
-        "regression_price_vs_quantity", "time_to_purchase_stats",
-        "forecast_eval_seasonal_naive",
-        # robust stats (exact twin + sampled 100 TB path)
-        "robust_outlier_prices", "robust_outlier_prices_sampled",
-        # iterative graph suite
-        "hits_customer_supplier", "kcore_coorder_parts",
-        "bfs_coorder_parts", "clustering_coefficient_parts",
-        "lpa_communities_parts",
-        # incremental view maintenance
-        "incremental_rollup_orders", "stream_incremental_rollup",
-        # sessionization / market basket
-        "debounce_events", "association_rules_parts",
-    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    assert arts, "no CORRECTNESS artifacts found"
+    counts: dict[str, int] = {}
+    for path in arts:
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, res in data.items():
+            if res.get("err") is None and res.get("rows_match") is True:
+                counts[name] = counts.get(name, 0) + 1
+
+    never_recorded = {q for q in QUERIES if q not in counts}
     assert never_recorded <= window, f"missing: {never_recorded - window}"
+
+    # every non-pinned re-record slot holds a query with the MINIMUM
+    # record count among those not yet in the window (no slot wasted on
+    # a well-recorded query while a lesser-recorded one waits)
+    non_window_min = min(
+        (counts.get(q, 0) for q in QUERIES if q not in window), default=0
+    )
+    overfed = [
+        q
+        for q in entry.PRIORITY_WINDOW[2:]
+        if counts.get(q, 0) > non_window_min
+    ]
+    assert not overfed, f"window slots wasted on well-recorded queries: {overfed}"
 
 
 def test_every_priority_query_has_an_oracle():
