@@ -2964,7 +2964,7 @@ def _psi_oracle() -> str:
         for i, hi in enumerate(_PSI_BANDS[1:])
     ) + f" ELSE {len(_PSI_BANDS) - 1} END"
     term = (
-        "COALESCE(max(CASE WHEN bucket = {B} THEN"
+        "COALESCE(max(CASE WHEN bucket = {B} AND ac > 0 AND bc > 0 THEN"
         " round(((ac * 1.0 / ta) - (bc * 1.0 / tb))"
         " * ln((ac * 1.0 / ta) / (bc * 1.0 / tb)), 8) END), 0)"
     )
@@ -3000,9 +3000,11 @@ def psi_order_price_drift(spark, sf_dir):
     Fixed price bands (so the metric is comparable across runs — the
     production convention), integer-cents bucketing, and the per-bucket
     PSI terms rounded to 8 and summed in one FIXED written order (the
-    BM25/KL float discipline). Every band is populated in this data, so
-    the zero-count edge case (production adds Laplace smoothing) never
-    divides by zero. One scan, one tiny pivot."""
+    BM25/KL float discipline). A band empty on either side contributes
+    ZERO (guarded identically in both engines — the convention short of
+    full Laplace smoothing), so toy scale factors with sparse bands
+    neither divide by zero nor diverge from the oracle. One scan, one
+    tiny pivot."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1997-01-01")
@@ -3024,7 +3026,10 @@ def psi_order_price_drift(spark, sf_dir):
     j = cnt.crossJoin(F.broadcast(tot))
     pa = F.col("ac") * 1.0 / F.col("at")
     pb = F.col("bc") * 1.0 / F.col("bt")
-    term = F.round((pa - pb) * F.log(pa / pb), 8)
+    term = F.when(
+        (F.col("ac") > 0) & (F.col("bc") > 0),
+        F.round((pa - pb) * F.log(pa / pb), 8),
+    )
     parts = [
         F.coalesce(F.max(F.when(F.col("bucket") == i, term)), F.lit(0.0))
         for i in range(len(_PSI_BANDS))
