@@ -54,6 +54,20 @@ from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 RECYCLE_EVERY = 24
 FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
 
+# Perf floor (sf0.1, local[32]): no query above this unless its cost is
+# inherently round-bounded (iterative graph algorithms) or a documented
+# exact-twin trade. The floor is ASSERTED into BENCH_FULL.json
+# ["perf_floor"] on every run — violations list any query over the
+# threshold with no registered justification.
+PERF_FLOOR_S = 3.0
+PERF_FLOOR_EXEMPT = {
+    "pagerank_suppliers": "5 integer power-iteration rounds (inherent); "
+    "per-round cost is bounded joins+aggs, see SCALING.md",
+    "robust_outlier_prices": "two grouped exact-median passes over mostly-"
+    "distinct doubles — the documented exact MAD twin; the 100 TB path is "
+    "robust_outlier_prices_sampled (bottom-k pre-cut)",
+}
+
 _UI_CONF = {
     "spark.ui.enabled": "true",
     # keep EVERY stage in the UI store: eviction past the default 1000
@@ -222,6 +236,14 @@ def main() -> None:
     if shuffle:
         full["shuffle_mb_per_run"] = shuffle
 
+    exceeding = {q: t for q, t in timings.items() if t > PERF_FLOOR_S}
+    full["perf_floor"] = {
+        "threshold_s": PERF_FLOOR_S,
+        "exceeding": exceeding,
+        "exempt": {q: PERF_FLOOR_EXEMPT[q] for q in exceeding if q in PERF_FLOOR_EXEMPT},
+        "violations": sorted(q for q in exceeding if q not in PERF_FLOOR_EXEMPT),
+    }
+
     if FRESH_CHECK_N > 0:
         slowest = sorted(timings, key=lambda q: -timings[q])[:FRESH_CHECK_N]
         full["fresh_check"] = _fresh_check(slowest, sf_dir, timings)
@@ -236,7 +258,7 @@ def main() -> None:
     line_budget = 1800
     slim = {
         k: v for k, v in full.items()
-        if k not in ("shuffle_mb_per_run", "fresh_check", "methodology")
+        if k not in ("shuffle_mb_per_run", "fresh_check", "methodology", "perf_floor")
     }
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
