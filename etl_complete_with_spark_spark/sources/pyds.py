@@ -236,8 +236,18 @@ class JsonlSinkDataSource(DataSource):
         import os
         import shutil
 
-        if overwrite and os.path.isdir(self.options["path"]):
-            shutil.rmtree(self.options["path"])
+        path = self.options["path"]
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(os.path.join(path, "_SUCCESS")):
+            # append into a committed directory is not supported: part
+            # numbering restarts at 0 (os.replace would clobber earlier
+            # files) and the zombie guard would drain the new tasks.
+            # Refuse loudly instead of either silent corruption.
+            raise ValueError(
+                f"jsonl_sink: {path!r} already holds a committed write "
+                "(_SUCCESS present); use mode('overwrite') or a new path"
+            )
         return JsonlSinkWriter(self.options)
 
 

@@ -124,6 +124,19 @@ class TestJsonlSink:
         ]
         assert sorted(r["id"] for r in rows) == list(range(100, 105))
 
+    def test_append_into_committed_dir_refused(self, spark, tmp_path):
+        """Appending into a committed directory must fail loudly: part
+        numbering restarts at 0 (would clobber earlier files) and the
+        zombie guard keys off _SUCCESS."""
+        import pytest
+
+        out = tmp_path / "sink_app"
+        self._write(spark, spark.range(0, 10, 1, 1).selectExpr("id"), out)
+        with pytest.raises(Exception, match="already holds a committed write"):
+            self._write(
+                spark, spark.range(10, 20, 1, 1).selectExpr("id"), out, mode="append"
+            )
+
 
 class TestJsonlSinkExactlyOnce:
     """Exactly-once commit under arbitrary task-retry interleavings.
