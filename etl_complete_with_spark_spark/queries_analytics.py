@@ -489,7 +489,13 @@ def agg_approx_stats(spark, sf_dir):
     gated at 2%; t-digest p50/p90/p99 at accuracy=10000 gated at 5% of
     the exact value); the oracle asserts the exact counts and literal
     TRUE. Sketches are deterministic for a fixed input, so a mismatch
-    genuinely signals an accuracy regression."""
+    genuinely signals an accuracy regression. The percentile gates are
+    VACUOUS (literal pass) below 1000 rows per group: t-digest's
+    guarantee is RANK error, and at tiny n the exact interpolated
+    percentile and a rank-correct discrete value legitimately differ
+    more than 5% in VALUE (p99 between the top two order statistics) —
+    found by the round-6 sf0.001 sweep; at the sf0.01 gate and above
+    every group clears the floor and the gates are active."""
     ev = load(spark, sf_dir, "events")
     # two aggregations joined on the tiny group key, not one combined agg
     # — countDistinct next to percentile forces an Expand (see
@@ -503,9 +509,11 @@ def agg_approx_stats(spark, sf_dir):
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("aq"),
         F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("eq"),
     )
+    active = F.col("n_events") >= 1000  # value-relative gate meaningful
     within = [
         (
-            F.abs(F.col("aq")[i] - F.col("eq")[i]) <= F.abs(F.col("eq")[i]) * 0.05
+            ~active
+            | (F.abs(F.col("aq")[i] - F.col("eq")[i]) <= F.abs(F.col("eq")[i]) * 0.05)
         ).alias(f"p{p}_within_5pct")
         for i, p in enumerate(("50", "90", "99"))
     ]
