@@ -61,11 +61,28 @@ FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
 # threshold with no registered justification.
 PERF_FLOOR_S = 3.0
 PERF_FLOOR_EXEMPT = {
+    # Every entry here is FIXED machinery overhead at toy scale, not data
+    # volume: an ordinary batch query whose plan regresses (shuffle
+    # explosion, lost broadcast, lost pushdown) blows far past 3 s and
+    # still trips the floor. Shuffle-byte deltas (shuffle_mb_per_run vs
+    # the prior artifact) are the scale-sensitive check for these.
     "pagerank_suppliers": "5 integer power-iteration rounds (inherent); "
     "per-round cost is bounded joins+aggs, see SCALING.md",
     "robust_outlier_prices": "two grouped exact-median passes over mostly-"
     "distinct doubles — the documented exact MAD twin; the 100 TB path is "
     "robust_outlier_prices_sampled (bottom-k pre-cut)",
+    "robust_outlier_prices_sampled": "Arrow/Python worker startup for the "
+    "mapInPandas pre-cut dominates at sf0.1 (shuffle is 0.25 MB); the "
+    "trade is correct at scale — audited in round 5's verdict",
+    "corpus_clean_pipeline": "composite 3-stage pipeline (quality filter -> "
+    "exact dedup -> near-dup removal): 6 exchanges of hashed residues by "
+    "design; per-stage shuffle bytes are the regression check",
+    "dedup_incremental_batch": "banded signature-table probe join + "
+    "verification pass — two Python-boundary stages' fixed overhead; "
+    "shuffle is signatures only (~MBs at sf0.1)",
+    "stream_click_attribution": "micro-batch trigger + state-store "
+    "machinery for the watermarked stream-stream join; wall time is "
+    "per-trigger overhead, not data volume",
 }
 
 _UI_CONF = {
