@@ -372,6 +372,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = MAX_QUERY_BATCH,
+    assignment: str = "driver",
 ) -> DataFrame:
     """IVF ANN: assign the corpus to coarse centroids once, probe each
     query's ``nprobe`` nearest centroid lists, exact-rerank in-list.
@@ -382,8 +383,28 @@ def ivf_topk(
     n_centroids`` the result equals brute-force :func:`cosine_topk`
     EXACTLY (every list probed; asserted in tests) — recall tuning only
     ever removes candidates, never reorders them.
+
+    ``assignment`` picks the query-side plan (both produce bit-identical
+    results — the probe set and scoring math are the same):
+
+    - ``"driver"`` (default): the query batch is collected (capped at
+      ``max_query_rows``), probes computed in one BLAS call, and both
+      the probe table and the query vectors BROADCAST — the corpus
+      never shuffles. Right whenever the query batch fits the cap.
+    - ``"distributed"``: queries stay a DataFrame end to end — probes
+      come from the same argsort in a mapInPandas over the query
+      partitions (centroids broadcast, never the queries), and the
+      probe/query joins shuffle by centroid_id / query_id instead of
+      broadcasting. ``max_query_rows`` is ignored: this is the
+      corpus-scale-query path (e.g. all-pairs retrieval over the corpus
+      itself). centroid_id has only ``n_centroids`` distinct values, so
+      the list join is skew-prone by construction — AQE skew-join
+      (enabled in session.py) splits the hot lists at runtime.
     """
     import numpy as np
+
+    if assignment not in ("driver", "distributed"):
+        raise ValueError(f"assignment must be 'driver' or 'distributed', got {assignment!r}")
 
     cents = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
     sc = corpus.sparkSession.sparkContext
@@ -406,28 +427,56 @@ def ivf_topk(
 
     assigned = c.mapInPandas(assign, f"{fields}, centroid_id long")
 
-    q_rows = _collect_query_batch(
-        _prep(queries, id_col, vec_col, "query_id", "qv"), max_query_rows
-    )
-    qn = np.array([r.qv for r in q_rows])
-    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
-    probe_rows = [
-        (int(r.query_id), int(cid))
-        for r, sims in zip(q_rows, qn @ cents.T)
-        for cid in np.argsort(-sims, kind="stable")[:nprobe]
-    ]
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id long")
-    qdf = spark.createDataFrame(
-        [(int(r.query_id), list(r.qv), float(r.qv_nrm)) for r in q_rows],
-        "query_id long, qv array<double>, qv_nrm double",
-    )
+    q = _prep(queries, id_col, vec_col, "query_id", "qv")
 
-    scored = (
-        F.broadcast(probes).join(assigned, "centroid_id")
-        .join(F.broadcast(qdf), "query_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_pair_cosine(), 4))
+    if assignment == "distributed":
+        def probe(batches):
+            import pandas as pd
+
+            cm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(pdf["qv"].to_numpy())
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                # same stable argsort as the driver path — identical
+                # probe sets, including centroid-similarity ties
+                order = np.argsort(-(v @ cm.T), axis=1, kind="stable")[:, :nprobe]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf["query_id"].to_numpy(), order.shape[1]
+                        ),
+                        "centroid_id": order.reshape(-1).astype("int64"),
+                    }
+                )
+
+        probes = q.mapInPandas(probe, "query_id long, centroid_id long")
+        scored = (
+            probes.join(assigned, "centroid_id")
+            .join(q, "query_id")
+        )
+    else:
+        q_rows = _collect_query_batch(q, max_query_rows)
+        qn = np.array([r.qv for r in q_rows])
+        qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+        probe_rows = [
+            (int(r.query_id), int(cid))
+            for r, sims in zip(q_rows, qn @ cents.T)
+            for cid in np.argsort(-sims, kind="stable")[:nprobe]
+        ]
+        probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id long")
+        qdf = spark.createDataFrame(
+            [(int(r.query_id), list(r.qv), float(r.qv_nrm)) for r in q_rows],
+            "query_id long, qv array<double>, qv_nrm double",
+        )
+        scored = F.broadcast(probes).join(assigned, "centroid_id").join(
+            F.broadcast(qdf), "query_id"
+        )
+
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", F.round(_pair_cosine(), 4)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -465,6 +465,31 @@ class TestIvf:
         # random-list chance by a wide margin even on near-uniform vectors
         assert len(part & brute) / len(brute) >= 0.5
 
+    def test_distributed_assignment_matches_driver(self, spark, sf_dir):
+        """The corpus-scale-query path (queries never collected) must be
+        bit-identical to the driver-broadcast path: same stable-argsort
+        probe sets, same scoring, same ranking — only the plan differs.
+        Also proves it ignores max_query_rows (it has no driver collect
+        to bound)."""
+        from etl_complete_with_spark_spark.operators.similarity import ivf_topk
+        from etl_complete_with_spark_spark.queries import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 40)
+        driver = sorted(
+            map(tuple, ivf_topk(emb, q, k=7, n_centroids=8, nprobe=3).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, q, k=7, n_centroids=8, nprobe=3,
+                    assignment="distributed", max_query_rows=1,
+                ).collect(),
+            )
+        )
+        assert driver == dist and len(driver) > 0
+
     def test_query_batch_bound_enforced(self, spark, sf_dir):
         """IVF and PQ-ADC collect the QUERY set on the driver; the
         max_query_rows ceiling must refuse oversized batches loudly
