@@ -2394,23 +2394,31 @@ def item_cooccurrence_similarity(spark, sf_dir):
     query-side filter (pa < 50) bounds the ranked output, not the
     co-occurrence aggregation (which production would cap per-basket
     exactly like the stop-shingle cap in ngram_jaccard_pairs)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    raw = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket form (same rewrite as association_rules_parts): one shuffle
+    # by orderkey dedups AND builds each basket; pairs explode map-side
+    # with the query-side pa < 50 filter applied BETWEEN the explodes —
+    # only filtered pairs ever reach the (pa, pb) exchange
+    baskets = raw.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    ).localCheckpoint(eager=False)  # 2 consumers
+    freq = baskets.select(F.explode("items").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("f"))
     cooc = (
-        a.join(b, "o")
+        baskets.select(F.explode("items").alias("pa"), "items")
+        .filter(F.col("pa") < 50)
+        .select("pa", F.explode("items").alias("pb"))
         .filter(F.col("pa") != F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
     fa = freq.select(F.col("l_partkey").alias("pa"), F.col("f").alias("fa"))
     fb = freq.select(F.col("l_partkey").alias("pb"), F.col("f").alias("fb"))
     sim = F.round(F.col("c") / F.sqrt(F.col("fa") * F.col("fb")), 4)
     w = Window.partitionBy("pa").orderBy(F.col("cosine_sim").desc(), F.col("pb").asc())
     return (
-        cooc.filter(F.col("pa") < 50)
-        .join(F.broadcast(fa), "pa")
+        cooc.join(F.broadcast(fa), "pa")
         .join(F.broadcast(fb), "pb")
         .withColumn("cosine_sim", sim)
         .withColumn("rn", F.row_number().over(w))
