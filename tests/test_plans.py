@@ -36,6 +36,28 @@ class TestJoinStrategies:
         df = QUERIES["ann_cosine_topk"](spark, sf_dir)
         assert P.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in P.physical_plan(df)
 
+    def test_basket_queries_have_no_self_join(self, spark, sf_dir):
+        """The round-6 basket rewrites: pair generation is a map-side
+        double explode off ONE collect_set aggregate — the plan must
+        contain no sort-merge/shuffled-hash join (the old formulation
+        self-joined the item table on orderkey; only the tiny broadcast
+        frequency joins remain)."""
+        for name in ("association_rules_parts", "item_cooccurrence_similarity"):
+            plan = P.physical_plan(QUERIES[name](spark, sf_dir))
+            assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, name
+            assert "Generate explode" in plan, name  # the basket explode
+            assert P.has_broadcast_join(QUERIES[name](spark, sf_dir)), name
+
+    def test_cooccurrence_exchange_budget(self, spark, sf_dir):
+        """Pin the basket-form shape: exactly 4 exchanges (basket build,
+        pair aggregate, frequency aggregate, final window) — the old
+        self-join formulation needed 6+. The pa < 50 filter sits between
+        the explodes in the code, so a regression that moves it above
+        the pair aggregate shows up here as shuffle-byte growth in the
+        bench, and a reintroduced self-join as extra exchanges."""
+        df = QUERIES["item_cooccurrence_similarity"](spark, sf_dir)
+        assert P.count_exchanges(df) <= 4
+
 
 class TestAggregateShape:
     def test_pricing_summary_partial_aggregates(self, spark, sf_dir):
