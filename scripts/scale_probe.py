@@ -1,0 +1,139 @@
+"""Scale probes: measure (not assert) the 100 TB design claims on
+synthetic data ~30x the sf0.1 bench tables.
+
+Each probe compares the shipped scale path against the naive
+formulation it replaced, on the same synthetic input, and prints one
+JSON line per probe: wall seconds and total shuffle-write bytes for
+both. Reproducible: deterministic data (spark.range + hash columns),
+fixed seeds, min-of-1 (the effects measured are 10x-class, not 10%).
+
+Usage::
+
+    python scripts/scale_probe.py [n_rows]     # default 20_000_000
+
+Probes:
+
+- ``bottomk``: per-group bottom-k sketch, k=1024, 3 groups.
+  Scale path: ``bottomk_precut`` + ``merge_bottomk_hash`` (map-side cut,
+  k-bounded exchanges). Naive twin: the retired window formulation
+  (full-corpus exchange into 3 group partitions, then row_number).
+- ``ann_tiled``: exact top-k cosine, 200k x 16-dim corpus, 32 queries.
+  Scale path: ``cosine_topk_blas_tiled`` (block matmuls, nothing
+  collected). Naive twin: expression-based crossJoin scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_complete_with_spark_spark.session import get_spark
+
+
+def shuffle_write_bytes(spark):
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
+    except Exception:
+        return None
+
+
+def timed(spark, df):
+    before = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    time.sleep(1.0)
+    after = shuffle_write_bytes(spark)
+    mb = None if before is None or after is None else round((after - before) / 1e6, 1)
+    return round(wall, 2), mb
+
+
+def probe_bottomk(spark, n_rows: int) -> dict:
+    from etl_complete_with_spark_spark.operators.quantiles import (
+        bottomk_precut,
+        merge_bottomk_hash,
+        with_rank_hash,
+    )
+
+    k = 1024
+    base = (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100.0).alias("value"),
+        )
+    )
+    scale = merge_bottomk_hash(
+        bottomk_precut(base, ["grp"], "value", k=k, id_col="id"), ["grp"], k=k
+    )
+    w = Window.partitionBy("grp").orderBy("rank_hash", "id")
+    naive = (
+        with_rank_hash(base, "id")
+        .select("grp", F.col("value"), "rank_hash", "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    s_wall, s_mb = timed(spark, scale)
+    n_wall, n_mb = timed(spark, naive)
+    return {
+        "probe": "bottomk", "n_rows": n_rows, "k": k,
+        "scale_path": {"wall_s": s_wall, "shuffle_mb": s_mb},
+        "naive_window": {"wall_s": n_wall, "shuffle_mb": n_mb},
+    }
+
+
+def probe_ann_tiled(spark, n_corpus: int = 200_000, dim: int = 16) -> dict:
+    from etl_complete_with_spark_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas_tiled,
+    )
+
+    vec = F.array(
+        *[
+            (F.pmod(F.xxhash64(F.col("id") + F.lit(j * 7919)), F.lit(1000)) / 500.0 - 1.0)
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n_corpus).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 32)
+    s_wall, s_mb = timed(spark, cosine_topk_blas_tiled(corpus, queries, k=5))
+    n_wall, n_mb = timed(spark, cosine_topk(corpus, queries, k=5))
+    return {
+        "probe": "ann_tiled", "n_corpus": n_corpus, "dim": dim,
+        "scale_path": {"wall_s": s_wall, "shuffle_mb": s_mb},
+        "naive_crossjoin": {"wall_s": n_wall, "shuffle_mb": n_mb},
+    }
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
+    print(json.dumps(probe_bottomk(spark, n_rows)))
+    print(json.dumps(probe_ann_tiled(spark)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
