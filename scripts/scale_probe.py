@@ -121,6 +121,27 @@ def probe_ann_tiled(spark, n_corpus: int = 200_000, dim: int = 16) -> dict:
     }
 
 
+def probe_lsh_candidates(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    """The naive all-pairs dedup is UNMEASURABLE at scale (n^2 pairs is
+    the point) — so measure the bound itself: LSH candidate pairs as a
+    fraction of all possible pairs, on the real documents table."""
+    from etl_complete_with_spark_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sigs).count()
+    all_pairs = n * (n - 1) // 2
+    return {
+        "probe": "lsh_candidates", "n_docs": n,
+        "candidate_pairs": cands, "all_pairs": all_pairs,
+        "candidate_fraction": round(cands / all_pairs, 6),
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark(
@@ -132,6 +153,7 @@ def main() -> None:
     )
     print(json.dumps(probe_bottomk(spark, n_rows)))
     print(json.dumps(probe_ann_tiled(spark)))
+    print(json.dumps(probe_lsh_candidates(spark)))
     spark.stop()
 
 
