@@ -52,7 +52,10 @@ from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 # noise (single-digit queries of UI state), large enough that the ~2s
 # session restart cost stays <10% of catalog wall time.
 RECYCLE_EVERY = 24
-FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
+FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "3"))
+# Hard wall-clock bound per cold-process re-time (a cold JVM + one sf0.1
+# query is ~30-45 s; a hang must not eat the driver's bench budget).
+FRESH_CHECK_TIMEOUT_S = 150
 
 # Perf floor (sf0.1, local[32]): no query above this unless its cost is
 # inherently round-bounded (iterative graph algorithms) or a documented
@@ -181,7 +184,7 @@ def _fresh_check(names, sf_dir: str, timings) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, here, "--one", name],
-                capture_output=True, text=True, timeout=600,
+                capture_output=True, text=True, timeout=FRESH_CHECK_TIMEOUT_S,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
             )
             fresh = float(proc.stdout.strip().splitlines()[-1])
