@@ -27,7 +27,7 @@ from ..observability import http_status_callback, null_status
 from ..pipeline import ResyncConfig, ResyncPipeline
 from ..schema_registry import SchemaRegistry
 from ..session import get_spark
-from ..slicing import database_from_url, disable_ssl_for_mysql, driver_from_url
+from ..slicing import database_from_url, disable_ssl_for_mysql
 from ..sources import JdbcSource, MongoSource, MongoTwinSource, ParquetSource
 
 
