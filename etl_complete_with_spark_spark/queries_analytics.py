@@ -1661,7 +1661,9 @@ def rfm_customer_segments(spark, sf_dir):
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)  # 7 evaluations otherwise: each of the
+    # three rank passes reads it twice (offsets probe + ranked output)
+    # plus the final join spine — the orders scan+aggregate must run once
     out = m
     for metric, name in [("recency", "r_quartile"), ("frequency", "f_quartile"),
                          ("monetary", "m_quartile")]:
