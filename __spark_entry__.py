@@ -26,70 +26,80 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # catalog entries follow in registration order and are still fully covered
 # by the local gate (``scripts/oracle_check.py``, all 164 queries).
 #
-# ROUND 6: the r01∪…∪r05 union covers all 162 pre-round-6 queries.  The two
-# round-6 additions (cluster_aware_split_docs — the previously-unreferenced
-# leakage-safe splitter, and stream_scd2_dim — streaming SCD2's first oracle
-# row) take slots 3-4; the remaining 46 slots re-record the LEAST-recorded
-# queries (exactly one green row, earliest-recorded round first,
-# registration order as the tiebreak), raising the minimum-records floor:
-# after this round every r3-first query and most r4-first ones have >= 2
-# external rows.
+# ROUND 7: the r01∪…∪r06 union covers all 164 pre-round-7 queries.  The one
+# round-7 addition (ann_ivf_topk_distributed — the corpus-scale IVF query
+# path, previously proven only by bit-parity with the driver path) takes
+# slot 3; the remaining 47 slots re-record the LEAST-recorded queries
+# (exactly one green row, earliest-recorded round first, registration order
+# as the tiebreak) — the whole 44-query once-green backlog (21×r4 TPC-H,
+# 21×r5, the 2 r6 additions) plus three 2-row r1 fillers.  After this round
+# every catalog query has >= 2 driver-green records.
+#
+# WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
+# was computed from (scripts/rotate_window.py prints it alongside the
+# list).  tests/test_entry_contract.py replays the rotation policy against
+# artifacts with round <= this stamp ONLY, so the driver writing the
+# CURRENT round's artifact — which happens before every judging pass — no
+# longer trips the contract test (round-6 VERDICT order 1).
+WINDOW_GENERATED_AFTER = 6
 PRIORITY_WINDOW: list[str] = [
     # always-pinned flagship + live-JDBC rows
     "pipeline_work_to_trusted",
     "jdbc_resync_orders",
-    # --- round-6 additions: no row in any prior CORRECTNESS artifact
+    # --- round-7 addition: no row in any prior CORRECTNESS artifact
+    "ann_ivf_topk_distributed",
+    # --- 47 re-record slots: least-recorded (single green row), oldest
+    # recorded round first, registration order as tiebreak — r4 rows
+    "cdc_apply_orders",
+    "sketch_countmin_users",
+    "triangle_coorder_parts",
+    "sketch_quantile_bottomk",
+    "ewma_user_value",
+    "stream_quantile_sketch",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_discount_revenue_bands",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q21_suppliers_kept_waiting",
+    # r5 rows
+    "golden_record_parts",
+    "sparse_tfidf_cosine_pairs",
+    "pyds_synthetic_rollup",
+    "mixture_kl_by_source",
+    "hits_customer_supplier",
+    "debounce_events",
+    "robust_outlier_prices",
+    "top_event_trigrams",
+    "kcore_coorder_parts",
+    "bfs_coorder_parts",
+    "item_cooccurrence_similarity",
+    "incremental_rollup_orders",
+    "stream_incremental_rollup",
+    "clustering_coefficient_parts",
+    "lpa_communities_parts",
+    "forecast_eval_seasonal_naive",
+    "regression_price_vs_quantity",
+    "time_to_purchase_stats",
+    "association_rules_parts",
+    "psi_order_price_drift",
+    "robust_outlier_prices_sampled",
+    # r6 rows
     "cluster_aware_split_docs",
     "stream_scd2_dim",
-    # --- 46 re-record slots: least-recorded (single green row), oldest
-    # recorded round first, registration order as tiebreak — r3 rows
-    "case_agg_priority_split",
-    "top10_orders_global",
-    "unpivot_event_matrix",
-    "part_name_search",
-    "stats_price_quantity",
-    "rolling_24h_user_value",
-    "gapfill_hourly_counts",
-    "grouping_sets_revenue",
-    "zorder_morton_codes",
-    "dq_orders_expectations",
-    "dq_fk_orphan_events",
-    "scd2_customer_versions",
-    "order_price_distribution",
-    "q3_shipping_priority",
-    "q22_idle_rich_customers",
-    "order_burst_components",
-    "variant_props_stats",
-    "q8_market_share",
-    "q18_large_volume_customers",
-    # r4 rows
-    "dedup_cluster_keep_star",
-    "ann_tiled_topk",
-    "sample_weighted_quality",
-    "text_gopher_rules",
-    "ann_pq_topk",
-    "heavy_hitter_tokens",
-    "pagerank_suppliers",
-    "stream_sessionize",
-    "corpus_dup_ngram_profile",
-    "dedup_containment",
-    "knn_label_vote",
-    "bm25_doc_search",
-    "kmeans_embeddings_int",
-    "agg_approx_stats",
-    "sketch_merge_daily_users",
-    "supplier_balance_by_nation",
-    "orders_monthly_rollup",
-    "embedding_vector_stats",
-    "first_last_event_per_user",
-    "funnel_signup_click_purchase",
-    "table_diff_customer_batches",
-    "calendar_dim",
-    "histogram_order_prices",
-    "skew_key_profile_events",
-    "cohort_weekly_retention",
-    "rfm_customer_segments",
-    "markov_event_transitions",
+    # fillers: the least-recorded 2-row queries (first recorded r1)
+    "filter_between_inclusive",
+    "probe_bounds_date",
+    "probe_bounds_int",
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has

@@ -83,14 +83,31 @@ PERF_FLOOR_EXEMPT = {
     "dedup_incremental_batch": "banded signature-table probe join + "
     "verification pass — two Python-boundary stages' fixed overhead; "
     "shuffle is signatures only (~MBs at sf0.1)",
-    "dedup_containment": "same posting-list machinery as the incremental "
-    "variant (inverted-index self-join + pair aggregate); hovers at the "
-    "floor with box noise (2.7-3.2 s across closing runs), shuffle flat "
-    "at ~9 MB",
+    "dedup_containment": "inverted-index self-join + pair aggregate; "
+    "round-7 measured breakdown (cold-session A/B at sf0.1): the 9.17 MB/"
+    "run shuffle is ~entirely the (id1,id2) pair aggregate — irreducible "
+    "for exact containment — and the r6 plan computed the per-doc sizes "
+    "aggregate TWICE (two identical posting-list passes); checkpointing "
+    "sizes cut executor-CPU 9.0->7.7 s/run (-14%). Remaining wall time "
+    "hovers at the floor with box noise (2.7-3.9 s across profiling runs)",
     "stream_click_attribution": "micro-batch trigger + state-store "
     "machinery for the watermarked stream-stream join; wall time is "
     "per-trigger overhead, not data volume",
 }
+
+# CPU gate (round-7, VERDICT order 3): executor task CPU-seconds per run
+# is the PRIMARY cross-round perf ruler — wall time on this shared box
+# spreads 130-152 s run-to-run for identical plans, but total task
+# CPU-seconds for a fixed plan is load-insensitive. The committed
+# baseline (bench_cpu_baseline.json, snapshotted from the prior round's
+# driver-recorded artifact) is compared per query; regressions beyond
+# CPU_GATE_PCT (and the absolute floor, to keep sub-second queries'
+# scheduling jitter out) land in ["cpu_gate"]["violations"] unless a
+# written note below explains them. Rotate the baseline each round.
+CPU_GATE_PCT = 25.0
+CPU_GATE_ABS_FLOOR_S = 0.5
+CPU_GATE_TOTAL_PCT = 10.0
+CPU_GATE_EXEMPT: dict[str, str] = {}
 
 _UI_CONF = {
     "spark.ui.enabled": "true",
@@ -207,6 +224,115 @@ def _fresh_check(names, sf_dir: str, timings) -> dict:
     return out
 
 
+def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
+    """Re-measure executor-CPU-seconds for ``names`` in ONE fresh
+    session, excluding each query's first (warmup) run from the totals
+    delta — the comparable figure for a warm-segment baseline. Returns
+    name -> exec_s_per_run (None when UI totals are unavailable)."""
+    out: dict[str, float | None] = {}
+    spark = get_spark(app_name="bench-cpu-confirm", extra_conf=_UI_CONF)
+    try:
+        for name in names:
+            try:
+                fn = QUERIES[name]
+                sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
+                before = _quiesced_totals(spark)
+                for _ in range(2):
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                after = _quiesced_totals(spark)
+                if before is None or after is None:
+                    out[name] = None
+                else:
+                    out[name] = round((after[3] - before[3]) / 2 / 1e3, 2)
+            except Exception:  # the confirm pass must never fail the bench
+                out[name] = None
+    finally:
+        spark.stop()
+    return out
+
+
+def _cpu_gate(executor_s: dict[str, float]) -> dict:
+    """Executor-CPU-seconds regression check vs the committed baseline
+    (the prior round's driver-recorded per-query numbers). Machine-
+    asserted into the artifact like perf_floor: ["violations"] lists any
+    query whose per-run CPU-seconds grew more than CPU_GATE_PCT (and
+    more than the absolute floor) with no written exemption, plus a
+    total-level flag when the catalog sum drifts past
+    CPU_GATE_TOTAL_PCT. Never fails the bench — the artifact carries
+    the verdict."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+            base = json.load(f)
+    except Exception as exc:
+        return {"error": f"baseline unreadable: {exc}"[:200]}
+    base_q: dict[str, float] = base.get("executor_sec_per_run", {})
+
+    regressions: dict[str, dict[str, float]] = {}
+    new_queries = sorted(q for q in executor_s if q not in base_q)
+    for q, cur in executor_s.items():
+        prev = base_q.get(q)
+        if prev is None:
+            continue
+        delta = cur - prev
+        pct = (delta / prev * 100.0) if prev else (100.0 if delta else 0.0)
+        if delta > CPU_GATE_ABS_FLOOR_S and pct > CPU_GATE_PCT:
+            regressions[q] = {
+                "baseline_s": prev,
+                "current_s": cur,
+                "pct": round(pct, 1),
+            }
+
+    # Confirmation pass: executorRunTime is task ELAPSED time, so shared-
+    # box contention during a query's segment can inflate it past the
+    # threshold with no plan change (round-7: four untouched queries
+    # flagged at +28-32%, all reverting on a quiet-session re-time). Each
+    # candidate is re-timed in one fresh session with a warmup run
+    # EXCLUDED from the totals delta (codegen/JIT otherwise dominates);
+    # a violation must regress in BOTH the catalog run and the confirm
+    # pass to be reported.
+    if regressions:
+        confirmed = _cpu_confirm(list(regressions))
+        for q, conf in confirmed.items():
+            if conf is None:
+                regressions[q]["confirm_s"] = None  # instrumentation gap: keep flagged
+                continue
+            regressions[q]["confirm_s"] = conf
+            prev = base_q[q]
+            if conf - prev <= CPU_GATE_ABS_FLOOR_S or (
+                prev and (conf - prev) / prev * 100.0 <= CPU_GATE_PCT
+            ):
+                regressions[q]["verdict"] = "reverted-on-confirm (box noise)"
+            else:
+                regressions[q]["verdict"] = "confirmed"
+    common = [q for q in executor_s if q in base_q]
+    cur_total = round(sum(executor_s[q] for q in common), 1)
+    base_total = round(sum(base_q[q] for q in common), 1)
+    total_pct = round((cur_total - base_total) / base_total * 100.0, 1) if base_total else 0.0
+
+    return {
+        "baseline_round": base.get("round"),
+        "per_query_threshold_pct": CPU_GATE_PCT,
+        "abs_floor_s": CPU_GATE_ABS_FLOOR_S,
+        "total_threshold_pct": CPU_GATE_TOTAL_PCT,
+        "common_queries": len(common),
+        "new_queries": new_queries,
+        "baseline_total_s": base_total,
+        "current_total_s": cur_total,
+        "total_pct": total_pct,
+        "total_within_threshold": abs(total_pct) <= CPU_GATE_TOTAL_PCT,
+        "regressions": regressions,
+        "exempt": {q: CPU_GATE_EXEMPT[q] for q in regressions if q in CPU_GATE_EXEMPT},
+        "violations": sorted(
+            q
+            for q, r in regressions.items()
+            if q not in CPU_GATE_EXEMPT
+            and r.get("verdict") != "reverted-on-confirm (box noise)"
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -247,6 +373,13 @@ def main() -> None:
             executor_s[name] = round((after[3] - before[3]) / 2 / 1e3, 2)
         timings[name] = round(min(start_runs), 3)
 
+    # Stop the catalog session BEFORE the fresh-check subprocesses spawn:
+    # a lingering idle local[32] JVM contends with the cold processes and
+    # skews the recorded/fresh ratio the check certifies (round-6 ADVICE).
+    if spark is not None:
+        spark.stop()
+        spark = None
+
     total = round(sum(timings.values()), 3)
 
     full = {
@@ -279,6 +412,9 @@ def main() -> None:
         "violations": sorted(q for q in exceeding if q not in PERF_FLOOR_EXEMPT),
     }
 
+    if executor_s:
+        full["cpu_gate"] = _cpu_gate(executor_s)
+
     if FRESH_CHECK_N > 0:
         slowest = sorted(timings, key=lambda q: -timings[q])[:FRESH_CHECK_N]
         full["fresh_check"] = _fresh_check(slowest, sf_dir, timings)
@@ -294,8 +430,14 @@ def main() -> None:
     slim = {
         k: v for k, v in full.items()
         if k not in ("shuffle_mb_per_run", "fresh_check", "methodology",
-                     "perf_floor", "executor_sec_per_run")
+                     "perf_floor", "executor_sec_per_run", "cpu_gate")
     }
+    gate = full.get("cpu_gate") or {}
+    if "total_pct" in gate:
+        # two scalars make the primary ruler visible in the driver's
+        # recorded line; the full per-query comparison is in BENCH_FULL
+        slim["cpu_vs_prev_pct"] = gate["total_pct"]
+        slim["cpu_gate_violations"] = len(gate.get("violations", []))
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
     for name, sec in by_cost:

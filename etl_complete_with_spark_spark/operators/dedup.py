@@ -153,7 +153,15 @@ def ngram_jaccard_pairs(
     # truncated, so a lost executor fails the stage instead of
     # recomputing — acceptable for a short-lived intermediate.)
     posting = posting.localCheckpoint(eager=False)
-    sizes = posting.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # sizes feeds BOTH normalizer joins (sa on id1, sb on id2); without a
+    # materialization the per-doc aggregate — a full pass over the posting
+    # list plus its exchange — runs twice (observed as two identical
+    # Exchange(hashpartitioning(id)) subtrees in the physical plan).  The
+    # aggregate's output is one short row per document, so checkpointing
+    # it costs ~nothing and halves the posting-list aggregate work.
+    sizes = posting.groupBy("id").agg(
+        F.count("*").alias("n_shingles")
+    ).localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df_"))
         posting = (
@@ -912,7 +920,12 @@ def containment_pairs(
         "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
     )
     posting = posting.localCheckpoint(eager=False)
-    sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Checkpointed for the same reason as in ngram_jaccard_pairs: sizes
+    # feeds both normalizer joins, and without materialization the per-doc
+    # aggregate (full posting-list pass + exchange) is computed twice.
+    sizes = posting.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    ).localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         posting = posting.join(

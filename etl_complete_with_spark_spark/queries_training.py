@@ -1147,7 +1147,13 @@ def _ivf_oracle(n_centroids=16, nprobe=4, k=10) -> str | None:
     """
 
 
-@query("ann_ivf_topk", _ivf_oracle())
+# Built once: both IVF catalog entries (driver- and distributed-assignment)
+# share the identical oracle because the two plans are bit-identical by
+# design (same centroids, same stable argsort probe sets, same rerank).
+_IVF_ORACLE_SQL = _ivf_oracle()
+
+
+@query("ann_ivf_topk", _IVF_ORACLE_SQL)
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN (operators/similarity.ivf_topk): spherical-kmeans coarse
     quantizer (trained on a deterministic driver sample, FAISS-style),
@@ -1160,6 +1166,29 @@ def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     out = SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_ivf_topk_distributed", _IVF_ORACLE_SQL)
+def ann_ivf_topk_distributed(spark, sf_dir):
+    """The corpus-scale-query IVF path (operators/similarity.ivf_topk with
+    assignment="distributed"): queries stay a DataFrame end to end — probe
+    sets come from the same stable argsort inside a mapInPandas over the
+    query partitions (centroids broadcast, never the queries), and the
+    posting-list join shuffles by centroid_id with AQE skew-join splitting
+    the hot lists. Bit-identical to ann_ivf_topk by construction (parity
+    asserted in tests/test_text_dedup_similarity.py), so it shares the
+    same _ivf_oracle SQL — this entry promotes the scale path from
+    parity-tested to driver-green in its own right."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        assignment="distributed",
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

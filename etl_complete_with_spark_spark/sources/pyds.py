@@ -182,8 +182,14 @@ class JsonlSinkWriter(DataSourceWriter):
         # rmtree'd it; its message was discarded, so its file would be
         # unreferenced residue). _SUCCESS is written last by commit(),
         # so its existence means this attempt already lost — drain the
-        # iterator without touching the filesystem.
-        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
+        # iterator without touching the filesystem. This NARROWS the
+        # zombie window rather than closing it (a commit() racing between
+        # the checks can still leave residue under _temporary for an
+        # instant); that residue is harmless — readers key off part files
+        # and _SUCCESS, never _temporary — and the post-write re-check
+        # below self-cleans the common case.
+        success = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(success):
             for _ in iterator:
                 pass
             return JsonlCommitMessage("", 0)
@@ -194,6 +200,15 @@ class JsonlSinkWriter(DataSourceWriter):
             for row in iterator:
                 fh.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
+        if os.path.exists(success):
+            # commit() finished while this attempt was writing: its
+            # message set no longer includes ours, so the temp file would
+            # be unreferenced residue — remove it and report losing.
+            try:
+                os.remove(temp)
+            except OSError:
+                pass
+            return JsonlCommitMessage("", 0)
         return JsonlCommitMessage(temp, n)
 
     def commit(self, messages):  # noqa: ANN001

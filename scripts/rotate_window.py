@@ -62,6 +62,15 @@ def next_window():
 
 def main() -> None:
     window, counts, first_round, never = next_window()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = max(
+        (
+            int("".join(c for c in os.path.basename(p) if c.isdigit()))
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    )
+    print(f"WINDOW_GENERATED_AFTER = {newest}")
     print("PRIORITY_WINDOW: list[str] = [")
     for q in window:
         if q in PINNED:

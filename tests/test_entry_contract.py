@@ -31,28 +31,32 @@ def test_queries_dict_leads_with_priority_window():
     assert len(q) == len(QUERIES)  # reordered, never dropped
 
 
-def test_priority_window_follows_rotation_policy():
-    """COVERAGE.md rotation policy, derived from the CORRECTNESS
-    artifacts on disk (not a per-round hardcoded list): the two flagship
-    rows stay pinned; every catalog query with NO green row in any prior
-    artifact is in the window; the re-record slots go to the
-    least-recorded queries, earliest-recorded round first."""
+def _green_counts(art_dir: str, max_round: int) -> dict[str, int]:
+    """Green-record counts per query from CORRECTNESS_r*.json in
+    ``art_dir``, considering ONLY artifacts with round <= ``max_round``
+    — the set the committed window was computed from.  Newer artifacts
+    (the driver writes the CURRENT round's file before every judging
+    pass, while the window is necessarily one rotation old) are
+    intentionally invisible here."""
     import glob
     import json
 
-    window = set(entry.PRIORITY_WINDOW)
-    assert {"pipeline_work_to_trusted", "jdbc_resync_orders"} <= window
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    assert arts, "no CORRECTNESS artifacts found"
     counts: dict[str, int] = {}
-    for path in arts:
+    for path in sorted(glob.glob(os.path.join(art_dir, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        if rnd > max_round:
+            continue
         with open(path) as fh:
             data = json.load(fh)
         for name, res in data.items():
             if res.get("err") is None and res.get("rows_match") is True:
                 counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def _assert_window_matches_policy(counts: dict[str, int]) -> None:
+    window = set(entry.PRIORITY_WINDOW)
+    assert {"pipeline_work_to_trusted", "jdbc_resync_orders"} <= window
 
     never_recorded = {q for q in QUERIES if q not in counts}
     assert never_recorded <= window, f"missing: {never_recorded - window}"
@@ -69,6 +73,61 @@ def test_priority_window_follows_rotation_policy():
         if counts.get(q, 0) > non_window_min
     ]
     assert not overfed, f"window slots wasted on well-recorded queries: {overfed}"
+
+
+def test_priority_window_follows_rotation_policy():
+    """COVERAGE.md rotation policy, derived from the CORRECTNESS
+    artifacts on disk (not a per-round hardcoded list): the two flagship
+    rows stay pinned; every catalog query with NO green row in any prior
+    artifact is in the window; the re-record slots go to the
+    least-recorded queries, earliest-recorded round first.  Artifacts
+    newer than entry.WINDOW_GENERATED_AFTER are excluded — they did not
+    exist when the window was rotated (round-6 VERDICT order 1)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts = _green_counts(here, entry.WINDOW_GENERATED_AFTER)
+    assert counts, "no CORRECTNESS artifacts found at or before the stamp"
+    _assert_window_matches_policy(counts)
+
+
+def test_rotation_policy_immune_to_newer_artifact(tmp_path):
+    """The exact judging-time sequence that broke round 6: the driver
+    drops the CURRENT round's artifact next to the committed (one
+    rotation old) window.  Simulated by copying every artifact into a
+    tmpdir plus a fake next-round artifact; the policy replay must not
+    change, because the stamp hides everything newer."""
+    import glob
+    import shutil
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    assert arts, "no CORRECTNESS artifacts found"
+    for path in arts:
+        shutil.copy(path, tmp_path / os.path.basename(path))
+    fake_round = entry.WINDOW_GENERATED_AFTER + 1
+    shutil.copy(arts[-1], tmp_path / f"CORRECTNESS_r{fake_round:02d}.json")
+
+    with_fake = _green_counts(str(tmp_path), entry.WINDOW_GENERATED_AFTER)
+    without = _green_counts(here, entry.WINDOW_GENERATED_AFTER)
+    assert with_fake == without
+    _assert_window_matches_policy(with_fake)
+
+
+def test_window_stamp_not_stale():
+    """The stamp must cover every artifact round the window could have
+    seen MINUS the at-most-one the driver wrote this round: if two or
+    more artifacts are newer than the stamp, a rotation was skipped."""
+    import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        int("".join(c for c in os.path.basename(p) if c.isdigit()))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    )
+    newer = [r for r in rounds if r > entry.WINDOW_GENERATED_AFTER]
+    assert len(newer) <= 1, (
+        f"window stamped r{entry.WINDOW_GENERATED_AFTER} but artifacts "
+        f"{newer} exist — run scripts/rotate_window.py and re-stamp"
+    )
 
 
 def test_every_priority_query_has_an_oracle():
