@@ -140,6 +140,10 @@ def _shuffle_totals(spark):
             sum(s.get("shuffleWriteBytes", 0) for s in stages),
             len(stages),
             sum(s.get("executorRunTime", 0) for s in stages),
+            # true compute (ns): excludes the blocked/IO slices of task
+            # runtime — runTime minus cpuTime is per-task machinery
+            # (dominated by shuffle-file I/O at bench scale)
+            sum(s.get("executorCpuTime", 0) for s in stages),
         )
     except Exception:
         return None
@@ -321,7 +325,9 @@ def _cpu_gate(executor_s: dict[str, float]) -> dict:
         "baseline_total_s": base_total,
         "current_total_s": cur_total,
         "total_pct": total_pct,
-        "total_within_threshold": abs(total_pct) <= CPU_GATE_TOTAL_PCT,
+        # upward drift only: a large improvement (e.g. the round-7 tmpfs
+        # local-dir change) is reported via total_pct but is not a failure
+        "total_within_threshold": total_pct <= CPU_GATE_TOTAL_PCT,
         "regressions": regressions,
         "exempt": {q: CPU_GATE_EXEMPT[q] for q in regressions if q in CPU_GATE_EXEMPT},
         "violations": sorted(
@@ -345,6 +351,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
     executor_s: dict[str, float] = {}
+    executor_cpu: dict[str, float] = {}
     spark = None
     prev_snapshot = None
     n_segments = 0
@@ -371,6 +378,7 @@ def main() -> None:
                 "write_mb": round((after[1] - before[1]) / 2 / 1e6, 2),
             }
             executor_s[name] = round((after[3] - before[3]) / 2 / 1e3, 2)
+            executor_cpu[name] = round((after[4] - before[4]) / 2 / 1e9, 2)
         timings[name] = round(min(start_runs), 3)
 
     # Stop the catalog session BEFORE the fresh-check subprocesses spawn:
@@ -403,6 +411,14 @@ def main() -> None:
         # engine speed; wall time answers "how long did the box take"
         full["executor_sec_per_run"] = executor_s
         full["executor_sec_total"] = round(sum(executor_s.values()), 1)
+        # executorCpuTime: runTime minus its blocked/IO slices — the
+        # per-stage probe showed multi-stage queries over dimension-sized
+        # data spend 3-6x their true CPU in per-task shuffle-file
+        # machinery (bounded by stages x partitions, amortized at real
+        # partition sizes). Recorded per round so the cross-round gate
+        # can move to true compute once a driver-recorded baseline exists.
+        full["executor_cpu_sec_per_run"] = executor_cpu
+        full["executor_cpu_sec_total"] = round(sum(executor_cpu.values()), 1)
 
     exceeding = {q: t for q, t in timings.items() if t > PERF_FLOOR_S}
     full["perf_floor"] = {
@@ -430,7 +446,8 @@ def main() -> None:
     slim = {
         k: v for k, v in full.items()
         if k not in ("shuffle_mb_per_run", "fresh_check", "methodology",
-                     "perf_floor", "executor_sec_per_run", "cpu_gate")
+                     "perf_floor", "executor_sec_per_run",
+                     "executor_cpu_sec_per_run", "cpu_gate")
     }
     gate = full.get("cpu_gate") or {}
     if "total_pct" in gate:

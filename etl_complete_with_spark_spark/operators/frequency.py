@@ -172,5 +172,7 @@ def countmin_estimates(
         (k, min(cells.get((j, cell_of(k, j)), 0) for j in range(depth)))
         for k in probe_keys
     ]
+    from ..localdata import local_rows_df
+
     key_type = df.schema[key_col].dataType.simpleString()
-    return df.sparkSession.createDataFrame(rows, f"{key_col} {key_type}, est long")
+    return local_rows_df(df.sparkSession, rows, f"{key_col} {key_type}, est long")

@@ -296,9 +296,9 @@ def connected_components_auto(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("component", id_type)]
         )
-        labels = spark.createDataFrame(
-            [(v, find(v)) for v in parent], schema
-        )
+        from ..localdata import local_rows_df
+
+        labels = local_rows_df(spark, [(v, find(v)) for v in parent], schema)
         if vertices is None:
             return labels
         # singleton fill-in WITHOUT collecting the (possibly corpus-sized)

@@ -29,6 +29,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _offset_lookup(offsets: dict[int, int], n_partitions: int) -> "F.Column":
+    """Cumulative partition offsets as a LITERAL array indexed by
+    ``__pid`` — replaces the previous broadcast-join against a
+    ``spark.createDataFrame`` offsets table.  That table was a
+    Python-backed RDD: every evaluation (including each AQE broadcast
+    materialization) ran one Python-worker round-trip PER PARTITION
+    (~200 ms each, 32 partitions — measured via jstack: task threads
+    parked in PythonRunner reads with near-zero CPU).  A literal array
+    is constant-folded JVM-side: no join, no broadcast, no Python.
+    P driver-side scalars, same bound as the offsets collect itself."""
+    return F.array(*[F.lit(int(offsets.get(i, 0))) for i in range(n_partitions)])
+
+
 def pack_chunks_into_shards(
     chunks: DataFrame,
     shard_tokens: int,
@@ -61,9 +74,7 @@ def pack_chunks_into_shards(
     for row in sorted(part_totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["t"]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __part_off long"
-    )
+    off_arr = _offset_lookup(offsets, ranged.rdd.getNumPartitions())
 
     w_local = (
         Window.partitionBy("__pid")
@@ -71,11 +82,10 @@ def pack_chunks_into_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     doc_off = (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
+        ranged.withColumn(
             "doc_offset",
             (
-                F.col("__part_off")
+                F.element_at(off_arr, F.col("__pid") + 1)
                 + F.coalesce(F.sum("doc_tokens").over(w_local), F.lit(0))
             ).cast("long"),
         )
@@ -134,19 +144,18 @@ def global_row_ranks(
     for row in sorted(part_counts, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["count"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __part_off long"
-    )
+    off_arr = _offset_lookup(offsets, ranged.rdd.getNumPartitions())
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
+        ranged.withColumn(
             rank_col,
-            (F.col("__part_off") + F.row_number().over(w_local)).cast("long"),
+            (
+                F.element_at(off_arr, F.col("__pid") + 1)
+                + F.row_number().over(w_local)
+            ).cast("long"),
         )
         .withColumn(count_col, F.lit(acc).cast("long"))
-        .drop("__pid", "__part_off")
+        .drop("__pid")
     )
 
 

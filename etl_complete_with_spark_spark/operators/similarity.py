@@ -466,8 +466,11 @@ def ivf_topk(
             for r, sims in zip(q_rows, qn @ cents.T)
             for cid in np.argsort(-sims, kind="stable")[:nprobe]
         ]
-        probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id long")
-        qdf = spark.createDataFrame(
+        from ..localdata import local_rows_df
+
+        probes = local_rows_df(spark, probe_rows, "query_id long, centroid_id long")
+        qdf = local_rows_df(
+            spark,
             [(int(r.query_id), list(r.qv), float(r.qv_nrm)) for r in q_rows],
             "query_id long, qv array<double>, qv_nrm double",
         )

@@ -67,6 +67,20 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Shuffle/spill files on the fastest local storage available. On this
+    # single-node box that is RAM-backed tmpfs: the per-task shuffle-file
+    # overhead (create + write + fsync of data/index files) measured
+    # ~75 ms/task on the root overlay FS vs ~30 ms on /dev/shm — 2.5x, and
+    # it is THE dominant executor-runtime cost for multi-stage queries
+    # over dimension-sized data. On a real cluster this maps to the
+    # standard practice of pointing spark.local.dir at local NVMe; the
+    # env override (SPARK_GRAFT_LOCAL_DIR) restores any other placement.
+    # Spill safety: bench SFs shuffle MBs against a 126 GiB tmpfs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
