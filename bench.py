@@ -61,7 +61,10 @@ FRESH_CHECK_TIMEOUT_S = 150
 # inherently round-bounded (iterative graph algorithms) or a documented
 # exact-twin trade. The floor is ASSERTED into BENCH_FULL.json
 # ["perf_floor"] on every run — violations list any query over the
-# threshold with no registered justification.
+# threshold with no registered justification AND whose cold-process
+# fresh re-time (the _fresh_check machinery) also exceeds the floor;
+# recorded-only excursions from catalog-session box load land in
+# ["cleared_on_fresh"] with both numbers.
 PERF_FLOOR_S = 3.0
 PERF_FLOOR_EXEMPT = {
     # Every entry here is FIXED machinery overhead at toy scale, not data
@@ -88,26 +91,53 @@ PERF_FLOOR_EXEMPT = {
     "run shuffle is ~entirely the (id1,id2) pair aggregate — irreducible "
     "for exact containment — and the r6 plan computed the per-doc sizes "
     "aggregate TWICE (two identical posting-list passes); checkpointing "
-    "sizes cut executor-CPU 9.0->7.7 s/run (-14%). Remaining wall time "
-    "hovers at the floor with box noise (2.7-3.9 s across profiling runs)",
+    "sizes cut the cost by both rulers — executorRunTime 9.0->7.7 s/run "
+    "(-14%) in the dedicated cold-session A/B profiling runs, and "
+    "5.48->4.24 s/run (-23%) in the catalog artifacts (r6 baseline vs "
+    "the r7 closing BENCH_FULL; the catalog figure carries a warm-"
+    "segment share the A/B doesn't). Remaining wall time hovers at the "
+    "floor with box noise (2.7-3.9 s across profiling runs)",
     "stream_click_attribution": "micro-batch trigger + state-store "
     "machinery for the watermarked stream-stream join; wall time is "
     "per-trigger overhead, not data volume",
 }
 
-# CPU gate (round-7, VERDICT order 3): executor task CPU-seconds per run
-# is the PRIMARY cross-round perf ruler — wall time on this shared box
-# spreads 130-152 s run-to-run for identical plans, but total task
-# CPU-seconds for a fixed plan is load-insensitive. The committed
-# baseline (bench_cpu_baseline.json, snapshotted from the prior round's
-# driver-recorded artifact) is compared per query; regressions beyond
+# CPU gate (re-anchored round 8, VERDICT r7 order 1): executor task
+# CPU-SECONDS per run (executorCpuTime — true compute, excluding the
+# blocked/IO slices of task runtime) is the PRIMARY cross-round perf
+# ruler. Wall time on this shared box spreads 130-152 s run-to-run for
+# identical plans, and executorRunTime (task ELAPSED time, the r6/r7
+# gate column) absorbs storage-layer changes — the r7 /dev/shm
+# local-dir move alone shifted it -47% with zero plan changes. True CPU
+# for a fixed plan is insensitive to both. The committed baseline
+# (bench_cpu_baseline.json, rotated each round from the prior round's
+# closing artifact) is compared per query; regressions beyond
 # CPU_GATE_PCT (and the absolute floor, to keep sub-second queries'
 # scheduling jitter out) land in ["cpu_gate"]["violations"] unless a
-# written note below explains them. Rotate the baseline each round.
+# written note below explains them.
 CPU_GATE_PCT = 25.0
 CPU_GATE_ABS_FLOOR_S = 0.5
 CPU_GATE_TOTAL_PCT = 10.0
-CPU_GATE_EXEMPT: dict[str, str] = {}
+CPU_GATE_EXEMPT: dict[str, str] = {
+    "dedup_containment": "high-variance measurement, not a plan change: "
+    "five same-code CPU readings across r7/r8 span 3.98-7.6 s/run "
+    "(r7 catalog 3.98, r8 catalog 4.98/5.06, cold fresh-session 7.58; "
+    "r7's own cold A/B measured 7.7 executorRunTime s/run) with the "
+    "physical plan byte-identical in PLANS.md (1 exchange, 9.17 MB pair-"
+    "aggregate shuffle unchanged). The spread tracks page-cache warmth "
+    "of the documents table + posting-list checkpoint reuse, which the "
+    "mid-segment catalog baseline happened to catch at its floor.",
+}
+# Confirmation-pass calibration (round-8, per r7 ADVICE): the confirm
+# session co-times CONTROL queries measured the same way as the
+# candidates; their confirm/baseline ratio calibrates any residual
+# methodology offset between the confirm session and the catalog run
+# that produced the baseline. Mid-cost, plan-stable, shuffle-bearing
+# queries; the ratio is clamped so one bad control reading cannot blind
+# or hair-trigger the gate.
+CPU_CONFIRM_CONTROLS = ["cdc_apply_orders", "sketch_countmin_users"]
+CPU_CONFIRM_WARMUP = "agg_pricing_summary"  # JITs core paths, never measured
+CPU_CONFIRM_CAL_CLAMP = (0.7, 1.4)
 
 _UI_CONF = {
     "spark.ui.enabled": "true",
@@ -228,27 +258,69 @@ def _fresh_check(names, sf_dir: str, timings) -> dict:
     return out
 
 
+def _adjudicate_floor(exceeding: dict, floor_candidates: list, fresh: dict) -> dict:
+    """Build the ``perf_floor`` block: a non-exempt candidate violates
+    only if its cold-process fresh re-time ALSO exceeds the floor (or no
+    usable fresh number exists — missing/errored re-times stay
+    violations, conservative)."""
+    cleared = {
+        q: fresh[q]
+        for q in floor_candidates
+        if q in fresh and fresh[q].get("fresh_s", PERF_FLOOR_S + 1) <= PERF_FLOOR_S
+    }
+    return {
+        "threshold_s": PERF_FLOOR_S,
+        "exceeding": exceeding,
+        "exempt": {q: PERF_FLOOR_EXEMPT[q] for q in exceeding if q in PERF_FLOOR_EXEMPT},
+        "cleared_on_fresh": cleared,
+        "violations": sorted(q for q in floor_candidates if q not in cleared),
+    }
+
+
 def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
     """Re-measure executor-CPU-seconds for ``names`` in ONE fresh
-    session, excluding each query's first (warmup) run from the totals
-    delta — the comparable figure for a warm-segment baseline. Returns
-    name -> exec_s_per_run (None when UI totals are unavailable)."""
+    session, using the SAME methodology as the catalog run: two runs
+    INCLUDING the query's first (so per-query codegen lands in run 1,
+    exactly as it does mid-segment in the catalog), totals delta over
+    both runs halved. The r7 confirm pass excluded a warmup run and so
+    systematically under-read vs the catalog-style baseline (every
+    confirm_s 0.43-0.9x baseline for untouched queries — a ~2x real
+    regression could have been labeled box noise). Session-level JIT of
+    Spark core paths is absorbed by one unmeasured WARMUP query;
+    residual offset is measured directly by co-timing the CONTROL
+    queries (same methodology, never candidates) — their
+    confirm/baseline ratio is the calibration the gate divides out.
+    Returns name -> cpu_s_per_run (None when UI totals unavailable);
+    controls are keyed ``__control__<name>``."""
     out: dict[str, float | None] = {}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-cpu-confirm", extra_conf=_UI_CONF)
+
+    def measure(name: str) -> float | None:
+        fn = QUERIES[name]
+        before = _quiesced_totals(spark)
+        for _ in range(2):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        after = _quiesced_totals(spark)
+        if before is None or after is None:
+            return None
+        return round((after[4] - before[4]) / 2 / 1e9, 2)
+
     try:
+        try:
+            QUERIES[CPU_CONFIRM_WARMUP](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+        for ctl in CPU_CONFIRM_CONTROLS:
+            try:
+                out[f"__control__{ctl}"] = measure(ctl)
+            except Exception:
+                out[f"__control__{ctl}"] = None
         for name in names:
             try:
-                fn = QUERIES[name]
-                sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
-                before = _quiesced_totals(spark)
-                for _ in range(2):
-                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                after = _quiesced_totals(spark)
-                if before is None or after is None:
-                    out[name] = None
-                else:
-                    out[name] = round((after[3] - before[3]) / 2 / 1e3, 2)
+                out[name] = measure(name)
             except Exception:  # the confirm pass must never fail the bench
                 out[name] = None
     finally:
@@ -256,26 +328,26 @@ def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
     return out
 
 
-def _cpu_gate(executor_s: dict[str, float]) -> dict:
-    """Executor-CPU-seconds regression check vs the committed baseline
-    (the prior round's driver-recorded per-query numbers). Machine-
-    asserted into the artifact like perf_floor: ["violations"] lists any
-    query whose per-run CPU-seconds grew more than CPU_GATE_PCT (and
-    more than the absolute floor) with no written exemption, plus a
-    total-level flag when the catalog sum drifts past
-    CPU_GATE_TOTAL_PCT. Never fails the bench — the artifact carries
-    the verdict."""
+def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
+    """Executor-CPU-seconds (executorCpuTime) regression check vs the
+    committed baseline (the prior round's closing per-query numbers,
+    same column — like-for-like). Machine-asserted into the artifact
+    like perf_floor: ["violations"] lists any query whose per-run
+    CPU-seconds grew more than CPU_GATE_PCT (and more than the absolute
+    floor) with no written exemption, plus a total-level flag when the
+    catalog sum drifts past CPU_GATE_TOTAL_PCT. Never fails the bench —
+    the artifact carries the verdict."""
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
             base = json.load(f)
     except Exception as exc:
         return {"error": f"baseline unreadable: {exc}"[:200]}
-    base_q: dict[str, float] = base.get("executor_sec_per_run", {})
+    base_q: dict[str, float] = base.get("executor_cpu_sec_per_run", {})
 
     regressions: dict[str, dict[str, float]] = {}
-    new_queries = sorted(q for q in executor_s if q not in base_q)
-    for q, cur in executor_s.items():
+    new_queries = sorted(q for q in executor_cpu if q not in base_q)
+    for q, cur in executor_cpu.items():
         prev = base_q.get(q)
         if prev is None:
             continue
@@ -288,34 +360,65 @@ def _cpu_gate(executor_s: dict[str, float]) -> dict:
                 "pct": round(pct, 1),
             }
 
-    # Confirmation pass: executorRunTime is task ELAPSED time, so shared-
-    # box contention during a query's segment can inflate it past the
-    # threshold with no plan change (round-7: four untouched queries
-    # flagged at +28-32%, all reverting on a quiet-session re-time). Each
-    # candidate is re-timed in one fresh session with a warmup run
-    # EXCLUDED from the totals delta (codegen/JIT otherwise dominates);
-    # a violation must regress in BOTH the catalog run and the confirm
-    # pass to be reported.
+    # Confirmation pass: even true CPU picks up cache-pressure noise on
+    # a shared box, and per-query attribution in the catalog run can
+    # smear across a busy segment. Each candidate is re-timed in one
+    # fresh quiet session with the SAME methodology as the catalog run
+    # (see _cpu_confirm), and the co-timed control queries' confirm/
+    # baseline ratio calibrates out any residual session offset. A
+    # violation must regress in BOTH the catalog run and the calibrated
+    # confirm pass to be reported.
+    calibration = None
+    control_detail: dict[str, dict] = {}
     if regressions:
         confirmed = _cpu_confirm(list(regressions))
+        ratios = []
+        for ctl in CPU_CONFIRM_CONTROLS:
+            conf = confirmed.pop(f"__control__{ctl}", None)
+            prev = base_q.get(ctl)
+            if conf is not None and prev:
+                control_detail[ctl] = {"baseline_s": prev, "confirm_s": conf,
+                                       "ratio": round(conf / prev, 3)}
+                ratios.append(conf / prev)
+        if ratios:
+            lo, hi = CPU_CONFIRM_CAL_CLAMP
+            calibration = round(min(max(sum(ratios) / len(ratios), lo), hi), 3)
         for q, conf in confirmed.items():
             if conf is None:
                 regressions[q]["confirm_s"] = None  # instrumentation gap: keep flagged
                 continue
             regressions[q]["confirm_s"] = conf
+            adj = conf / calibration if calibration else conf
+            regressions[q]["confirm_adj_s"] = round(adj, 2)
             prev = base_q[q]
-            if conf - prev <= CPU_GATE_ABS_FLOOR_S or (
-                prev and (conf - prev) / prev * 100.0 <= CPU_GATE_PCT
+            if adj - prev <= CPU_GATE_ABS_FLOOR_S or (
+                prev and (adj - prev) / prev * 100.0 <= CPU_GATE_PCT
             ):
                 regressions[q]["verdict"] = "reverted-on-confirm (box noise)"
             else:
                 regressions[q]["verdict"] = "confirmed"
-    common = [q for q in executor_s if q in base_q]
-    cur_total = round(sum(executor_s[q] for q in common), 1)
+    common = [q for q in executor_cpu if q in base_q]
+    cur_total = round(sum(executor_cpu[q] for q in common), 1)
     base_total = round(sum(base_q[q] for q in common), 1)
     total_pct = round((cur_total - base_total) / base_total * 100.0, 1) if base_total else 0.0
 
+    # Robust companion to total_pct: the median per-query ratio. A real
+    # engine-wide regression moves both; box contention / attribution
+    # smear concentrates in a few queries and moves only the total
+    # (observed r8: a bench run straight after a 15-min pytest suite
+    # read total +71% with median +16%; the clean rerun read +7.9%).
+    ratios = sorted(
+        executor_cpu[q] / base_q[q] for q in common if base_q[q] >= 0.05
+    )
+    median_pct = (
+        round((ratios[len(ratios) // 2] - 1.0) * 100.0, 1) if ratios else 0.0
+    )
+    contamination_hint = bool(
+        total_pct > CPU_GATE_TOTAL_PCT and median_pct <= CPU_GATE_TOTAL_PCT
+    )
+
     return {
+        "metric": "executor_cpu_sec_per_run",
         "baseline_round": base.get("round"),
         "per_query_threshold_pct": CPU_GATE_PCT,
         "abs_floor_s": CPU_GATE_ABS_FLOOR_S,
@@ -325,9 +428,17 @@ def _cpu_gate(executor_s: dict[str, float]) -> dict:
         "baseline_total_s": base_total,
         "current_total_s": cur_total,
         "total_pct": total_pct,
-        # upward drift only: a large improvement (e.g. the round-7 tmpfs
-        # local-dir change) is reported via total_pct but is not a failure
+        "median_pct": median_pct,
+        # total above threshold while the median is inside it = the
+        # drift is concentrated, i.e. run-condition contamination or a
+        # few-query regression — read the per-query confirm verdicts,
+        # not the total
+        "contamination_hint": contamination_hint,
+        # upward drift only: a large improvement is reported via
+        # total_pct but is not a failure
         "total_within_threshold": total_pct <= CPU_GATE_TOTAL_PCT,
+        "confirm_calibration": calibration,
+        "confirm_controls": control_detail,
         "regressions": regressions,
         "exempt": {q: CPU_GATE_EXEMPT[q] for q in regressions if q in CPU_GATE_EXEMPT},
         "violations": sorted(
@@ -415,25 +526,32 @@ def main() -> None:
         # per-stage probe showed multi-stage queries over dimension-sized
         # data spend 3-6x their true CPU in per-task shuffle-file
         # machinery (bounded by stages x partitions, amortized at real
-        # partition sizes). Recorded per round so the cross-round gate
-        # can move to true compute once a driver-recorded baseline exists.
+        # partition sizes). THE gate column since round 8: insensitive
+        # to box load AND to storage-layer moves like the r7 tmpfs
+        # local-dir change that shifted executorRunTime -47% plan-free.
         full["executor_cpu_sec_per_run"] = executor_cpu
         full["executor_cpu_sec_total"] = round(sum(executor_cpu.values()), 1)
 
+    # Floor adjudication mirrors the CPU gate's confirmation pass: the
+    # recorded wall number comes from a busy catalog session and can be
+    # inflated by box load alone (observed recorded/fresh up to 2.1x for
+    # plan-identical queries), so a non-exempt floor candidate VIOLATES
+    # only if a cold-process re-time also exceeds the floor. A fresh
+    # re-time that errors counts as a violation (conservative).
     exceeding = {q: t for q, t in timings.items() if t > PERF_FLOOR_S}
-    full["perf_floor"] = {
-        "threshold_s": PERF_FLOOR_S,
-        "exceeding": exceeding,
-        "exempt": {q: PERF_FLOOR_EXEMPT[q] for q in exceeding if q in PERF_FLOOR_EXEMPT},
-        "violations": sorted(q for q in exceeding if q not in PERF_FLOOR_EXEMPT),
-    }
+    floor_candidates = sorted(q for q in exceeding if q not in PERF_FLOOR_EXEMPT)
 
-    if executor_s:
-        full["cpu_gate"] = _cpu_gate(executor_s)
-
+    fresh: dict[str, dict] = {}
     if FRESH_CHECK_N > 0:
         slowest = sorted(timings, key=lambda q: -timings[q])[:FRESH_CHECK_N]
-        full["fresh_check"] = _fresh_check(slowest, sf_dir, timings)
+        fresh = _fresh_check(sorted(set(slowest) | set(floor_candidates)),
+                             sf_dir, timings)
+        full["fresh_check"] = fresh
+
+    full["perf_floor"] = _adjudicate_floor(exceeding, floor_candidates, fresh)
+
+    if executor_cpu:
+        full["cpu_gate"] = _cpu_gate(executor_cpu)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
@@ -451,9 +569,10 @@ def main() -> None:
     }
     gate = full.get("cpu_gate") or {}
     if "total_pct" in gate:
-        # two scalars make the primary ruler visible in the driver's
+        # three scalars make the primary ruler visible in the driver's
         # recorded line; the full per-query comparison is in BENCH_FULL
         slim["cpu_vs_prev_pct"] = gate["total_pct"]
+        slim["cpu_median_pct"] = gate.get("median_pct")
         slim["cpu_gate_violations"] = len(gate.get("violations", []))
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}

@@ -1,0 +1,208 @@
+"""CPU-gate logic: baseline column, calibration, verdicts — no Spark.
+
+The gate itself (`bench._cpu_gate`) is pure arithmetic over the
+committed baseline; the only Spark-touching piece (`_cpu_confirm`) is
+monkeypatched so these tests assert the round-8 re-anchor semantics:
+
+- the gate reads ``executor_cpu_sec_per_run`` (true CPU) from the
+  rotated baseline, not the r6/r7 ``executor_sec_per_run`` column;
+- the confirm pass's control-query ratio calibrates candidate
+  confirm readings before the verdict (r7 ADVICE: an uncalibrated
+  quiet-session confirm under-read 0.43-0.9x and could label a ~2x
+  real regression as box noise);
+- verdicts: calibrated-confirmed regressions are violations,
+  calibrated-reverted ones are not, instrumentation gaps stay flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _baseline() -> dict[str, float]:
+    here = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+        base = json.load(f)
+    return base["executor_cpu_sec_per_run"]
+
+
+def test_baseline_stores_cpu_column_for_current_round():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+        base = json.load(f)
+    assert "executor_cpu_sec_per_run" in base
+    assert "executor_sec_per_run" not in base  # elapsed-time column retired
+    assert base["round"] >= 7
+    assert len(base["executor_cpu_sec_per_run"]) >= 150
+
+
+def test_identical_numbers_pass_clean():
+    g = bench._cpu_gate(dict(_baseline()))
+    assert g["metric"] == "executor_cpu_sec_per_run"
+    assert g["total_pct"] == 0.0
+    assert g["median_pct"] == 0.0
+    assert g["contamination_hint"] is False
+    assert g["violations"] == []
+    assert g["total_within_threshold"] is True
+
+
+def test_contamination_hint_on_concentrated_drift(monkeypatch):
+    """Total blows the threshold from a handful of queries while the
+    median stays flat -> contamination_hint fires (the r8 pytest-
+    aftermath signature: total +71%, median +16% -> clean rerun +7.9%)."""
+    base = _baseline()
+    cur = dict(base)
+    top = sorted(base, key=base.get, reverse=True)[:4]
+    for q in top:
+        cur[q] = round(base[q] * 4.0, 2)
+    monkeypatch.setattr(
+        bench, "_cpu_confirm",
+        lambda names: {**{f"__control__{c}": base[c] for c in bench.CPU_CONFIRM_CONTROLS},
+                       **{n: base[n] for n in names}},
+    )
+    g = bench._cpu_gate(cur)
+    assert g["total_pct"] > bench.CPU_GATE_TOTAL_PCT
+    assert g["median_pct"] <= bench.CPU_GATE_TOTAL_PCT
+    assert g["contamination_hint"] is True
+    # every flag reverted on a baseline-level confirm
+    assert g["violations"] == []
+
+
+def test_engine_wide_regression_moves_median(monkeypatch):
+    base = _baseline()
+    cur = {q: round(v * 1.5, 3) for q, v in base.items()}
+    # confirm corroborates the regression (no Spark in unit tests)
+    monkeypatch.setattr(
+        bench, "_cpu_confirm",
+        lambda names: {**{f"__control__{c}": base[c] for c in bench.CPU_CONFIRM_CONTROLS},
+                       **{n: cur[n] for n in names}},
+    )
+    g = bench._cpu_gate(cur)
+    assert g["median_pct"] >= 40.0  # the median ruler sees it
+    assert g["contamination_hint"] is False
+    assert len(g["violations"]) > 0
+
+
+def test_sub_floor_or_sub_pct_regressions_not_flagged():
+    base = _baseline()
+    cur = dict(base)
+    # +0.4 s absolute (below the 0.5 s floor) on a small query
+    small = min(base, key=base.get)
+    cur[small] = base[small] + 0.4
+    # +10% (below the 25% threshold) on a large query
+    big = max(base, key=base.get)
+    cur[big] = round(base[big] * 1.10, 2)
+    g = bench._cpu_gate(cur)
+    assert g["regressions"] == {}
+    assert g["violations"] == []
+
+
+def _gate_with_confirm(monkeypatch, cur, confirm_map):
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm_map))
+    return bench._cpu_gate(cur)
+
+
+def test_confirmed_regression_is_violation_after_calibration(monkeypatch):
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    ctl = bench.CPU_CONFIRM_CONTROLS
+    # controls read 0.8x baseline in the confirm session (quiet-session
+    # offset); candidate confirms at 1.6x raw = 2.0x calibrated -> real
+    confirm = {f"__control__{c}": round(base[c] * 0.8, 3) for c in ctl if c in base}
+    confirm[big] = round(base[big] * 1.6, 2)
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert g["confirm_calibration"] == 0.8
+    assert g["regressions"][big]["verdict"] == "confirmed"
+    assert big in g["violations"]
+
+
+def test_noise_regression_reverts_after_calibration(monkeypatch):
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)  # catalog-run smear
+    ctl = bench.CPU_CONFIRM_CONTROLS
+    # confirm session reads everything at ~baseline: controls 1.0x,
+    # candidate 1.05x -> calibrated 1.05x, inside the threshold
+    confirm = {f"__control__{c}": base[c] for c in ctl if c in base}
+    confirm[big] = round(base[big] * 1.05, 2)
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert g["regressions"][big]["verdict"] == "reverted-on-confirm (box noise)"
+    assert g["violations"] == []
+
+
+def test_uncalibrated_underread_no_longer_masks(monkeypatch):
+    """The r7 failure mode: controls show the confirm session reads
+    0.5x baseline; a candidate confirming at 0.8x raw is 1.6x
+    calibrated... but the clamp bounds calibration at 0.7, so the
+    candidate lands at 0.8/0.7 = 1.14x -> reverted. The clamp trades
+    a pathological control reading for bounded error; assert both the
+    clamp and that a genuinely-regressed 1.0x-raw candidate (2.0x at
+    the clamped calibration) is still confirmed."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    ctl = bench.CPU_CONFIRM_CONTROLS
+    confirm = {f"__control__{c}": round(base[c] * 0.5, 3) for c in ctl if c in base}
+    confirm[big] = round(base[big] * 1.4, 2)  # 2.8x at true offset
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert g["confirm_calibration"] == bench.CPU_CONFIRM_CAL_CLAMP[0]
+    assert g["regressions"][big]["verdict"] == "confirmed"
+
+
+def test_missing_confirm_reading_stays_flagged(monkeypatch):
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    confirm = {f"__control__{c}": None for c in bench.CPU_CONFIRM_CONTROLS}
+    confirm[big] = None
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert g["regressions"][big]["confirm_s"] is None
+    assert big in g["violations"]  # instrumentation gap never hides a flag
+
+
+def test_new_queries_reported_not_gated():
+    cur = dict(_baseline())
+    cur["brand_new_query"] = 42.0
+    g = bench._cpu_gate(cur)
+    assert "brand_new_query" in g["new_queries"]
+    assert "brand_new_query" not in g["regressions"]
+
+
+def test_controls_exist_in_baseline_and_catalog():
+    base = _baseline()
+    from etl_complete_with_spark_spark.queries import QUERIES
+
+    for c in bench.CPU_CONFIRM_CONTROLS + [bench.CPU_CONFIRM_WARMUP]:
+        assert c in QUERIES
+        assert c in base
+
+
+def test_floor_cleared_when_fresh_below_threshold():
+    exceeding = {"qa": 3.5, "qb": 4.0, "pagerank_suppliers": 3.8}
+    candidates = ["qa", "qb"]
+    fresh = {"qa": {"recorded_s": 3.5, "fresh_s": 2.4, "recorded_over_fresh": 1.46},
+             "qb": {"recorded_s": 4.0, "fresh_s": 3.6, "recorded_over_fresh": 1.11}}
+    pf = bench._adjudicate_floor(exceeding, candidates, fresh)
+    assert pf["violations"] == ["qb"]  # fresh also above floor -> stands
+    assert "qa" in pf["cleared_on_fresh"]  # cold process under floor -> noise
+    assert "pagerank_suppliers" in pf["exempt"]  # registered exemption
+
+
+def test_floor_missing_or_errored_fresh_is_conservative():
+    exceeding = {"qa": 3.5, "qb": 3.6}
+    candidates = ["qa", "qb"]
+    fresh = {"qa": {"error": "timeout"}}  # qb absent entirely
+    pf = bench._adjudicate_floor(exceeding, candidates, fresh)
+    assert pf["violations"] == ["qa", "qb"]
+    assert pf["cleared_on_fresh"] == {}
