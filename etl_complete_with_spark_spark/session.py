@@ -68,17 +68,31 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     # Shuffle/spill files on the fastest local storage available. On this
-    # single-node box that is RAM-backed tmpfs: the per-task shuffle-file
-    # overhead (create + write + fsync of data/index files) measured
-    # ~75 ms/task on the root overlay FS vs ~30 ms on /dev/shm — 2.5x, and
-    # it is THE dominant executor-runtime cost for multi-stage queries
-    # over dimension-sized data. On a real cluster this maps to the
-    # standard practice of pointing spark.local.dir at local NVMe; the
+    # single-node box that is RAM-backed tmpfs. Measured effect (round-8
+    # controlled A/B, scripts/ab_local_dir.py, fresh JVM per placement):
+    # a modest, consistent single-digit-% win — overlay/tmpfs executor
+    # runtime 1.00-1.09x across shuffle-heavy and scan-only queries at
+    # MB-scale shuffle volumes (the page cache absorbs writes this
+    # small; the earlier ~75 vs ~30 ms/task figure came from a stage
+    # with pathologically many near-empty partitions, not the typical
+    # path). Kept because it is free on this box and directionally
+    # matches pointing spark.local.dir at local NVMe on a real cluster;
+    # at real per-task shuffle sizes the placement matters far more. The
     # env override (SPARK_GRAFT_LOCAL_DIR) restores any other placement.
-    # Spill safety: bench SFs shuffle MBs against a 126 GiB tmpfs.
+    # Guarded by FREE SPACE, not mere existence (round-8, per r7 ADVICE):
+    # containers commonly mount a 64 MB /dev/shm, where shuffle data
+    # would hit ENOSPC mid-job — tmpfs is used only when it has generous
+    # headroom over anything the local suites shuffle (bench SFs shuffle
+    # MBs; this box's /dev/shm is 126 GiB). Everyone else keeps Spark's
+    # default (java.io.tmpdir), which at least fails with disk semantics.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:  # >= 8 GiB free
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
