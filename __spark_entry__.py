@@ -27,13 +27,13 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # by the local gate (``scripts/oracle_check.py``, all 164 queries).
 #
 # ROUND 7: the r01∪…∪r06 union covers all 164 pre-round-7 queries.  The one
-# round-7 addition (ann_ivf_topk_distributed — the corpus-scale IVF query
-# path, previously proven only by bit-parity with the driver path) takes
-# slot 3; the remaining 47 slots re-record the LEAST-recorded queries
-# (exactly one green row, earliest-recorded round first, registration order
-# as the tiebreak) — the whole 44-query once-green backlog (21×r4 TPC-H,
-# 21×r5, the 2 r6 additions) plus three 2-row r1 fillers.  After this round
-# every catalog query has >= 2 driver-green records.
+# Round-8 window (VERDICT r7 order 3): `ann_ivf_topk_distributed` — the
+# only catalog query with a single driver-green record after r7 — takes
+# slot 3 for its second record; the remaining 47 slots go to the
+# 2-record queries, earliest-recorded round first per the committed
+# policy (registration order as the tiebreak), resuming steady-state
+# evidence accrual across the 165-query catalog (every query >= 2
+# records as of r7; the union stays 165/165).
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
 # was computed from (scripts/rotate_window.py prints it alongside the
@@ -41,65 +41,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 6
+WINDOW_GENERATED_AFTER = 7
 PRIORITY_WINDOW: list[str] = [
-    # always-pinned flagship + live-JDBC rows
-    "pipeline_work_to_trusted",
-    "jdbc_resync_orders",
-    # --- round-7 addition: no row in any prior CORRECTNESS artifact
-    "ann_ivf_topk_distributed",
-    # --- 47 re-record slots: least-recorded (single green row), oldest
-    # recorded round first, registration order as tiebreak — r4 rows
-    "cdc_apply_orders",
-    "sketch_countmin_users",
-    "triangle_coorder_parts",
-    "sketch_quantile_bottomk",
-    "ewma_user_value",
-    "stream_quantile_sketch",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_discount_revenue_bands",
-    "q20_excess_shippers",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q21_suppliers_kept_waiting",
-    # r5 rows
-    "golden_record_parts",
-    "sparse_tfidf_cosine_pairs",
-    "pyds_synthetic_rollup",
-    "mixture_kl_by_source",
-    "hits_customer_supplier",
-    "debounce_events",
-    "robust_outlier_prices",
-    "top_event_trigrams",
-    "kcore_coorder_parts",
-    "bfs_coorder_parts",
-    "item_cooccurrence_similarity",
-    "incremental_rollup_orders",
-    "stream_incremental_rollup",
-    "clustering_coefficient_parts",
-    "lpa_communities_parts",
-    "forecast_eval_seasonal_naive",
-    "regression_price_vs_quantity",
-    "time_to_purchase_stats",
-    "association_rules_parts",
-    "psi_order_price_drift",
-    "robust_outlier_prices_sampled",
-    # r6 rows
-    "cluster_aware_split_docs",
-    "stream_scd2_dim",
-    # fillers: the least-recorded 2-row queries (first recorded r1)
-    "filter_between_inclusive",
-    "probe_bounds_date",
-    "probe_bounds_int",
+    "pipeline_work_to_trusted",  # pinned
+    "jdbc_resync_orders",  # pinned
+    "ann_ivf_topk_distributed",  # 1 row(s), first r07
+    "sk_hyphen",  # 2 row(s), first r01
+    "dedup_latest_per_key",  # 2 row(s), first r01
+    "agg_pricing_summary",  # 2 row(s), first r01
+    "join_revenue_by_nation",  # 2 row(s), first r01
+    "topk_orders_per_customer",  # 2 row(s), first r01
+    "text_token_stats",  # 2 row(s), first r01
+    "text_quality_score",  # 2 row(s), first r01
+    "text_language_id",  # 2 row(s), first r01
+    "text_fingerprint",  # 2 row(s), first r01
+    "dedup_exact",  # 2 row(s), first r01
+    "dedup_ngram_jaccard",  # 2 row(s), first r01
+    "dedup_simhash",  # 2 row(s), first r01
+    "dedup_embedding_cosine",  # 2 row(s), first r01
+    "dedup_cluster_keep",  # 2 row(s), first r01
+    "ann_cosine_topk",  # 2 row(s), first r01
+    "mm_frame_sample",  # 2 row(s), first r01
+    "stream_windowed_counts",  # 2 row(s), first r01
+    "corpus_clean_pipeline",  # 2 row(s), first r01
+    "chunk_documents_windows",  # 2 row(s), first r01
+    "scrub_pii_text",  # 2 row(s), first r01
+    "vocab_top_terms",  # 2 row(s), first r01
+    "tfidf_top_terms",  # 2 row(s), first r01
+    "sample_stratified_hash",  # 2 row(s), first r01
+    "stream_click_attribution",  # 2 row(s), first r01
+    "dedup_incremental_batch",  # 2 row(s), first r01
+    "text_repetition_signals",  # 2 row(s), first r01
+    "dedup_chunks_exact",  # 2 row(s), first r01
+    "set_ops_users",  # 2 row(s), first r01
+    "cube_revenue",  # 2 row(s), first r01
+    "distinct_users_per_type",  # 2 row(s), first r01
+    "pivot_user_event_matrix",  # 2 row(s), first r01
+    "sessionize_batch",  # 2 row(s), first r01
+    "asof_join_last_purchase",  # 2 row(s), first r01
+    "grouped_user_stats",  # 2 row(s), first r01
+    "range_join_event_windows",  # 2 row(s), first r01
+    "skew_salted_join",  # 2 row(s), first r01
+    "agg_quantiles",  # 2 row(s), first r01
+    "json_extract_props",  # 2 row(s), first r01
+    "ann_lsh_topk",  # 2 row(s), first r02
+    "mm_extract_features",  # 2 row(s), first r02
+    "emb_quantize_int8",  # 2 row(s), first r02
+    "emb_gram_int8",  # 2 row(s), first r02
+    "ann_int8_topk",  # 2 row(s), first r02
+    "emb_label_centroids",  # 2 row(s), first r02
+    "text_unigram_lm_score",  # 2 row(s), first r02
+    "stream_dedup_events",  # 2 row(s), first r02
+    "table_profile_orders",  # 2 row(s), first r02
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
