@@ -137,7 +137,72 @@ CPU_GATE_EXEMPT: dict[str, str] = {
 # or hair-trigger the gate.
 CPU_CONFIRM_CONTROLS = ["cdc_apply_orders", "sketch_countmin_users"]
 CPU_CONFIRM_WARMUP = "agg_pricing_summary"  # JITs core paths, never measured
+# The JVM warmup never touches the Python boundary, so a mapInPandas /
+# pandas-UDF candidate would otherwise pay the pyspark daemon fork +
+# Arrow serializer JIT inside its measured runs — overhead every
+# catalog baseline absorbed queries earlier (the r8 run "confirmed"
+# robust_outlier_prices_sampled +38% for exactly this). Cheapest
+# Python-boundary query in the catalog (0.04 CPU s/run), never measured.
+CPU_CONFIRM_WARMUP_PY = "mm_frame_sample"
 CPU_CONFIRM_CAL_CLAMP = (0.7, 1.4)
+
+# Query groups sharing one module-level lazily-checkpointed subtree per
+# session (keyed by applicationId): _JACCARD_PAIRS_CACHE
+# (queries_training) and _COORDER_CACHE (queries_analytics). In the
+# catalog run a group member that executes AFTER another member in the
+# SAME session segment reuses the materialized checkpoint, so its
+# baseline excludes the subtree build; a confirm session measuring it
+# alone would pay the build and read a phantom regression (the r8 run
+# "confirmed" dedup_cluster_keep at +90% — baseline 0.64 s warm vs
+# 3.24 s cold; the delta IS the jaccard pair build). _confirm_prewarm
+# reproduces the catalog's warmth: it returns the group member that
+# actually built the cache in the candidate's segment, to run
+# unmeasured first. Valid while the catalog order is frozen (the
+# baseline file is rotated from the prior round's closing artifact of
+# the SAME catalog); a reorder is caught by the prewarm unit tests.
+CPU_CONFIRM_SHARED_CACHES = [
+    [
+        "dedup_ngram_jaccard",
+        "dedup_cluster_keep",
+        "dedup_cluster_keep_star",
+        "cluster_aware_split_docs",
+    ],
+    [
+        "triangle_coorder_parts",
+        "kcore_coorder_parts",
+        "bfs_coorder_parts",
+        "clustering_coefficient_parts",
+        "lpa_communities_parts",
+    ],
+]
+
+
+def _confirm_prewarm(name: str) -> list[str]:
+    """Queries to run unmeasured before confirming ``name`` so shared
+    subtree caches are exactly as warm as they were when the catalog
+    baseline was recorded. Empty when ``name`` built its own cache in
+    the catalog (group leader, or first group member of its session
+    segment — e.g. cluster_aware_split_docs opens segment 1 and pays
+    the build itself even though three group siblings precede it in
+    segment 0)."""
+    names = list(QUERIES)
+    if name not in names:
+        return []
+    i = names.index(name)
+    out = []
+    for grp in CPU_CONFIRM_SHARED_CACHES:
+        if name not in grp:
+            continue
+        prior = [
+            g
+            for g in grp
+            if g in names
+            and names.index(g) < i
+            and names.index(g) // RECYCLE_EVERY == i // RECYCLE_EVERY
+        ]
+        if prior:
+            out.append(min(prior, key=names.index))
+    return out
 
 _UI_CONF = {
     "spark.ui.enabled": "true",
@@ -298,6 +363,13 @@ def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
 
     def measure(name: str) -> float | None:
         fn = QUERIES[name]
+        for warm in _confirm_prewarm(name):
+            # unmeasured: materializes the shared subtree checkpoint the
+            # catalog baseline run inherited from an earlier same-segment
+            # group member (see CPU_CONFIRM_SHARED_CACHES)
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         before = _quiesced_totals(spark)
         for _ in range(2):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -307,12 +379,13 @@ def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
         return round((after[4] - before[4]) / 2 / 1e9, 2)
 
     try:
-        try:
-            QUERIES[CPU_CONFIRM_WARMUP](spark, sf_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-        except Exception:
-            pass
+        for wq in (CPU_CONFIRM_WARMUP, CPU_CONFIRM_WARMUP_PY):
+            try:
+                QUERIES[wq](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
         for ctl in CPU_CONFIRM_CONTROLS:
             try:
                 out[f"__control__{ctl}"] = measure(ctl)

@@ -206,3 +206,58 @@ def test_floor_missing_or_errored_fresh_is_conservative():
     pf = bench._adjudicate_floor(exceeding, candidates, fresh)
     assert pf["violations"] == ["qa", "qb"]
     assert pf["cleared_on_fresh"] == {}
+
+
+# ---------------------------------------------------------------------------
+# Confirm-session warmth parity (round-8 fix): shared-subtree caches
+# ---------------------------------------------------------------------------
+
+
+def test_prewarm_groups_cover_only_catalog_queries():
+    for grp in bench.CPU_CONFIRM_SHARED_CACHES:
+        for q in grp:
+            assert q in bench.QUERIES, f"{q} not in catalog"
+    assert bench.CPU_CONFIRM_WARMUP_PY in bench.QUERIES
+
+
+def test_prewarm_leader_measures_cold():
+    # dedup_ngram_jaccard builds _JACCARD_PAIRS_CACHE itself in the
+    # catalog (no group member precedes it), so its confirm must NOT
+    # warm anything — the baseline includes the build.
+    assert bench._confirm_prewarm("dedup_ngram_jaccard") == []
+    assert bench._confirm_prewarm("triangle_coorder_parts") == []
+
+
+def test_prewarm_same_segment_sharer_gets_its_builder():
+    # dedup_cluster_keep runs after dedup_ngram_jaccard in the SAME
+    # session segment, so its catalog baseline (0.64 s) excludes the
+    # pair build; the r8 confirm session measured it cache-cold at
+    # 3.24 s and "confirmed" a phantom +90% regression.
+    assert bench._confirm_prewarm("dedup_cluster_keep") == ["dedup_ngram_jaccard"]
+    assert bench._confirm_prewarm("dedup_cluster_keep_star") == ["dedup_ngram_jaccard"]
+    for q in (
+        "kcore_coorder_parts",
+        "bfs_coorder_parts",
+        "clustering_coefficient_parts",
+        "lpa_communities_parts",
+    ):
+        assert bench._confirm_prewarm(q) == ["triangle_coorder_parts"], q
+
+
+def test_prewarm_respects_segment_boundaries():
+    # cluster_aware_split_docs is a _JACCARD_PAIRS_CACHE member but
+    # opens a NEW session segment in the catalog, so it pays the pair
+    # build itself and its baseline is cold — warming it in the confirm
+    # session would UNDER-read and mask a real regression. This pins
+    # the catalog layout the warmth model assumes; if the catalog is
+    # ever reordered, this failure is the prompt to re-derive it.
+    names = list(bench.QUERIES)
+    i = names.index("cluster_aware_split_docs")
+    j = names.index("dedup_ngram_jaccard")
+    assert j < i and j // bench.RECYCLE_EVERY < i // bench.RECYCLE_EVERY
+    assert bench._confirm_prewarm("cluster_aware_split_docs") == []
+
+
+def test_prewarm_non_members_unaffected():
+    assert bench._confirm_prewarm("agg_pricing_summary") == []
+    assert bench._confirm_prewarm("not_a_query") == []
