@@ -100,6 +100,15 @@ PERF_FLOOR_EXEMPT = {
     "stream_click_attribution": "micro-batch trigger + state-store "
     "machinery for the watermarked stream-stream join; wall time is "
     "per-trigger overhead, not data volume",
+    "dedup_semantic_cluster": "iterative min-label propagation rounds "
+    "(inherent, like pagerank_suppliers): ~15k cosine edges over a 2k-"
+    "vector slice converge in a handful of rounds, each paying a fixed "
+    "eager-checkpoint + convergence-probe job — measured r8: 0.76 "
+    "executor-CPU s/run vs 9.5 s recorded wall (92% machinery wait, "
+    "zero data volume). The catalog entry deliberately proves the "
+    "DISTRIBUTED loop; production routes components through "
+    "connected_components_auto, whose driver union-find solves edge "
+    "residues this size in one collect (see operators/graph.py:230)",
 }
 
 # CPU gate (re-anchored round 8, VERDICT r7 order 1): executor task
@@ -401,7 +410,57 @@ def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
     return out
 
 
-def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
+# Box-throughput canary: a fixed, engine-independent, all-core JVM
+# workload (whole-stage-codegen xxhash64 over spark.range — no I/O, no
+# shuffle, no Python, touches zero repo code) measured with the same
+# executorCpuTime ruler as the catalog. True CPU-seconds for a FIXED
+# plan are insensitive to co-tenant load only per-thread; under all-core
+# saturation, SMT contention and host turbo/thermal policy change the
+# cycles-per-second each thread gets, inflating CPU-seconds for the same
+# work. Observed r8: two same-code catalog runs 90 minutes apart read
+# median +20% per-query CPU vs the morning's committed artifact, while
+# single-query confirm sessions (cores mostly idle -> boost clocks) read
+# AT baseline. The canary turns that box state into a number recorded
+# next to the results: canary_now / canary_baseline is the box factor,
+# and the gate normalizes catalog readings by it when the rotated
+# baseline carries a canary (an engine regression cannot slow the
+# canary, so the normalization cannot mask one).
+CANARY_ROWS = 4_000_000_000
+CANARY_WARM_ROWS = 100_000_000
+CANARY_RUNS = 3
+CANARY_FACTOR_CLAMP = (0.8, 1.6)
+
+
+def _box_canary(spark) -> float | None:
+    """ExecutorCpuTime seconds for the fixed canary workload: one warm
+    run (codegen + C2 tiering), then min of CANARY_RUNS measured runs —
+    min because the quantity of interest is the box's best achievable
+    throughput (contention and scheduling skew only ever ADD CPU time;
+    sized so min-of-3 repeats within ~4% in same-session trials, where
+    a 1B-row single run spread +-30%). None when UI totals are
+    unavailable."""
+    from pyspark.sql import functions as F
+
+    def run(n: int) -> None:
+        spark.range(n, numPartitions=256).select(
+            F.max(F.xxhash64("id")).alias("h")
+        ).collect()
+
+    vals = []
+    try:
+        run(CANARY_WARM_ROWS)
+        for _ in range(CANARY_RUNS):
+            before = _quiesced_totals(spark)
+            run(CANARY_ROWS)
+            after = _quiesced_totals(spark)
+            if before is not None and after is not None:
+                vals.append((after[4] - before[4]) / 1e9)
+    except Exception:
+        return None
+    return round(min(vals), 2) if vals else None
+
+
+def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -> dict:
     """Executor-CPU-seconds (executorCpuTime) regression check vs the
     committed baseline (the prior round's closing per-query numbers,
     same column — like-for-like). Machine-asserted into the artifact
@@ -418,13 +477,26 @@ def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
         return {"error": f"baseline unreadable: {exc}"[:200]}
     base_q: dict[str, float] = base.get("executor_cpu_sec_per_run", {})
 
+    # All-core box factor (canary_now / canary_baseline): catalog
+    # readings are divided by it before any comparison, so a slow-box
+    # session is judged in baseline-box units. Clamped — a wild canary
+    # reading must not blind the gate. Confirm readings are NOT
+    # normalized: the quiet confirm session runs at boost clocks, and
+    # its own control-query calibration already measures that offset.
+    if box_factor is not None:
+        lo, hi = CANARY_FACTOR_CLAMP
+        box_factor = round(min(max(box_factor, lo), hi), 3)
+
+    def norm(v: float) -> float:
+        return v / box_factor if box_factor else v
+
     regressions: dict[str, dict[str, float]] = {}
     new_queries = sorted(q for q in executor_cpu if q not in base_q)
     for q, cur in executor_cpu.items():
         prev = base_q.get(q)
         if prev is None:
             continue
-        delta = cur - prev
+        delta = norm(cur) - prev
         pct = (delta / prev * 100.0) if prev else (100.0 if delta else 0.0)
         if delta > CPU_GATE_ABS_FLOOR_S and pct > CPU_GATE_PCT:
             regressions[q] = {
@@ -432,6 +504,8 @@ def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
                 "current_s": cur,
                 "pct": round(pct, 1),
             }
+            if box_factor:
+                regressions[q]["current_adj_s"] = round(norm(cur), 2)
 
     # Confirmation pass: even true CPU picks up cache-pressure noise on
     # a shared box, and per-query attribution in the catalog run can
@@ -471,7 +545,8 @@ def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
             else:
                 regressions[q]["verdict"] = "confirmed"
     common = [q for q in executor_cpu if q in base_q]
-    cur_total = round(sum(executor_cpu[q] for q in common), 1)
+    cur_total = round(sum(norm(executor_cpu[q]) for q in common), 1)
+    cur_total_raw = round(sum(executor_cpu[q] for q in common), 1)
     base_total = round(sum(base_q[q] for q in common), 1)
     total_pct = round((cur_total - base_total) / base_total * 100.0, 1) if base_total else 0.0
 
@@ -481,7 +556,7 @@ def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
     # (observed r8: a bench run straight after a 15-min pytest suite
     # read total +71% with median +16%; the clean rerun read +7.9%).
     ratios = sorted(
-        executor_cpu[q] / base_q[q] for q in common if base_q[q] >= 0.05
+        norm(executor_cpu[q]) / base_q[q] for q in common if base_q[q] >= 0.05
     )
     median_pct = (
         round((ratios[len(ratios) // 2] - 1.0) * 100.0, 1) if ratios else 0.0
@@ -500,6 +575,10 @@ def _cpu_gate(executor_cpu: dict[str, float]) -> dict:
         "new_queries": new_queries,
         "baseline_total_s": base_total,
         "current_total_s": cur_total,
+        "current_total_raw_s": cur_total_raw,
+        # canary_now / canary_baseline, clamped: per-query and total
+        # comparisons above are in baseline-box units when this is set
+        "box_factor": box_factor,
         "total_pct": total_pct,
         "median_pct": median_pct,
         # total above threshold while the median is inside it = the
@@ -536,6 +615,8 @@ def main() -> None:
     shuffle: dict[str, dict[str, float]] = {}
     executor_s: dict[str, float] = {}
     executor_cpu: dict[str, float] = {}
+    canary_start: float | None = None
+    canary_end: float | None = None
     spark = None
     prev_snapshot = None
     n_segments = 0
@@ -546,6 +627,8 @@ def main() -> None:
             n_segments += 1
             spark = get_spark(app_name=f"bench-seg{n_segments}", extra_conf=_UI_CONF)
             prev_snapshot = None
+            if i == 0:
+                canary_start = _box_canary(spark)
         # the previous query's stabilized `after` doubles as this `before`
         before = prev_snapshot if prev_snapshot is not None else _quiesced_totals(spark)
         start_runs = []
@@ -569,6 +652,7 @@ def main() -> None:
     # a lingering idle local[32] JVM contends with the cold processes and
     # skews the recorded/fresh ratio the check certifies (round-6 ADVICE).
     if spark is not None:
+        canary_end = _box_canary(spark)
         spark.stop()
         spark = None
 
@@ -623,10 +707,32 @@ def main() -> None:
 
     full["perf_floor"] = _adjudicate_floor(exceeding, floor_candidates, fresh)
 
-    if executor_cpu:
-        full["cpu_gate"] = _cpu_gate(executor_cpu)
-
     here = os.path.dirname(os.path.abspath(__file__))
+    canary_base = None
+    try:
+        with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+            canary_base = json.load(f).get("box_canary_cpu_s")
+    except Exception:
+        pass
+    # start-of-run canary is the factor source: it shares the session
+    # (and box state) of the first catalog segment; the end-of-run
+    # reading shows whether the box drifted WITHIN the run
+    box_factor = (
+        round(canary_start / canary_base, 3)
+        if canary_start and canary_base
+        else None
+    )
+    full["box_canary"] = {
+        "rows": CANARY_ROWS,
+        "start_cpu_s": canary_start,
+        "end_cpu_s": canary_end,
+        "baseline_cpu_s": canary_base,
+        "factor": box_factor,
+    }
+
+    if executor_cpu:
+        full["cpu_gate"] = _cpu_gate(executor_cpu, box_factor)
+
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
@@ -647,6 +753,7 @@ def main() -> None:
         slim["cpu_vs_prev_pct"] = gate["total_pct"]
         slim["cpu_median_pct"] = gate.get("median_pct")
         slim["cpu_gate_violations"] = len(gate.get("violations", []))
+        slim["box_factor"] = gate.get("box_factor")
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
     for name, sec in by_cost:

@@ -261,3 +261,56 @@ def test_prewarm_respects_segment_boundaries():
 def test_prewarm_non_members_unaffected():
     assert bench._confirm_prewarm("agg_pricing_summary") == []
     assert bench._confirm_prewarm("not_a_query") == []
+
+
+# ---------------------------------------------------------------------------
+# Box-throughput canary normalization (round-8)
+# ---------------------------------------------------------------------------
+
+
+def test_box_factor_normalizes_slow_box_readings():
+    # Same engine, box running 25% slow (SMT/turbo state): every catalog
+    # reading inflates ~uniformly; the canary measures the same factor
+    # and the gate judges in baseline-box units -> clean.
+    base = _baseline()
+    cur = {q: round(v * 1.25, 3) for q, v in base.items()}
+    g = bench._cpu_gate(cur, box_factor=1.25)
+    assert g["box_factor"] == 1.25
+    assert g["violations"] == []
+    assert abs(g["total_pct"]) < 1.0
+    assert abs(g["median_pct"]) < 1.0
+    assert g["current_total_raw_s"] > g["current_total_s"]
+
+
+def test_box_factor_cannot_mask_real_regression(monkeypatch):
+    # Engine-wide +50% on a box the canary says is only 10% slow: the
+    # normalized readings still regress and the confirm corroborates.
+    base = _baseline()
+    cur = {q: round(v * 1.5, 3) for q, v in base.items()}
+    monkeypatch.setattr(
+        bench, "_cpu_confirm",
+        lambda names: {**{f"__control__{c}": base[c] for c in bench.CPU_CONFIRM_CONTROLS},
+                       **{n: cur[n] for n in names}},
+    )
+    g = bench._cpu_gate(cur, box_factor=1.1)
+    assert g["median_pct"] >= 30.0
+    assert len(g["violations"]) > 0
+
+
+def test_box_factor_clamped_and_fast_box_scales_up():
+    base = _baseline()
+    # box 20% FASTER than baseline: raw readings deflate; normalization
+    # scales them back up into baseline-box units -> still clean, and a
+    # wild canary reading is clamped to the configured band
+    cur = {q: round(v * 0.8, 3) for q, v in base.items()}
+    g = bench._cpu_gate(cur, box_factor=0.8)
+    assert abs(g["total_pct"]) < 1.5
+    g2 = bench._cpu_gate(dict(base), box_factor=5.0)
+    assert g2["box_factor"] == bench.CANARY_FACTOR_CLAMP[1]
+
+
+def test_no_canary_baseline_keeps_prior_behavior():
+    base = _baseline()
+    g = bench._cpu_gate(dict(base), box_factor=None)
+    assert g["box_factor"] is None
+    assert g["total_pct"] == 0.0
