@@ -314,3 +314,32 @@ def test_no_canary_baseline_keeps_prior_behavior():
     g = bench._cpu_gate(dict(base), box_factor=None)
     assert g["box_factor"] is None
     assert g["total_pct"] == 0.0
+
+
+def test_rotate_cpu_baseline_script_roundtrip(tmp_path, monkeypatch):
+    # The rotation script must carry the per-query CPU column AND the
+    # canary so next round's gate can normalize by box state.
+    import importlib.util
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_cpu_baseline",
+        os.path.join(here, "scripts", "rotate_cpu_baseline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    full = {
+        "executor_cpu_sec_per_run": {"q1": 1.5, "q2": 0.3},
+        "executor_cpu_sec_total": 1.8,
+        "box_canary": {"start_cpu_s": 14.5, "end_cpu_s": 14.7},
+    }
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        json.dump(full, f)
+    monkeypatch.setattr(mod, "HERE", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["rotate_cpu_baseline.py", "9"])
+    assert mod.main() == 0
+    with open(tmp_path / "bench_cpu_baseline.json") as f:
+        base = json.load(f)
+    assert base["round"] == 9
+    assert base["executor_cpu_sec_per_run"] == full["executor_cpu_sec_per_run"]
+    assert base["box_canary_cpu_s"] == 14.5
