@@ -2939,16 +2939,19 @@ def association_rules_parts(spark, sf_dir):
     pair level — the level that matters in practice; higher-order
     itemsets nest the same plan — mined in BASKET form: ONE shuffle by
     orderkey both dedups and builds each basket (collect_set); UNORDERED
-    pairs (cons > ante inside the array, before the second explode) are
-    generated map-side and partial-aggregated, so the pair stream and
-    the (ante, cons) exchange carry half the k*(k-1) ordered volume
-    (measured at sf0.1: 31.3 -> 18.2 MB shuffle, 9.3 -> 7.4 executor-CPU
-    s/run); the mirrored direction is recovered from the aggregated
-    pair table, which is distinct-pairs-sized, not occurrence-sized.
-    The classic self-join formulation reshuffles the item table twice
-    more (both join sides by orderkey); at 100 TB that's the difference
-    between one pass over the baskets and three. Lift > 1e6 ppm reads
-    'bought together more than chance'."""
+    pairs (sorted array -> per-position tail slice, all codegen array
+    ops) are generated map-side and partial-aggregated, so the pair
+    stream and the (ante, cons) exchange carry half the k*(k-1) ordered
+    volume (31.3 -> 18.2 MB shuffle at sf0.1); both rule directions are
+    recovered AFTER the frequency joins by a 2-element struct explode —
+    a map-side projection on the distinct-pairs-sized table, so the
+    joins and the post-exchange aggregate run once, on half the rows
+    (interleaved A/Bs in SCALING.md: 3.7 -> 2.5 CPU s/run vs the union-
+    mirror + HOF-filter form). The classic self-join formulation
+    reshuffles the item table twice more (both join sides by orderkey);
+    at 100 TB that's the difference between one pass over the baskets
+    and three. Lift > 1e6 ppm reads 'bought together more than
+    chance'."""
     raw = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = raw.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("items")
@@ -2958,41 +2961,65 @@ def association_rules_parts(spark, sf_dir):
         "l_partkey"
     ).agg(F.count(F.lit(1)).alias("f"))
     # Pair counts are symmetric (c[a,b] == c[b,a]): count each UNORDERED
-    # pair once — the inner filter keeps only cons > ante BEFORE the
-    # second explode, so the pair stream, the partial aggregate and the
-    # (ante, cons) exchange all carry HALF the volume — then mirror the
-    # aggregated table (tiny: distinct pairs, not pair occurrences) to
-    # recover both rule directions exactly.
+    # pair once. sort_array + posexplode + slice generates exactly the
+    # cons-after-ante combinations with codegen-friendly array ops —
+    # interleaved A/B vs the filter(items, x -> x > ante) lambda form:
+    # 2.5 vs 3.0 CPU s/run (the HOF lambda is evaluated interpreted,
+    # per element; slice is one array copy per ante).
     cooc_half = (
-        baskets.select(F.explode("items").alias("ante"), "items")
-        .select("ante", F.explode(F.expr("filter(items, x -> x > ante)")).alias("cons"))
+        baskets.select(F.sort_array("items").alias("items"))
+        .select(F.posexplode("items").alias("i", "ante"), "items")
+        .select(
+            "ante",
+            F.explode(F.expr("slice(items, i + 2, size(items))")).alias("cons"),
+        )
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # No checkpoint here: AQE reuses the half-pair exchange across the
-    # two union branches (measured 7.35 CPU s/run un-checkpointed vs
-    # 8.12 checkpointed — block materialization costs more than the
-    # duplicated post-exchange final aggregate it saves).
-    cooc = cooc_half.unionByName(
-        cooc_half.select(
-            F.col("cons").alias("ante"), F.col("ante").alias("cons"), "c"
-        )
-    )
+    # Both rule directions are recovered AFTER the frequency joins by a
+    # 2-element struct explode (a map-side projection), not by a union
+    # mirror of the aggregated pair table: the union form re-ran the
+    # post-exchange final aggregate and both broadcast joins on 2x the
+    # rows (interleaved A/B: union 3.7 vs explode-mirror 3.0 CPU s/run,
+    # identical 98-row output; the half-pair exchange itself was already
+    # AQE-reused either way).
     fa = freq.select(F.col("l_partkey").alias("ante"), F.col("f").alias("fa"))
     fb = freq.select(F.col("l_partkey").alias("cons"), F.col("f").alias("fb"))
-    conf = F.expr("c * 1000000 div fa")
-    return (
-        cooc.join(F.broadcast(fa), "ante")
+    half = (
+        cooc_half.join(F.broadcast(fa), "ante")
         .join(F.broadcast(fb), "cons")
         .crossJoin(F.broadcast(n))
-        .filter((F.col("c") >= 2) & (conf >= 100_000))
+    )
+    both = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ante").alias("antecedent"),
+                    F.col("cons").alias("consequent"),
+                    F.col("fa").alias("f_ante"),
+                    F.col("fb").alias("f_cons"),
+                ),
+                F.struct(
+                    F.col("cons").alias("antecedent"),
+                    F.col("ante").alias("consequent"),
+                    F.col("fb").alias("f_ante"),
+                    F.col("fa").alias("f_cons"),
+                ),
+            )
+        ).alias("e"),
+        "c",
+        "n_orders",
+    ).select("e.*", "c", "n_orders")
+    conf = F.expr("c * 1000000 div f_ante")
+    return (
+        both.filter((F.col("c") >= 2) & (conf >= 100_000))
         .select(
-            F.col("ante").alias("antecedent"),
-            F.col("cons").alias("consequent"),
+            "antecedent",
+            "consequent",
             F.col("c").cast("long").alias("n_baskets"),
             F.expr("c * 1000000 div n_orders").cast("long").alias("support_ppm"),
             conf.cast("long").alias("confidence_ppm"),
-            F.expr("(c * 1000000 div fa) * n_orders div fb")
+            F.expr("(c * 1000000 div f_ante) * n_orders div f_cons")
             .cast("long")
             .alias("lift_ppm"),
         )

@@ -26,7 +26,7 @@ sys.path.insert(0, ROOT)
 
 
 def main() -> None:
-    from bench import _UI_CONF, _quiesced_totals  # noqa: E402
+    from bench import _UI_CONF, _box_canary, _quiesced_totals  # noqa: E402
     from etl_complete_with_spark_spark.queries import QUERIES  # noqa: E402
     from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 
@@ -36,6 +36,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="measure-cpu", extra_conf=_UI_CONF)
     try:
+        # Box-state context (bench.py's canary): CPU-seconds drift with
+        # host SMT/turbo state, so an A/B is only comparable after
+        # dividing each side by its session's canary reading.
+        canary = _box_canary(spark)
+        print(json.dumps({"box_canary_cpu_s": canary}))
         for name in names:
             fn = QUERIES[name]
             before = _quiesced_totals(spark)
