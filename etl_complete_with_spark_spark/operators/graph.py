@@ -348,12 +348,20 @@ def pagerank_fixed_point(
     the supplier graph.) Fixed iteration count (the production norm at
     scale) rather than convergence polling: zero extra driver jobs.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Lazy-checkpoint the RAW edge list first: deg, nodes, the degree
+    # join and the receives-probe counts are SEPARATE driver jobs, and
+    # without the cache each re-evaluates the caller's whole upstream
+    # plan (for pagerank_suppliers: the orders⋈lineitem distinct, ~3
+    # extra passes — measured in SCALING.md's round-8 ABAB table).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)  # ranks init + receives-probe count
     )
     # denormalize the out-degree onto the edge list ONCE; reused each round
     e = e.join(deg, "src").localCheckpoint()
@@ -363,8 +371,6 @@ def pagerank_fixed_point(
         e.select(F.col("dst").alias("node")).distinct().count()
         == nodes.count()
     )
-    if not every_node_receives:
-        nodes = nodes.localCheckpoint()
     for _ in range(iters):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
