@@ -42,6 +42,9 @@ def main() -> int:
         "executor_cpu_sec_per_run": full["executor_cpu_sec_per_run"],
         "executor_cpu_sec_total": full["executor_cpu_sec_total"],
         "box_canary_cpu_s": (full.get("box_canary") or {}).get("start_cpu_s"),
+        "box_canary_mem_cpu_s": (full.get("box_canary_mem") or {}).get(
+            "start_cpu_s"
+        ),
     }
     out = os.path.join(HERE, "bench_cpu_baseline.json")
     with open(out, "w") as f:
@@ -49,7 +52,8 @@ def main() -> int:
     print(
         f"rotated: {out} <- BENCH_FULL.json "
         f"(total {base['executor_cpu_sec_total']} s, "
-        f"canary {base['box_canary_cpu_s']} s)"
+        f"canary {base['box_canary_cpu_s']} s, "
+        f"mem canary {base['box_canary_mem_cpu_s']} s)"
     )
     return 0
 

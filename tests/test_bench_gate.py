@@ -332,6 +332,7 @@ def test_rotate_cpu_baseline_script_roundtrip(tmp_path, monkeypatch):
         "executor_cpu_sec_per_run": {"q1": 1.5, "q2": 0.3},
         "executor_cpu_sec_total": 1.8,
         "box_canary": {"start_cpu_s": 14.5, "end_cpu_s": 14.7},
+        "box_canary_mem": {"start_cpu_s": 38.2, "end_cpu_s": 41.0},
     }
     with open(tmp_path / "BENCH_FULL.json", "w") as f:
         json.dump(full, f)
@@ -343,3 +344,41 @@ def test_rotate_cpu_baseline_script_roundtrip(tmp_path, monkeypatch):
     assert base["round"] == 9
     assert base["executor_cpu_sec_per_run"] == full["executor_cpu_sec_per_run"]
     assert base["box_canary_cpu_s"] == 14.5
+    assert base["box_canary_mem_cpu_s"] == 38.2
+
+
+def test_rotate_cpu_baseline_tolerates_missing_mem_canary(tmp_path, monkeypatch):
+    # Artifacts written before the memory canary existed must still rotate.
+    import importlib.util
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_cpu_baseline",
+        os.path.join(here, "scripts", "rotate_cpu_baseline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    full = {
+        "executor_cpu_sec_per_run": {"q1": 1.5},
+        "executor_cpu_sec_total": 1.5,
+        "box_canary": {"start_cpu_s": 12.0},
+    }
+    with open(tmp_path / "BENCH_FULL.json", "w") as f:
+        json.dump(full, f)
+    monkeypatch.setattr(mod, "HERE", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["rotate_cpu_baseline.py", "9"])
+    assert mod.main() == 0
+    with open(tmp_path / "bench_cpu_baseline.json") as f:
+        base = json.load(f)
+    assert base["box_canary_mem_cpu_s"] is None
+
+
+def test_select_box_factor_prefers_memory_axis():
+    # The one observed divergence had ALU and memory ANTI-correlated
+    # (ALU 17% faster, catalog +10% tracking memory): when both canaries
+    # have baselines, the memory factor governs; ALU is the fallback for
+    # pre-memory-canary baselines; neither -> None (gate inert).
+    assert bench._select_box_factor(0.83, 1.1) == (1.1, "mem")
+    assert bench._select_box_factor(1.2, None) == (1.2, "alu")
+    assert bench._select_box_factor(None, 1.05) == (1.05, "mem")
+    assert bench._select_box_factor(None, None) == (None, None)
