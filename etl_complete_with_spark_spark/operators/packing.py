@@ -134,7 +134,79 @@ def global_row_ranks(
     ``row_number`` inside a partition would otherwise rank ties
     arbitrarily, and with a unique ordering rank == row_number and
     percent_rank / cume_dist need no peer-group handling.
+
+    Shape (round 8): ONE declarative plan, no driver collect, no
+    materialization. Both consumers of the range exchange — the
+    per-partition ``row_number`` and the per-partition counts — live in
+    the same query, so Spark plans ONE range shuffle and reuses it
+    (AQE stage cache / the ReuseExchange rule; reuse is what makes the
+    two branches see identical partition boundaries, hence identical
+    ``__pid`` per row — verified in the executed plan and by the
+    rank-permutation property under ties and skew in test_packing).
+    Cumulative offsets come from a window over the aggregated counts
+    table — ``num_range_partitions`` ROWS, one per partition (bytes,
+    not data: the same bound the old driver-collect had), broadcast
+    back. The previous shape pinned ``__pid`` with a
+    ``localCheckpoint`` instead: correct, but the checkpoint write is
+    ~18 µs/row of pure CPU (measured: 2.7 of the 3.7 CPU s/run of
+    order_price_distribution at sf0.1 was the checkpoint; the one-job
+    shape runs 0.6–1.4) — and at 100 TB it is a full extra copy of the
+    table to executor storage. If exchange reuse is disabled in the
+    session, the two branches could sample DIFFERENT range boundaries,
+    so the checkpoint path is kept as the fallback.
     """
+    spark = df.sparkSession
+    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
+        return _global_row_ranks_pinned(
+            df, order_cols, num_range_partitions, rank_col, count_col
+        )
+    ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lr", F.row_number().over(w_local))
+    cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # windows over the counts table: num_range_partitions ROWS total
+    # (one per partition — bytes, not data: the bound the driver-collect
+    # formulation had). Partitioned by a constant-VALUED column (pid div
+    # nparts == 0 for every valid pid) rather than the empty global
+    # spec, the repo's idiom for a deliberately-tiny window that must
+    # not read as `Exchange SinglePartition` in the plan contracts.
+    cnts = cnts.withColumn("__grp", F.expr(f"__pid div {num_range_partitions}"))
+    w_off = (
+        Window.partitionBy("__grp")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("__grp")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = cnts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_tot).alias("__tot"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn(count_col, F.col("__tot").cast("long"))
+        .drop("__pid", "__lr", "__off", "__tot")
+    )
+
+
+def _global_row_ranks_pinned(
+    df: DataFrame,
+    order_cols: list,
+    num_range_partitions: int,
+    rank_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Checkpoint-pinned fallback for :func:`global_row_ranks` when
+    ``spark.sql.exchange.reuse`` is off: materialize the range shuffle
+    once so the counts job and the ranked output see the same partition
+    boundaries."""
     ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )

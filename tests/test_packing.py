@@ -90,3 +90,60 @@ class TestNtileFromRank:
                 ).collect()
             }
             assert got == want, (n, k)
+
+
+class TestGlobalRowRanksOneJob:
+    """The round-8 one-job rank shape: both consumers of the range
+    exchange live in one query (reused stage -> identical __pid per
+    row), offsets come from a 32-row window, nothing is checkpointed
+    or collected. A boundary mismatch between the two branches would
+    break the rank-permutation property with overwhelming probability,
+    so these pin it on the adversarial layouts (full ties: boundary
+    placement is entirely tie-driven; skew: a few heavy keys)."""
+
+    def _perm(self, ranked, n):
+        rows = ranked.select("__rank", "__n").collect()
+        assert sorted(r["__rank"] for r in rows) == list(range(1, n + 1))
+        assert {r["__n"] for r in rows} == {n}
+
+    def test_rank_is_permutation_under_full_ties(self, spark):
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(20_000).select(F.lit(1.0).alias("v"), F.col("id"))
+        self._perm(global_row_ranks(df, ["v", "id"]), 20_000)
+
+    def test_rank_is_permutation_under_skew(self, spark):
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(30_000).select(
+            (F.col("id") % 5).cast("double").alias("v"), F.col("id")
+        )
+        self._perm(global_row_ranks(df, ["v", "id"]), 30_000)
+
+    def test_no_single_partition_exchange_in_plan(self, spark):
+        from etl_complete_with_spark_spark import plans as P
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(5_000).select(F.col("id").cast("double").alias("v"), "id")
+        plan = P.physical_plan(global_row_ranks(df, ["v", "id"]))
+        assert "SinglePartition" not in plan
+
+    def test_reuse_disabled_falls_back_to_pinned_path_same_values(self, spark):
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 97).cast("double").alias("v"), F.col("id")
+        )
+        fast = {
+            r["id"]: (r["__rank"], r["__n"])
+            for r in global_row_ranks(df, ["v", "id"]).collect()
+        }
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        try:
+            slow = {
+                r["id"]: (r["__rank"], r["__n"])
+                for r in global_row_ranks(df, ["v", "id"]).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.exchange.reuse", "true")
+        assert fast == slow
