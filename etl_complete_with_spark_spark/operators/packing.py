@@ -117,55 +117,87 @@ def global_row_ranks(
     num_range_partitions: int = 32,
     rank_col: str = "__rank",
     count_col: str = "__n",
+    one_pass: bool = False,
 ) -> DataFrame:
     """Exact 1-based global rank over a total order, without the
     single-task global window.
 
-    Same two-level scan as :func:`pack_chunks_into_shards`: range-partition
-    by the ordering key (partition i's keys all sort before partition
-    i+1's), collect ONE count per partition to the driver, turn those into
-    cumulative offsets, and add a per-partition parallel ``row_number``.
-    ``offset + local rank`` is the exact global rank regardless of where
-    the sampled range boundaries fall. Also attaches the total row count
-    (``count_col``) — distribution functions (ntile / percent_rank /
-    cume_dist) are pure arithmetic over (rank, n).
+    Range-partition by the ordering key (partition i's keys all sort
+    before partition i+1's), rank within partitions in parallel, and add
+    cumulative per-partition offsets: ``offset + local rank`` is the
+    exact global rank regardless of where the sampled range boundaries
+    fall. Also attaches the total row count (``count_col``) —
+    distribution functions (ntile / percent_rank / cume_dist) are pure
+    arithmetic over (rank, n).
 
     The ordering must be a TOTAL order (include a tiebreaker key):
-    ``row_number`` inside a partition would otherwise rank ties
-    arbitrarily, and with a unique ordering rank == row_number and
-    percent_rank / cume_dist need no peer-group handling.
+    ranking inside a partition would otherwise order ties arbitrarily,
+    and with a unique ordering rank == row_number and percent_rank /
+    cume_dist need no peer-group handling.
 
     Shape (round 8): ONE declarative plan, no driver collect, no
-    materialization. Both consumers of the range exchange — the
-    per-partition ``row_number`` and the per-partition counts — live in
-    the same query, so Spark plans ONE range shuffle and reuses it
-    (AQE stage cache / the ReuseExchange rule; reuse is what makes the
-    two branches see identical partition boundaries, hence identical
-    ``__pid`` per row — verified in the executed plan and by the
-    rank-permutation property under ties and skew in test_packing).
-    Cumulative offsets come from a window over the aggregated counts
-    table — ``num_range_partitions`` ROWS, one per partition (bytes,
-    not data: the same bound the old driver-collect had), broadcast
-    back. The previous shape pinned ``__pid`` with a
-    ``localCheckpoint`` instead: correct, but the checkpoint write is
-    ~18 µs/row of pure CPU (measured: 2.7 of the 3.7 CPU s/run of
-    order_price_distribution at sf0.1 was the checkpoint; the one-job
-    shape runs 0.6–1.4) — and at 100 TB it is a full extra copy of the
-    table to executor storage. If exchange reuse is disabled in the
-    session, the two branches could sample DIFFERENT range boundaries,
-    so the checkpoint path is kept as the fallback.
+    materialization. Both consumers of the range exchange — the ranked
+    stream and the per-partition counts — live in the same query, so
+    Spark plans ONE range shuffle and reuses it (AQE stage cache / the
+    ReuseExchange rule; reuse is what makes the two branches see
+    identical partition boundaries, hence identical ``__pid`` per row —
+    pinned by the rank-permutation property under ties and skew in
+    test_packing). Cumulative offsets come from a window over the
+    aggregated counts table — ``num_range_partitions`` ROWS, one per
+    partition (bytes, not data: the bound the retired driver-collect
+    had), broadcast back. The retired shape pinned ``__pid`` with a
+    ``localCheckpoint`` instead: correct, but the checkpoint write burns
+    ~80 ms CPU per cached partition AND is a full extra copy of the
+    table to executor storage (it is kept as the fallback when
+    ``spark.sql.exchange.reuse`` is off, where the two branches could
+    otherwise sample DIFFERENT range boundaries).
+
+    Two local-rank strategies, same results (equivalence tested):
+
+    - default (``one_pass=False``): per-partition ``row_number`` window
+      keyed by ``spark_partition_id``. The window's ENSURE_REQUIREMENTS
+      hash exchange re-shuffles the table a second time — acceptable at
+      bench scale, and the extra stage boundary keeps the generated
+      code small (no cold-JIT cliff in a 2-run session).
+    - ``one_pass=True`` — THE 100 TB PATH: ``sortWithinPartitions`` +
+      ``monotonically_increasing_id`` (the id encodes
+      ``partition_id * 2^33 + row_position``; after a partition-local
+      sort the position IS the local rank), so the range shuffle is the
+      ONLY time the table moves. Measured at 20M rows it wins every
+      ruler (221 vs 464 shuffled MB; see scale_probe.py global_ranks),
+      and the counts branch is insensitive to EliminateSorts dropping
+      its copy of the sort (``__pid`` depends only on partition
+      membership). The toy-SF catalog keeps the default form ONLY
+      because the one-pass plan fuses scan→sort→join→projection into a
+      single generated method whose first 2-3 interpreted executions
+      cost ~6 CPU s at sf0.1 — a fixed per-session JIT cliff that the
+      2-run bench methodology records as the steady state, while at
+      20M+ rows it amortizes to nothing. On a real cluster flip
+      ``one_pass=True``.
     """
     spark = df.sparkSession
     if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
         return _global_row_ranks_pinned(
             df, order_cols, num_range_partitions, rank_col, count_col
         )
-    ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = ranged.withColumn("__lr", F.row_number().over(w_local))
-    cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    if one_pass:
+        srt = (
+            df.repartitionByRange(num_range_partitions, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+        )
+        local = srt.select(
+            *df.columns,
+            F.shiftright("__mid", 33).cast("int").alias("__pid"),
+            (F.col("__mid").bitwiseAND((1 << 33) - 1) + 1).alias("__lr"),
+        )
+    else:
+        ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+        local = ranged.withColumn("__lr", F.row_number().over(w_local))
+    cnts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     # windows over the counts table: num_range_partitions ROWS total
     # (one per partition — bytes, not data: the bound the driver-collect
     # formulation had). Partitioned by a constant-VALUED column (pid div

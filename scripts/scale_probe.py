@@ -20,6 +20,11 @@ Probes:
 - ``ann_tiled``: exact top-k cosine, 200k x 16-dim corpus, 32 queries.
   Scale path: ``cosine_topk_blas_tiled`` (block matmuls, nothing
   collected). Naive twin: expression-based crossJoin scoring.
+- ``global_ranks``: exact global row ranks over a total order.
+  Scale path: the round-8 one-job shape (reused range exchange, no
+  materialization). Twin: the retired checkpoint-pinned formulation
+  (full extra copy of the table to executor storage + a second
+  driver job).
 """
 
 from __future__ import annotations
@@ -121,6 +126,46 @@ def probe_ann_tiled(spark, n_corpus: int = 200_000, dim: int = 16) -> dict:
     }
 
 
+def probe_global_ranks(spark, n_rows: int) -> dict:
+    """The round-8 rank shapes vs the checkpoint-pinned formulation they
+    replaced. Construction runs INSIDE the timed region (the pinned
+    path's checkpoint + counts collect happen at DataFrame build time —
+    timing only the final action would hand it half its work for free).
+    The claim under test: one_pass moves the table over the wire ONCE
+    (range exchange only); the default window strategy pays a second
+    full-data hash exchange; the pinned path pays the second exchange
+    PLUS a full cached copy and a second driver job."""
+    from etl_complete_with_spark_spark.operators.packing import (
+        _global_row_ranks_pinned,
+        global_row_ranks,
+    )
+
+    def base():
+        return spark.range(n_rows).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 100.0).alias("v"),
+        )
+
+    def timed_build(mk):
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        time.sleep(1.0)
+        after = shuffle_write_bytes(spark)
+        mb = None if before is None or after is None else round((after - before) / 1e6, 1)
+        return {"wall_s": round(wall, 2), "shuffle_mb": mb}
+
+    return {
+        "probe": "global_ranks", "n_rows": n_rows,
+        "one_pass": timed_build(lambda: global_row_ranks(base(), ["v", "id"], one_pass=True)),
+        "default_window": timed_build(lambda: global_row_ranks(base(), ["v", "id"])),
+        "pinned_checkpoint": timed_build(
+            lambda: _global_row_ranks_pinned(base(), ["v", "id"], 32, "__rank", "__n")
+        ),
+    }
+
+
 def probe_lsh_candidates(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
     """The naive all-pairs dedup is UNMEASURABLE at scale (n^2 pairs is
     the point) — so measure the bound itself: LSH candidate pairs as a
@@ -153,6 +198,7 @@ def main() -> None:
     )
     print(json.dumps(probe_bottomk(spark, n_rows)))
     print(json.dumps(probe_ann_tiled(spark)))
+    print(json.dumps(probe_global_ranks(spark, n_rows)))
     print(json.dumps(probe_lsh_candidates(spark)))
     spark.stop()
 

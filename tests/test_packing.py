@@ -110,7 +110,8 @@ class TestGlobalRowRanksOneJob:
         from etl_complete_with_spark_spark.operators.packing import global_row_ranks
 
         df = spark.range(20_000).select(F.lit(1.0).alias("v"), F.col("id"))
-        self._perm(global_row_ranks(df, ["v", "id"]), 20_000)
+        for one_pass in (False, True):
+            self._perm(global_row_ranks(df, ["v", "id"], one_pass=one_pass), 20_000)
 
     def test_rank_is_permutation_under_skew(self, spark):
         from etl_complete_with_spark_spark.operators.packing import global_row_ranks
@@ -118,7 +119,23 @@ class TestGlobalRowRanksOneJob:
         df = spark.range(30_000).select(
             (F.col("id") % 5).cast("double").alias("v"), F.col("id")
         )
-        self._perm(global_row_ranks(df, ["v", "id"]), 30_000)
+        for one_pass in (False, True):
+            self._perm(global_row_ranks(df, ["v", "id"], one_pass=one_pass), 30_000)
+
+    def test_one_pass_equals_default(self, spark):
+        # the 100 TB strategy (sortWithinPartitions + mono-id local
+        # ranks, one full-data exchange) must be value-identical to the
+        # default window strategy on the same total order
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(25_000).select(
+            (F.col("id") % 613).cast("double").alias("v"), F.col("id")
+        )
+        a = {r["id"]: (r["__rank"], r["__n"])
+             for r in global_row_ranks(df, ["v", "id"]).collect()}
+        b = {r["id"]: (r["__rank"], r["__n"])
+             for r in global_row_ranks(df, ["v", "id"], one_pass=True).collect()}
+        assert a == b
 
     def test_no_single_partition_exchange_in_plan(self, spark):
         from etl_complete_with_spark_spark import plans as P
