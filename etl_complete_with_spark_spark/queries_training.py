@@ -894,8 +894,16 @@ def tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    # df and N derive from the AGGREGATED tf table, not from tok: the
+    # tokenize+explode subtree is narrow (no exchange), so a consumer
+    # keyed differently re-runs it — three tokenization passes over the
+    # corpus at scale. tf's exchange subtree is identical across all
+    # three consumers and gets ReuseExchange'd: tokenize ONCE, and the
+    # df/N aggregations read (doc,term) rows, not the raw token stream.
+    # (tf has one row per distinct (doc, term), so count == countDistinct
+    # doc per term, and countDistinct doc over tf == over tok.)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
     score = F.round(
         F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
     )
@@ -1529,6 +1537,15 @@ def text_unigram_lm_score(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     ex = t.select("doc_id", F.explode("tk").alias("tok"))
+    # NOTE (round 8): a tokenize-once rewrite through a per-(doc, token)
+    # count table was tried and REVERTED — it replaces the second
+    # scan+tokenize pass with a corpus-scale shuffle of token STRINGS
+    # (the payload, against the "shuffle sketches, not payloads" rule)
+    # and measured 2x the CPU at sf0.1 (interleaved legs 0.47 vs 0.90
+    # s/run). Unlike tfidf_top_terms, this query's second consumer
+    # needs per-OCCURRENCE rows, so the only shared exchange would be
+    # occurrence-sized. The two branches below each re-scan and
+    # re-tokenize — local CPU, zero extra network.
     tf = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = tf.agg(F.sum("c").alias("total"))
     fb = tf.crossJoin(F.broadcast(tot)).select(
