@@ -25,6 +25,8 @@ partition. The result is identical to the single-task global window
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,7 +119,7 @@ def global_row_ranks(
     num_range_partitions: int = 32,
     rank_col: str = "__rank",
     count_col: str = "__n",
-    one_pass: bool = False,
+    one_pass: bool | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank over a total order, without the
     single-task global window.
@@ -173,13 +175,18 @@ def global_row_ranks(
       cost ~6 CPU s at sf0.1 — a fixed per-session JIT cliff that the
       2-run bench methodology records as the steady state, while at
       20M+ rows it amortizes to nothing. On a real cluster flip
-      ``one_pass=True``.
+      ``one_pass=True`` (or set ``SPARK_GRAFT_RANKS_ONE_PASS=1`` to flip
+      every caller without code edits; explicit arguments win).
     """
     spark = df.sparkSession
     if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
         return _global_row_ranks_pinned(
             df, order_cols, num_range_partitions, rank_col, count_col
         )
+    if one_pass is None:
+        # cluster deployments flip the strategy without code edits, the
+        # repo's SPARK_GRAFT_* convention (see session.py)
+        one_pass = os.environ.get("SPARK_GRAFT_RANKS_ONE_PASS", "") not in ("", "0")
     if one_pass:
         srt = (
             df.repartitionByRange(num_range_partitions, *order_cols)

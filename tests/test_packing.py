@@ -164,3 +164,22 @@ class TestGlobalRowRanksOneJob:
         finally:
             spark.conf.set("spark.sql.exchange.reuse", "true")
         assert fast == slow
+
+    def test_env_flips_default_strategy(self, spark, monkeypatch):
+        # SPARK_GRAFT_RANKS_ONE_PASS=1 routes default callers through the
+        # one-pass strategy; values must be unchanged either way
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(8_000).select(
+            (F.col("id") % 43).cast("double").alias("v"), F.col("id")
+        )
+        base = {
+            r["id"]: (r["__rank"], r["__n"])
+            for r in global_row_ranks(df, ["v", "id"]).collect()
+        }
+        monkeypatch.setenv("SPARK_GRAFT_RANKS_ONE_PASS", "1")
+        flipped = {
+            r["id"]: (r["__rank"], r["__n"])
+            for r in global_row_ranks(df, ["v", "id"]).collect()
+        }
+        assert base == flipped
