@@ -887,3 +887,68 @@ class TestGraphIterationProperties:
         s = spark.createDataFrame([(src,)], "node long")
         got = {r.node: r.dist for r in bfs_levels(df, s, rounds).collect()}
         assert got == want
+
+
+class TestAssociationRulesProperties:
+    """The round-8 rewrite of association_rules_parts generates each
+    UNORDERED pair once (sorted basket -> per-position tail slice) and
+    recovers both rule directions AFTER the frequency joins via a
+    2-element struct explode. This property checks the whole pair/
+    support/confidence/lift integer math against a brute-force Python
+    reference on random small baskets — structural edge cases the
+    TPC-H-shaped oracle data never hits (single-item baskets, a basket
+    equal to the whole item universe, duplicate lines collapsing)."""
+
+    @SETTINGS
+    @given(
+        baskets=st.lists(
+            st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        ),
+        seed=st.integers(min_value=0, max_value=3),
+    )
+    def test_matches_bruteforce(self, spark, baskets, seed):
+        from collections import Counter
+        from itertools import combinations
+
+        from etl_complete_with_spark_spark.queries import QUERIES
+
+        rows = [
+            Row(l_orderkey=oid, l_partkey=item)
+            for oid, items in enumerate(baskets)
+            for item in items
+        ]
+        # brute force on the DEDUPED baskets
+        sets = [sorted(set(b)) for b in baskets]
+        n_orders = len(sets)
+        freq = Counter(i for b in sets for i in b)
+        pair = Counter()
+        for b in sets:
+            for x, y in combinations(b, 2):
+                pair[(x, y)] += 1
+        want = set()
+        for (x, y), c in pair.items():
+            for a, b_ in ((x, y), (y, x)):
+                conf = c * 1_000_000 // freq[a]
+                if c >= 2 and conf >= 100_000:
+                    want.add(
+                        (a, b_, c, c * 1_000_000 // n_orders, conf,
+                         conf * n_orders // freq[b_])
+                    )
+
+        df = spark.createDataFrame(rows)
+        # run the catalog implementation on a temp view of this data by
+        # monkey-substituting its loader input
+        from etl_complete_with_spark_spark import queries_analytics as QA
+
+        orig_load = QA.load
+        QA.load = lambda s, d, t: df if t == "lineitem" else orig_load(s, d, t)
+        try:
+            got = {
+                tuple(r)
+                for r in QUERIES["association_rules_parts"](spark, "unused").collect()
+            }
+        finally:
+            QA.load = orig_load
+        assert got == want
