@@ -27,13 +27,12 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # by the local gate (``scripts/oracle_check.py``, all 164 queries).
 #
 # ROUND 7: the r01∪…∪r06 union covers all 164 pre-round-7 queries.  The one
-# Round-8 window (VERDICT r7 order 3): `ann_ivf_topk_distributed` — the
-# only catalog query with a single driver-green record after r7 — takes
-# slot 3 for its second record; the remaining 47 slots go to the
-# 2-record queries, earliest-recorded round first per the committed
-# policy (registration order as the tiebreak), resuming steady-state
-# evidence accrual across the 165-query catalog (every query >= 2
-# records as of r7; the union stays 165/165).
+# Round-9 window (VERDICT r8 order 4): every catalog query has >= 2
+# driver-green records after r8, so all 48 free slots go to the
+# 2-record backlog, earliest-recorded round first per the committed
+# policy (registration order as the tiebreak) — the evidence floor
+# keeps rising toward >= 3 records everywhere (the union stays
+# 165/165).
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
 # was computed from (scripts/rotate_window.py prints it alongside the
@@ -41,58 +40,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 7
+WINDOW_GENERATED_AFTER = 8
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "ann_ivf_topk_distributed",  # 1 row(s), first r07
-    "sk_hyphen",  # 2 row(s), first r01
-    "dedup_latest_per_key",  # 2 row(s), first r01
-    "agg_pricing_summary",  # 2 row(s), first r01
-    "join_revenue_by_nation",  # 2 row(s), first r01
-    "topk_orders_per_customer",  # 2 row(s), first r01
-    "text_token_stats",  # 2 row(s), first r01
-    "text_quality_score",  # 2 row(s), first r01
-    "text_language_id",  # 2 row(s), first r01
-    "text_fingerprint",  # 2 row(s), first r01
-    "dedup_exact",  # 2 row(s), first r01
-    "dedup_ngram_jaccard",  # 2 row(s), first r01
-    "dedup_simhash",  # 2 row(s), first r01
-    "dedup_embedding_cosine",  # 2 row(s), first r01
-    "dedup_cluster_keep",  # 2 row(s), first r01
-    "ann_cosine_topk",  # 2 row(s), first r01
-    "mm_frame_sample",  # 2 row(s), first r01
-    "stream_windowed_counts",  # 2 row(s), first r01
-    "corpus_clean_pipeline",  # 2 row(s), first r01
-    "chunk_documents_windows",  # 2 row(s), first r01
-    "scrub_pii_text",  # 2 row(s), first r01
-    "vocab_top_terms",  # 2 row(s), first r01
-    "tfidf_top_terms",  # 2 row(s), first r01
-    "sample_stratified_hash",  # 2 row(s), first r01
-    "stream_click_attribution",  # 2 row(s), first r01
-    "dedup_incremental_batch",  # 2 row(s), first r01
-    "text_repetition_signals",  # 2 row(s), first r01
-    "dedup_chunks_exact",  # 2 row(s), first r01
-    "set_ops_users",  # 2 row(s), first r01
-    "cube_revenue",  # 2 row(s), first r01
-    "distinct_users_per_type",  # 2 row(s), first r01
-    "pivot_user_event_matrix",  # 2 row(s), first r01
-    "sessionize_batch",  # 2 row(s), first r01
-    "asof_join_last_purchase",  # 2 row(s), first r01
-    "grouped_user_stats",  # 2 row(s), first r01
-    "range_join_event_windows",  # 2 row(s), first r01
-    "skew_salted_join",  # 2 row(s), first r01
-    "agg_quantiles",  # 2 row(s), first r01
-    "json_extract_props",  # 2 row(s), first r01
-    "ann_lsh_topk",  # 2 row(s), first r02
-    "mm_extract_features",  # 2 row(s), first r02
-    "emb_quantize_int8",  # 2 row(s), first r02
-    "emb_gram_int8",  # 2 row(s), first r02
-    "ann_int8_topk",  # 2 row(s), first r02
-    "emb_label_centroids",  # 2 row(s), first r02
-    "text_unigram_lm_score",  # 2 row(s), first r02
-    "stream_dedup_events",  # 2 row(s), first r02
-    "table_profile_orders",  # 2 row(s), first r02
+    "dedup_semantic_cluster",  # 2 row(s), first r02
+    "pack_training_shards",  # 2 row(s), first r02
+    "fuzzy_match_part_names",  # 2 row(s), first r02
+    "jsonl_roundtrip_orders",  # 2 row(s), first r02
+    "ann_ivf_topk",  # 2 row(s), first r03
+    "decontaminate_ngram_overlap",  # 2 row(s), first r03
+    "sample_token_budget_mix",  # 2 row(s), first r03
+    "stream_static_enrich",  # 2 row(s), first r03
+    "orc_roundtrip_orders",  # 2 row(s), first r03
+    "udtf_token_runs",  # 2 row(s), first r03
+    "bpe_top_pairs",  # 2 row(s), first r03
+    "rollup_revenue_by_nation_region",  # 2 row(s), first r03
+    "running_revenue_per_customer",  # 2 row(s), first r03
+    "left_outer_order_counts",  # 2 row(s), first r03
+    "anti_join_customers_without_orders",  # 2 row(s), first r03
+    "orders_above_customer_avg",  # 2 row(s), first r03
+    "agg_approx_accuracy",  # 2 row(s), first r03
+    "semi_join_priority_orders",  # 2 row(s), first r03
+    "case_agg_priority_split",  # 2 row(s), first r03
+    "top10_orders_global",  # 2 row(s), first r03
+    "unpivot_event_matrix",  # 2 row(s), first r03
+    "part_name_search",  # 2 row(s), first r03
+    "stats_price_quantity",  # 2 row(s), first r03
+    "rolling_24h_user_value",  # 2 row(s), first r03
+    "gapfill_hourly_counts",  # 2 row(s), first r03
+    "grouping_sets_revenue",  # 2 row(s), first r03
+    "zorder_morton_codes",  # 2 row(s), first r03
+    "dq_orders_expectations",  # 2 row(s), first r03
+    "dq_fk_orphan_events",  # 2 row(s), first r03
+    "scd2_customer_versions",  # 2 row(s), first r03
+    "order_price_distribution",  # 2 row(s), first r03
+    "q3_shipping_priority",  # 2 row(s), first r03
+    "q22_idle_rich_customers",  # 2 row(s), first r03
+    "order_burst_components",  # 2 row(s), first r03
+    "variant_props_stats",  # 2 row(s), first r03
+    "q8_market_share",  # 2 row(s), first r03
+    "q18_large_volume_customers",  # 2 row(s), first r03
+    "dedup_cluster_keep_star",  # 2 row(s), first r04
+    "ann_tiled_topk",  # 2 row(s), first r04
+    "sample_weighted_quality",  # 2 row(s), first r04
+    "text_gopher_rules",  # 2 row(s), first r04
+    "ann_pq_topk",  # 2 row(s), first r04
+    "heavy_hitter_tokens",  # 2 row(s), first r04
+    "pagerank_suppliers",  # 2 row(s), first r04
+    "stream_sessionize",  # 2 row(s), first r04
+    "corpus_dup_ngram_profile",  # 2 row(s), first r04
+    "dedup_containment",  # 2 row(s), first r04
+    "knn_label_vote",  # 2 row(s), first r04
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
