@@ -52,7 +52,7 @@ from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 # noise (single-digit queries of UI state), large enough that the ~2s
 # session restart cost stays <10% of catalog wall time.
 RECYCLE_EVERY = 24
-FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "3"))
+FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
 # Hard wall-clock bound per cold-process re-time (a cold JVM + one sf0.1
 # query is ~30-45 s; a hang must not eat the driver's bench budget).
 FRESH_CHECK_TIMEOUT_S = 150
@@ -141,10 +141,16 @@ CPU_GATE_EXEMPT: dict[str, str] = {
 # session co-times CONTROL queries measured the same way as the
 # candidates; their confirm/baseline ratio calibrates any residual
 # methodology offset between the confirm session and the catalog run
-# that produced the baseline. Mid-cost, plan-stable, shuffle-bearing
-# queries; the ratio is clamped so one bad control reading cannot blind
-# or hair-trigger the gate.
-CPU_CONFIRM_CONTROLS = ["cdc_apply_orders", "sketch_countmin_users"]
+# that produced the baseline. Controls must carry >= 0.5 s baseline CPU
+# (round-9, per r8 order 3: sketch_countmin_users at 0.13 s read ratio
+# 1.462 — a ~0.1 s control measures timer noise, not session offset)
+# and have disjoint shapes so one degradation axis can't fool both:
+# agg_quantiles is scan/aggregate-bound (approx-percentile over
+# lineitem, ~2.1 s), cdc_apply_orders is exchange-heavy (window + join,
+# ~1.1 s). Plan-stable, never candidates; the ratio is clamped so one
+# bad control reading cannot blind or hair-trigger the gate, and each
+# control's in-band status is asserted into the artifact.
+CPU_CONFIRM_CONTROLS = ["agg_quantiles", "cdc_apply_orders"]
 CPU_CONFIRM_WARMUP = "agg_pricing_summary"  # JITs core paths, never measured
 # The JVM warmup never touches the Python boundary, so a mapInPandas /
 # pandas-UDF candidate would otherwise pay the pyspark daemon fork +
@@ -584,8 +590,14 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
             conf = confirmed.pop(f"__control__{ctl}", None)
             prev = base_q.get(ctl)
             if conf is not None and prev:
+                lo, hi = CPU_CONFIRM_CAL_CLAMP
                 control_detail[ctl] = {"baseline_s": prev, "confirm_s": conf,
-                                       "ratio": round(conf / prev, 3)}
+                                       "ratio": round(conf / prev, 3),
+                                       # a control outside the very band
+                                       # the calibration clamps to is not
+                                       # measuring session offset — the
+                                       # artifact says so explicitly
+                                       "in_band": lo <= conf / prev <= hi}
                 ratios.append(conf / prev)
         if ratios:
             lo, hi = CPU_CONFIRM_CAL_CLAMP
@@ -651,6 +663,13 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
         "total_within_threshold": total_pct <= CPU_GATE_TOTAL_PCT,
         "confirm_calibration": calibration,
         "confirm_controls": control_detail,
+        # False when ANY co-timed control read outside the calibration
+        # clamp band — the confirm pass's own health check (r8 order 3)
+        "confirm_controls_in_band": (
+            all(d["in_band"] for d in control_detail.values())
+            if control_detail
+            else None
+        ),
         "regressions": regressions,
         "exempt": {q: CPU_GATE_EXEMPT[q] for q in regressions if q in CPU_GATE_EXEMPT},
         "violations": sorted(
@@ -795,19 +814,25 @@ def main() -> None:
         else None
     )
     box_factor, factor_source = _select_box_factor(alu_factor, mem_factor)
+    # Per-canary ratios carry their axis in the field NAME (alu_factor /
+    # mem_factor, r8 ADVICE): in r<=7 artifacts box_canary.factor WAS the
+    # gate's factor; once the memory canary landed that stopped being
+    # true, so the ambiguous "factor" key is retired rather than silently
+    # repurposed. The gate's chosen (clamped) factor is
+    # cpu_gate.box_factor; box_factor_source names the axis it came from.
     full["box_canary"] = {
         "rows": CANARY_ROWS,
         "start_cpu_s": canary_start,
         "end_cpu_s": canary_end,
         "baseline_cpu_s": canary_base,
-        "factor": alu_factor,
+        "alu_factor": alu_factor,
     }
     full["box_canary_mem"] = {
         "rows": CANARY_MEM_ROWS,
         "start_cpu_s": canary_mem_start,
         "end_cpu_s": canary_mem_end,
         "baseline_cpu_s": canary_mem_base,
-        "factor": mem_factor,
+        "mem_factor": mem_factor,
     }
     full["box_factor_source"] = factor_source
 

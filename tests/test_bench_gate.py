@@ -188,6 +188,50 @@ def test_controls_exist_in_baseline_and_catalog():
         assert c in base
 
 
+def test_controls_carry_half_second_baselines():
+    """r8 order 3: a ~0.1 s control reads timer noise, not session
+    offset (sketch_countmin_users at 0.13 s baseline read ratio 1.462,
+    outside the very clamp band the calibration applies). Controls must
+    carry >= 0.5 s baseline CPU so their ratio measures the session."""
+    base = _baseline()
+    for c in bench.CPU_CONFIRM_CONTROLS:
+        assert base[c] >= 0.5, f"control {c} baseline {base[c]} < 0.5 s"
+
+
+def test_control_ratio_band_asserted_into_artifact(monkeypatch):
+    """Each co-timed control's in-band status (inside the calibration
+    clamp) is recorded per control, and confirm_controls_in_band goes
+    False when any control reads outside it — the confirm pass's own
+    health check, machine-readable instead of judge-spotted."""
+    base = _baseline()
+    cand = max(base, key=base.get)
+    cur = dict(base)
+    cur[cand] = round(base[cand] * 2.0, 3)
+    ctl_good, ctl_bad = bench.CPU_CONFIRM_CONTROLS
+
+    def fake_confirm(names):
+        out = {f"__control__{ctl_good}": base[ctl_good] * 1.05,
+               f"__control__{ctl_bad}": base[ctl_bad] * 1.5}  # out of band
+        out.update({n: cur[n] for n in names})
+        return out
+
+    monkeypatch.setattr(bench, "_cpu_confirm", fake_confirm)
+    g = bench._cpu_gate(cur)
+    assert g["confirm_controls"][ctl_good]["in_band"] is True
+    assert g["confirm_controls"][ctl_bad]["in_band"] is False
+    assert g["confirm_controls_in_band"] is False
+
+    def fake_confirm_ok(names):
+        out = {f"__control__{c}": base[c] * 1.02
+               for c in bench.CPU_CONFIRM_CONTROLS}
+        out.update({n: cur[n] for n in names})
+        return out
+
+    monkeypatch.setattr(bench, "_cpu_confirm", fake_confirm_ok)
+    g2 = bench._cpu_gate(cur)
+    assert g2["confirm_controls_in_band"] is True
+
+
 def test_floor_cleared_when_fresh_below_threshold():
     exceeding = {"qa": 3.5, "qb": 4.0, "pagerank_suppliers": 3.8}
     candidates = ["qa", "qb"]
@@ -382,3 +426,40 @@ def test_select_box_factor_prefers_memory_axis():
     assert bench._select_box_factor(1.2, None) == (1.2, "alu")
     assert bench._select_box_factor(None, 1.05) == (1.05, "mem")
     assert bench._select_box_factor(None, None) == (None, None)
+
+
+def test_r9_baseline_activates_both_canaries():
+    """r8 order 1: the rotated baseline must carry BOTH canary readings
+    from the r8 closing artifact so _select_box_factor has a real
+    denominator — until it does, the gate cannot normalize a degraded
+    box and still depends on retire-by-rerun."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+        base = json.load(f)
+    assert base["round"] >= 9
+    assert isinstance(base.get("box_canary_cpu_s"), (int, float))
+    assert isinstance(base.get("box_canary_mem_cpu_s"), (int, float))
+
+
+def test_degraded_memory_box_rescales_comparison():
+    """End-to-end r8 failure mode: memory bandwidth degrades +30%
+    (catalog readings inflate ~uniformly) while the ALU canary reads
+    the box FASTER. The mem factor must govern and the gate must judge
+    the inflated readings clean in baseline-box units."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+        baseline = json.load(f)
+    mem_base = baseline["box_canary_mem_cpu_s"]
+    alu_base = baseline["box_canary_cpu_s"]
+    # current-session canaries: ALU 17% faster, memory 30% slower — the
+    # anti-correlated pair actually observed in r8
+    alu_factor = round(alu_base * 0.83 / alu_base, 3)
+    mem_factor = round(mem_base * 1.30 / mem_base, 3)
+    factor, source = bench._select_box_factor(alu_factor, mem_factor)
+    assert source == "mem" and factor == 1.3
+    base_q = baseline["executor_cpu_sec_per_run"]
+    cur = {q: round(v * 1.3, 3) for q, v in base_q.items()}
+    g = bench._cpu_gate(cur, box_factor=factor)
+    assert g["box_factor"] == 1.3
+    assert g["violations"] == []
+    assert abs(g["total_pct"]) < 1.5 and abs(g["median_pct"]) < 1.5
