@@ -9,26 +9,156 @@ single task (Spark even warns "Moving all data to a single partition").
 This implements the textbook two-level scan instead:
 
 1. per-document token totals (one map-side-combined shuffle);
-2. documents are range-partitioned by id; each partition's total is
-   collected to the driver (ONE row per partition — bytes, not data)
-   and turned into cumulative partition offsets;
-3. within each partition, a PARALLEL window (partitioned by the range
+2. documents are range-partitioned by id; per-partition totals are
+   aggregated into a table of ONE ROW PER PARTITION (bytes, not data)
+   off the SAME range exchange (AQE stage reuse / ReuseExchange);
+3. a provably-tiny window over that table turns the totals into
+   cumulative partition offsets, broadcast back;
+4. within each partition, a PARALLEL window (partitioned by the range
    partition id) computes local prefixes; partition offset + local
    prefix = exact global offset;
-4. chunk offsets are the doc offset plus a per-doc window prefix —
+5. chunk offsets are the doc offset plus a per-doc window prefix —
    partitioned by doc, also fully parallel.
 
-Every stage is parallel; the only driver data is one long per
-partition. The result is identical to the single-task global window
-(the DuckDB oracle computes it that way).
+Every stage is parallel; the only single-point data is the
+one-row-per-partition offsets table. The result is identical to the
+single-task global window (the DuckDB oracle computes it that way).
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Size-aware strategy dispatch (round 9). The one-pass rank strategy
+# (sortWithinPartitions + monotonic-id decode) wins every measured ruler
+# once the table is big enough for its single-session JIT cliff (~6 CPU s
+# of interpreted executions of one large fused method) to amortize: the
+# 20M-row probe (scale_probe.py global_ranks, ~240 MB of (long, long)
+# rows by plan stats) reads one_pass 5.2 s / 221 shuffled MB vs the
+# window strategy's 7.4 s / 464 MB INCLUDING that cliff. Below ~100 MB
+# the cliff dominates (the sf0.1 catalog inputs are single-digit MB and
+# a 2-run bench records the cliff as steady state), so the dispatch
+# threshold sits between the two regimes: inputs whose Catalyst-estimated
+# size reaches ONE_PASS_AUTO_BYTES get the one-pass form by default.
+ONE_PASS_AUTO_BYTES = 256 << 20
+
+# Auto-scaled range partitioning (round 9, r8 ADVICE): the local-rank
+# encodings bound rows PER RANGE PARTITION — monotonically_increasing_id
+# carries the row position in its low 33 bits (2^33 ~ 8.6B rows), and the
+# window strategy's row_number() is an int (2^31). A fixed default of 32
+# partitions would cross 2^31 at ~69B input rows, so when the caller
+# does not pick a partition count it is derived from the plan-estimated
+# input size at RANGE_PARTITION_TARGET_BYTES per partition: any
+# plausible row width then keeps partitions orders of magnitude under
+# both bounds (2^31 rows in a 1 GiB partition would need sub-half-byte
+# rows). A declarative raise_error guard on the per-partition counts
+# backstops explicit undersized partition counts — corruption fails
+# loudly instead of silently wrapping ranks.
+RANGE_PARTITION_TARGET_BYTES = 1 << 30
+MAX_AUTO_RANGE_PARTITIONS = 1 << 17
+ONE_PASS_LOCAL_ROWS_BOUND = 1 << 33  # monotonic-id position field width
+WINDOW_LOCAL_ROWS_BOUND = 1 << 31  # row_number() is IntegerType
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of ``df`` in bytes (optimized-plan
+    stats — file sizes for scans, propagated through operators). None
+    when stats are unavailable or the estimate is the unknown-size
+    sentinel (defaultSizeInBytes ~ Long.Max)."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def _auto_range_partitions(size_bytes: int | None) -> int:
+    """Default range-partition count for a plan-estimated input size:
+    RANGE_PARTITION_TARGET_BYTES per partition, floor 32 (parallelism on
+    small inputs), capped at MAX_AUTO_RANGE_PARTITIONS. Unknown size
+    falls back to the floor — the runtime row-bound guard still protects
+    the rank encodings."""
+    if size_bytes is None:
+        return 32
+    return max(32, min(MAX_AUTO_RANGE_PARTITIONS,
+                       math.ceil(size_bytes / RANGE_PARTITION_TARGET_BYTES)))
+
+
+def _guarded_partition_counts(
+    local: DataFrame, bound: int, strategy: str
+) -> DataFrame:
+    """Per-range-partition row counts with a declarative overflow guard:
+    any partition at or above ``bound`` rows raises instead of letting
+    the local-rank encoding silently wrap (r8 ADVICE — the one-pass
+    monotonic-id decode corrupts both __pid and __lr past 2^33 rows per
+    partition; the window strategy's int row_number wraps at 2^31). The
+    guard replaces ``__c`` itself, so both downstream windows (offsets
+    and total) evaluate it for every partition; cost is a CASE over one
+    row per partition."""
+    cnts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    return cnts.withColumn(
+        "__c",
+        F.when(F.col("__c") < F.lit(bound), F.col("__c")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "global_row_ranks(%s): range partition %%s holds %%s rows, "
+                    "at/above the %%s-row local-rank bound — raise "
+                    "num_range_partitions" % strategy,
+                    F.col("__pid").cast("string"),
+                    F.col("__c").cast("string"),
+                    F.lit(str(bound)),
+                )
+            )
+        ),
+    )
+
+
+def _bounded_offsets(
+    cnts: DataFrame, num_range_partitions: int, value_col: str = "__c"
+) -> DataFrame:
+    """Cumulative exclusive prefix (``__off``) and grand total
+    (``__tot``) over a per-partition totals table.
+
+    BOUNDED-TINY-WINDOW HELPER (the whitelist the plan contracts refer
+    to, r8 ADVICE): the input is one row per range partition — at most
+    ``num_range_partitions`` rows, enforced below — so a semantically
+    single-partition window over it is bytes, not data. It is expressed
+    with a constant-valued partition key (``__pid div n == 0`` for every
+    valid pid) rather than an empty partition spec so the plan carries
+    ``Exchange hashpartitioning`` instead of ``Exchange
+    SinglePartition``: the repo's blanket no-SinglePartition plan
+    contract exists to catch UNBOUNDED one-task funnels, and this named
+    helper + its runtime cap is the documented exception mechanism —
+    callers must not point it at tables without a per-partition row
+    bound."""
+    if num_range_partitions > MAX_AUTO_RANGE_PARTITIONS:
+        raise ValueError(
+            "bounded offsets window is only valid for provably tiny "
+            f"inputs: {num_range_partitions} partitions > "
+            f"{MAX_AUTO_RANGE_PARTITIONS}"
+        )
+    cnts = cnts.withColumn("__grp", F.expr(f"__pid div {num_range_partitions}"))
+    w_off = (
+        Window.partitionBy("__grp")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("__grp")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cnts.select(
+        "__pid",
+        F.coalesce(F.sum(value_col).over(w_off), F.lit(0)).alias("__off"),
+        F.sum(value_col).over(w_tot).alias("__tot"),
+    )
 
 
 def _offset_lookup(offsets: dict[int, int], n_partitions: int) -> "F.Column":
@@ -50,49 +180,55 @@ def pack_chunks_into_shards(
     doc_col: str = "doc_id",
     idx_col: str = "chunk_idx",
     token_col: str = "n_tokens",
-    num_range_partitions: int = 32,
+    num_range_partitions: int | None = None,
 ) -> DataFrame:
     """Assign (chunk_offset, shard_id) to every chunk.
 
     ``shard_id = chunk_offset DIV shard_tokens`` — assignment by starting
     offset, so shard boundaries never split the offset math even when a
     chunk straddles them.
+
+    Shape (round 9): the doc-offset prefix sum is ONE declarative plan —
+    per-partition local prefix sums (parallel window keyed by the range
+    partition id) and per-partition totals both consume the SAME range
+    exchange (AQE stage reuse), with the cumulative offsets coming from
+    the bounded tiny window over the one-row-per-partition totals table
+    and broadcast back. No driver collect, no localCheckpoint copy of
+    the doc-totals table (the retired shape pinned it and collected one
+    row per partition to the driver; kept as the fallback when
+    ``spark.sql.exchange.reuse`` is off). ``num_range_partitions=None``
+    scales the partition count with the plan-estimated input size
+    (RANGE_PARTITION_TARGET_BYTES per partition).
     """
     spark = chunks.sparkSession
-
     doc_tot = chunks.groupBy(doc_col).agg(
         F.sum(token_col).cast("long").alias("doc_tokens")
     )
-    ranged = doc_tot.repartitionByRange(num_range_partitions, F.col(doc_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    # Window keyed by the range-partition id computes prefixes in parallel;
-    # range partitioning guarantees pid order == doc order across partitions.
-    ranged = ranged.localCheckpoint(eager=False)  # pin pids: two consumers below
-    part_totals = (
-        ranged.groupBy("__pid").agg(F.sum("doc_tokens").alias("t")).collect()
-    )
-    offsets, acc = {}, 0
-    for row in sorted(part_totals, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = acc
-        acc += row["t"]
-    off_arr = _offset_lookup(offsets, ranged.rdd.getNumPartitions())
-
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(doc_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    doc_off = (
-        ranged.withColumn(
-            "doc_offset",
-            (
-                F.element_at(off_arr, F.col("__pid") + 1)
-                + F.coalesce(F.sum("doc_tokens").over(w_local), F.lit(0))
-            ).cast("long"),
+    if num_range_partitions is None:
+        num_range_partitions = _auto_range_partitions(_plan_size_bytes(doc_tot))
+    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
+        doc_off = _doc_offsets_pinned(doc_tot, doc_col, num_range_partitions)
+    else:
+        ranged = doc_tot.repartitionByRange(
+            num_range_partitions, F.col(doc_col)
+        ).withColumn("__pid", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy("__pid")
+            .orderBy(doc_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        .select(doc_col, "doc_offset")
-    )
+        local = ranged.withColumn(
+            "__loc", F.coalesce(F.sum("doc_tokens").over(w_local), F.lit(0))
+        )
+        totals = ranged.groupBy("__pid").agg(F.sum("doc_tokens").alias("__c"))
+        offs = _bounded_offsets(totals, num_range_partitions)
+        doc_off = (
+            local.join(F.broadcast(offs), "__pid")
+            .select(
+                doc_col,
+                (F.col("__off") + F.col("__loc")).cast("long").alias("doc_offset"),
+            )
+        )
 
     w_doc = (
         Window.partitionBy(doc_col)
@@ -113,10 +249,44 @@ def pack_chunks_into_shards(
     )
 
 
+def _doc_offsets_pinned(
+    doc_tot: DataFrame, doc_col: str, num_range_partitions: int
+) -> DataFrame:
+    """Checkpoint-pinned fallback doc-offset computation for
+    :func:`pack_chunks_into_shards` when ``spark.sql.exchange.reuse`` is
+    off: materialize the range shuffle once so the totals job and the
+    prefix output see the same partition boundaries, with the cumulative
+    offsets collected to the driver (ONE long per partition)."""
+    ranged = doc_tot.repartitionByRange(
+        num_range_partitions, F.col(doc_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)  # pin pids: two consumers
+    part_totals = (
+        ranged.groupBy("__pid").agg(F.sum("doc_tokens").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(part_totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["t"]
+    off_arr = _offset_lookup(offsets, ranged.rdd.getNumPartitions())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(doc_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranged.withColumn(
+        "doc_offset",
+        (
+            F.element_at(off_arr, F.col("__pid") + 1)
+            + F.coalesce(F.sum("doc_tokens").over(w_local), F.lit(0))
+        ).cast("long"),
+    ).select(doc_col, "doc_offset")
+
+
 def global_row_ranks(
     df: DataFrame,
     order_cols: list,
-    num_range_partitions: int = 32,
+    num_range_partitions: int | None = None,
     rank_col: str = "__rank",
     count_col: str = "__n",
     one_pass: bool | None = None,
@@ -143,10 +313,12 @@ def global_row_ranks(
     Spark plans ONE range shuffle and reuses it (AQE stage cache / the
     ReuseExchange rule; reuse is what makes the two branches see
     identical partition boundaries, hence identical ``__pid`` per row —
-    pinned by the rank-permutation property under ties and skew in
-    test_packing). Cumulative offsets come from a window over the
-    aggregated counts table — ``num_range_partitions`` ROWS, one per
-    partition (bytes, not data: the bound the retired driver-collect
+    pinned by the rank-permutation property under ties and skew AND by a
+    plan-level reuse assertion in test_packing: the executed plan must
+    carry exactly one live range exchange plus a ReusedExchange).
+    Cumulative offsets come from :func:`_bounded_offsets` — a window
+    over the aggregated counts table, ``num_range_partitions`` ROWS, one
+    per partition (bytes, not data: the bound the retired driver-collect
     had), broadcast back. The retired shape pinned ``__pid`` with a
     ``localCheckpoint`` instead: correct, but the checkpoint write burns
     ~80 ms CPU per cached partition AND is a full extra copy of the
@@ -154,39 +326,52 @@ def global_row_ranks(
     ``spark.sql.exchange.reuse`` is off, where the two branches could
     otherwise sample DIFFERENT range boundaries).
 
-    Two local-rank strategies, same results (equivalence tested):
+    Two local-rank strategies, same results (equivalence tested), with
+    SIZE-AWARE dispatch (round 9) when ``one_pass`` is None and
+    ``SPARK_GRAFT_RANKS_ONE_PASS`` is unset — inputs whose
+    plan-estimated size reaches ONE_PASS_AUTO_BYTES take the one-pass
+    form, smaller ones the window form:
 
-    - default (``one_pass=False``): per-partition ``row_number`` window
+    - window (``one_pass=False``): per-partition ``row_number`` window
       keyed by ``spark_partition_id``. The window's ENSURE_REQUIREMENTS
       hash exchange re-shuffles the table a second time — acceptable at
-      bench scale, and the extra stage boundary keeps the generated
-      code small (no cold-JIT cliff in a 2-run session).
+      toy scale, and the extra stage boundary keeps the generated code
+      small (no cold-JIT cliff in a 2-run session). Local-rank bound:
+      row_number is an int, 2^31 rows per partition (guarded).
     - ``one_pass=True`` — THE 100 TB PATH: ``sortWithinPartitions`` +
       ``monotonically_increasing_id`` (the id encodes
       ``partition_id * 2^33 + row_position``; after a partition-local
       sort the position IS the local rank), so the range shuffle is the
-      ONLY time the table moves. Measured at 20M rows it wins every
-      ruler (221 vs 464 shuffled MB; see scale_probe.py global_ranks),
-      and the counts branch is insensitive to EliminateSorts dropping
-      its copy of the sort (``__pid`` depends only on partition
-      membership). The toy-SF catalog keeps the default form ONLY
-      because the one-pass plan fuses scan→sort→join→projection into a
-      single generated method whose first 2-3 interpreted executions
-      cost ~6 CPU s at sf0.1 — a fixed per-session JIT cliff that the
-      2-run bench methodology records as the steady state, while at
-      20M+ rows it amortizes to nothing. On a real cluster flip
-      ``one_pass=True`` (or set ``SPARK_GRAFT_RANKS_ONE_PASS=1`` to flip
-      every caller without code edits; explicit arguments win).
+      ONLY time the table moves. Measured at 20M rows (~240 MB) it wins
+      every ruler INCLUDING its own JIT cliff (5.2 vs 7.4 s, 221 vs 464
+      shuffled MB; scale_probe.py global_ranks). Local-rank bound: the
+      id's position field is 33 bits, 2^33 (~8.6B) rows per partition
+      (guarded — and unreachable under auto partition scaling, which
+      would need sub-half-byte rows to pack 2^33 into one
+      RANGE_PARTITION_TARGET_BYTES partition).
+
+    Both bounds are enforced by a declarative raise_error over the
+    per-partition counts (:func:`_guarded_partition_counts`): an
+    undersized explicit ``num_range_partitions`` on oversized data fails
+    loudly instead of silently wrapping ranks.
     """
     spark = df.sparkSession
+    if num_range_partitions is None:
+        num_range_partitions = _auto_range_partitions(_plan_size_bytes(df))
     if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
         return _global_row_ranks_pinned(
             df, order_cols, num_range_partitions, rank_col, count_col
         )
     if one_pass is None:
         # cluster deployments flip the strategy without code edits, the
-        # repo's SPARK_GRAFT_* convention (see session.py)
-        one_pass = os.environ.get("SPARK_GRAFT_RANKS_ONE_PASS", "") not in ("", "0")
+        # repo's SPARK_GRAFT_* convention (see session.py); explicit
+        # arguments win, then the env flag, then plan-size dispatch
+        env = os.environ.get("SPARK_GRAFT_RANKS_ONE_PASS", "")
+        if env != "":
+            one_pass = env not in ("0",)
+        else:
+            size = _plan_size_bytes(df)
+            one_pass = size is not None and size >= ONE_PASS_AUTO_BYTES
     if one_pass:
         srt = (
             df.repartitionByRange(num_range_partitions, *order_cols)
@@ -198,35 +383,18 @@ def global_row_ranks(
             F.shiftright("__mid", 33).cast("int").alias("__pid"),
             (F.col("__mid").bitwiseAND((1 << 33) - 1) + 1).alias("__lr"),
         )
+        bound = ONE_PASS_LOCAL_ROWS_BOUND
+        strategy = "one_pass"
     else:
         ranged = df.repartitionByRange(num_range_partitions, *order_cols).withColumn(
             "__pid", F.spark_partition_id()
         )
         w_local = Window.partitionBy("__pid").orderBy(*order_cols)
         local = ranged.withColumn("__lr", F.row_number().over(w_local))
-    cnts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    # windows over the counts table: num_range_partitions ROWS total
-    # (one per partition — bytes, not data: the bound the driver-collect
-    # formulation had). Partitioned by a constant-VALUED column (pid div
-    # nparts == 0 for every valid pid) rather than the empty global
-    # spec, the repo's idiom for a deliberately-tiny window that must
-    # not read as `Exchange SinglePartition` in the plan contracts.
-    cnts = cnts.withColumn("__grp", F.expr(f"__pid div {num_range_partitions}"))
-    w_off = (
-        Window.partitionBy("__grp")
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = (
-        Window.partitionBy("__grp")
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    offs = cnts.select(
-        "__pid",
-        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__c").over(w_tot).alias("__tot"),
-    )
+        bound = WINDOW_LOCAL_ROWS_BOUND
+        strategy = "window"
+    cnts = _guarded_partition_counts(local, bound, strategy)
+    offs = _bounded_offsets(cnts, num_range_partitions)
     return (
         local.join(F.broadcast(offs), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))

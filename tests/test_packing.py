@@ -183,3 +183,131 @@ class TestGlobalRowRanksOneJob:
             for r in global_row_ranks(df, ["v", "id"]).collect()
         }
         assert base == flipped
+
+    def test_range_exchange_reuse_fires_in_final_plan(self, spark):
+        """r8 ADVICE: correctness of the un-pinned shape relies on the
+        range exchange actually being REUSED between the ranked and
+        counts branches (reuse = both branches see identical sampled
+        boundaries, hence identical __pid per row). The config guard
+        alone can't see a reuse regression — this pins it at the plan
+        level: after execution the final adaptive plan must hold exactly
+        ONE live range exchange plus a ReusedExchange pointing at it. A
+        future optimizer change splitting the exchange fails here loudly
+        instead of via probabilistic rank corruption."""
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 311).cast("double").alias("v"), F.col("id")
+        )
+        for one_pass in (False, True):
+            ranked = global_row_ranks(df, ["v", "id"], one_pass=one_pass)
+            ranked.collect()  # finalize the adaptive plan
+            plan = ranked._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            range_lines = [
+                ln for ln in final.splitlines() if "Exchange rangepartitioning" in ln
+            ]
+            live = [ln for ln in range_lines if "ReusedExchange" not in ln]
+            reused = [ln for ln in range_lines if "ReusedExchange" in ln]
+            assert len(live) == 1, (one_pass, final)
+            assert len(reused) >= 1, (one_pass, final)
+
+    def test_partition_count_overflow_guard_fires(self, spark):
+        """r8 ADVICE (medium): the one-pass mono-id decode silently
+        corrupts ranks past 2^33 rows per range partition; the window
+        strategy's int row_number wraps at 2^31. The declarative
+        raise_error guard over per-partition counts must fail loudly —
+        exercised here with an artificially tiny bound."""
+        import pytest
+
+        from etl_complete_with_spark_spark.operators import packing as pk
+
+        df = spark.range(5_000).select(
+            (F.col("id") % 7).cast("double").alias("v"), F.col("id")
+        )
+        ranged = df.repartitionByRange(4, "v", "id").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        guarded = pk._guarded_partition_counts(ranged, 100, "window")
+        with pytest.raises(Exception, match="local-rank bound"):
+            guarded.collect()
+        # real bounds never fire on sane data
+        ok = pk._guarded_partition_counts(
+            ranged, pk.WINDOW_LOCAL_ROWS_BOUND, "window"
+        ).collect()
+        assert sum(r["__c"] for r in ok) == 5_000
+
+    def test_size_aware_one_pass_dispatch(self, spark, monkeypatch):
+        """r8 order 5: with no explicit arg and no env flag, the strategy
+        follows the plan-estimated input size — small inputs keep the
+        window form (no per-session JIT cliff in a 2-run bench), inputs
+        past ONE_PASS_AUTO_BYTES get the one-pass scale form."""
+        from etl_complete_with_spark_spark.operators import packing as pk
+
+        monkeypatch.delenv("SPARK_GRAFT_RANKS_ONE_PASS", raising=False)
+        df = spark.range(5_000).select(
+            (F.col("id") % 17).cast("double").alias("v"), F.col("id")
+        )
+        small = pk.global_row_ranks(df, ["v", "id"])
+        # window strategy's signature: the ENSURE_REQUIREMENTS hash
+        # exchange feeding the per-partition row_number window
+        assert "row_number" in small._jdf.queryExecution().optimizedPlan().toString()
+
+        monkeypatch.setattr(pk, "ONE_PASS_AUTO_BYTES", 1)
+        big = pk.global_row_ranks(df, ["v", "id"])
+        opt = big._jdf.queryExecution().optimizedPlan().toString()
+        assert "monotonically_increasing_id" in opt
+        # both dispatch outcomes are value-identical
+        assert {r["id"]: r["__rank"] for r in small.collect()} == {
+            r["id"]: r["__rank"] for r in big.collect()
+        }
+
+    def test_auto_range_partitions_scale_with_size(self):
+        """r8 ADVICE (medium): the default partition count scales with
+        the estimated input so per-partition rows stay orders of
+        magnitude under the 2^33 / 2^31 local-rank bounds (2^31 rows in
+        one 1 GiB target partition would need sub-half-byte rows)."""
+        from etl_complete_with_spark_spark.operators import packing as pk
+
+        assert pk._auto_range_partitions(None) == 32
+        assert pk._auto_range_partitions(10 << 20) == 32
+        assert pk._auto_range_partitions(1 << 40) == 1024  # 1 TiB -> 1 GiB each
+        assert (
+            pk._auto_range_partitions(100 << 40) == 102400
+        )  # the 100 TB design point
+        assert pk._auto_range_partitions(1 << 60) == pk.MAX_AUTO_RANGE_PARTITIONS
+
+
+class TestPackOneJobShape:
+    """Round-9 pack shape: the doc-offset prefix sum drops the
+    localCheckpoint + driver collect for the same reused-exchange form
+    global_row_ranks uses; the pinned fallback stays value-identical."""
+
+    def test_new_shape_equals_pinned_fallback(self, spark, sf_dir):
+        ch = _chunks(spark, sf_dir)
+        new = {
+            (r.doc_id, r.chunk_idx): (r.chunk_offset, r.shard_id)
+            for r in pack_chunks_into_shards(ch, 512).collect()
+        }
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        try:
+            pinned = {
+                (r.doc_id, r.chunk_idx): (r.chunk_offset, r.shard_id)
+                for r in pack_chunks_into_shards(ch, 512).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.exchange.reuse", "true")
+        assert new == pinned
+
+    def test_doc_offset_range_exchange_reused(self, spark, sf_dir):
+        out = pack_chunks_into_shards(_chunks(spark, sf_dir), shard_tokens=512)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        range_lines = [
+            ln for ln in final.splitlines() if "Exchange rangepartitioning" in ln
+        ]
+        live = [ln for ln in range_lines if "ReusedExchange" not in ln]
+        reused = [ln for ln in range_lines if "ReusedExchange" in ln]
+        assert len(live) == 1, final
+        assert len(reused) >= 1, final
