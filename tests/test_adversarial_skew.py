@@ -1,0 +1,168 @@
+"""Adversarial-skew fixture (round-9 order 8): one key owns 50% of rows.
+
+Runs the join / dedup / rank operator families against a pathologically
+hot key and asserts BOTH value-correctness and the scale mechanism that
+keeps the hot key from serializing into one straggler task:
+
+- AQE skew-join split engages on a forced sort-merge join (plan-level:
+  the final adaptive plan's SMJ is marked ``skew=true`` once the skewed
+  partition crosses the thresholds — lowered here so test-sized data
+  crosses them the way 100 TB data crosses the defaults);
+- aggregation-family skew rides map-side partial aggregation (shuffle
+  moves |groups|, not |rows| — the hot key contributes ONE partial row
+  per map partition);
+- the rank family's range partitioner spreads the hot key's ties across
+  partitions (ranks stay an exact permutation);
+- the salting operator's output is row-identical to the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+HOT = "hot-key"
+N_ROWS = 100_000  # 50k on the hot key, 50k over 5k cold keys (odd ids)
+
+
+def _skewed(spark):
+    """(key, payload) with 50% of rows on one key — deterministic."""
+    return spark.range(N_ROWS).select(
+        F.when(F.col("id") % 2 == 0, F.lit(HOT))
+        .otherwise(F.concat(F.lit("cold-"), (F.col("id") % 10_000).cast("string")))
+        .alias("key"),
+        F.col("id").alias("payload"),
+    )
+
+
+class TestSkewJoinFamily:
+    def test_aqe_skew_split_engages_on_forced_smj(self, spark):
+        """Plan contract: with broadcast disabled (both sides 'large', the
+        100 TB shape) the hot partition must be split by AQE's skew-join
+        handling — the final plan's SortMergeJoin carries skew=true. The
+        session enables skewJoin; only the size thresholds are scaled
+        down so a ~KB test partition registers the way a ~GB partition
+        would under the defaults.
+
+        Two lessons this test encodes (found while building it):
+
+        - the skew rule matches ``SMJ(Sort(ShuffleStage), ...)`` — a side
+          AGGREGATED on the join key contributes its aggregate's
+          exchange (same distribution, no dedicated join shuffle), the
+          child becomes ``Sort(HashAggregate(Stage))``, and the rule
+          does not fire. Pre-aggregated dims must broadcast instead.
+        - skew is detected on COMPRESSED map-output bytes: a hot key
+          whose payload compresses to nothing (repeated literals) can
+          look balanced; the fixture's md5 payload is incompressible.
+        """
+        overrides = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "100",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "800",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "800",
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        try:
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            left = _skewed(spark).withColumn(
+                "payload", F.md5(F.col("payload").cast("string"))
+            )
+            right = spark.range(10_001).select(
+                F.when(F.col("id") == 10_000, F.lit(HOT))
+                .otherwise(F.concat(F.lit("cold-"), F.col("id").cast("string")))
+                .alias("key"),
+                F.col("id").alias("tag"),
+            )
+            joined = left.join(right, "key")
+            # collect() drives joined's OWN query execution, finalizing
+            # the adaptive plan we assert on (count() would plan anew)
+            rows = joined.collect()
+            assert sum(1 for r in rows if r["key"] == HOT) == N_ROWS // 2
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            assert "SortMergeJoin" in final, final
+            assert "skew=true" in final, final
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_salted_join_row_identical_under_hot_key(self, spark):
+        from etl_complete_with_spark_spark.operators.skew import salted_join
+
+        large = _skewed(spark)
+        small = spark.createDataFrame(
+            [(HOT, "h")] + [(f"cold-{i}", f"c{i}") for i in range(100)],
+            "key string, tag string",
+        )
+        plain = large.join(small, "key").groupBy("key", "tag").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("payload").alias("s")
+        )
+        salted = salted_join(large, small, "key", salt_factor=8).groupBy(
+            "key", "tag"
+        ).agg(F.count(F.lit(1)).alias("c"), F.sum("payload").alias("s"))
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+
+class TestSkewAggDedupFamily:
+    def test_exact_dedup_hot_key_rides_partial_aggregation(self, spark):
+        """dropDuplicates/groupBy on the hot key must partial-aggregate
+        map-side: the shuffle carries one row per (map partition, key),
+        so the hot key costs |partitions| shuffled rows, not N/2."""
+        from etl_complete_with_spark_spark import plans as P
+
+        df = _skewed(spark).select("key")  # 50k duplicate rows of HOT
+        dd = df.distinct()
+        # keys-only aggregates carry no `partial_<fn>` marker in the plan
+        # text; map-side combine shows as TWO HashAggregate nodes around
+        # the key exchange (the map-side one collapses the hot key to
+        # one row per map partition before any data moves)
+        plan = P.physical_plan(dd)
+        assert plan.count("HashAggregate") >= 2, plan
+        assert "Exchange hashpartitioning(key" in plan, plan
+        assert dd.count() == 5_001  # hot + 5k cold (odd residues mod 10k)
+
+    def test_latest_per_key_correct_under_hot_key(self, spark):
+        from etl_complete_with_spark_spark.operators.transforms import dedup_by_key
+
+        df = _skewed(spark)
+        out = dedup_by_key(df, ["key"], order_by="payload", descending=True)
+        rows = {r["key"]: r["payload"] for r in out.collect()}
+        assert len(rows) == 5_001
+        assert rows[HOT] == N_ROWS - 2  # highest even id
+
+
+class TestSkewRankFamily:
+    def test_global_ranks_exact_permutation_with_half_tied_order(self, spark):
+        """50% of rows tie on the primary sort key: the range partitioner
+        must spread the tie block across partitions via the tiebreaker
+        (the ordering is total), and ranks stay an exact permutation.
+        Both local-rank strategies."""
+        from etl_complete_with_spark_spark.operators.packing import global_row_ranks
+
+        df = _skewed(spark).select(
+            F.when(F.col("key") == HOT, F.lit(0.0))
+            .otherwise(F.col("payload").cast("double"))
+            .alias("v"),
+            F.col("payload").alias("id"),
+        )
+        for one_pass in (False, True):
+            ranked = global_row_ranks(df, ["v", "id"], one_pass=one_pass)
+            rows = ranked.select("__rank", "__n").collect()
+            assert sorted(r["__rank"] for r in rows) == list(range(1, N_ROWS + 1))
+            assert {r["__n"] for r in rows} == {N_ROWS}
+        # the hot tie-block occupies exactly the first N/2 ranks
+        got = (
+            global_row_ranks(df, ["v", "id"])
+            .filter(F.col("v") == 0.0)
+            .agg(F.max("__rank").alias("mx"), F.count(F.lit(1)).alias("c"))
+            .collect()[0]
+        )
+        assert (got["mx"], got["c"]) == (N_ROWS // 2, N_ROWS // 2)

@@ -1,0 +1,158 @@
+"""Chaos test (round-9 order 8): SIGKILL the driver mid-ResyncPipeline.
+
+The existing crash-resume coverage raises an exception INSIDE the
+process — it cannot produce the torn states an actual dead driver can:
+a slice whose parquet write committed but whose manifest append never
+ran (resume re-extracts it -> duplicate rows in WORK), or in-flight
+task files under ``_temporary``. This test produces those states for
+real: a child process runs the sequential pipeline at sf0.1 (the larger
+local SF), the parent watches the slice manifest and SIGKILLs the whole
+process group mid-window, then a fresh run resumes from the manifest.
+
+The asserted invariant is the one the engine actually promises:
+**TRUSTED after crash+resume+merge is row-identical to TRUSTED from an
+uninterrupted run** — WORK is at-least-once by design (slice re-runs
+can duplicate), and the sk-keyed deterministic merge is what makes the
+end state exactly-once. The resume itself must also skip at least the
+manifest-recorded slices instead of re-extracting the window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_complete_with_spark_spark.lake import Lake
+from etl_complete_with_spark_spark.pipeline import ResyncConfig, ResyncPipeline
+from etl_complete_with_spark_spark.sources import ParquetSource
+
+SF_DIR = "/root/testdata/sf0.1"  # order 8 asks for the larger SF
+BATCH_TS = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+CHILD = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from etl_complete_with_spark_spark.lake import Lake
+    from etl_complete_with_spark_spark.pipeline import ResyncConfig, ResyncPipeline
+    from etl_complete_with_spark_spark.session import get_spark
+    from etl_complete_with_spark_spark.sources import ParquetSource
+
+    cfg = ResyncConfig(namespace="chaos", dataset="events",
+                       partition_column="event_id", mode="int", start=0,
+                       end={end}, amount={amount}, max_retries=2)
+    spark = get_spark(app_name="chaos-child", master="local[4]",
+                      shuffle_partitions=4)
+    src = ParquetSource({events!r}, "event_id")
+    pipe = ResyncPipeline(src, Lake({lake!r}), cfg)
+    pipe.run(spark, parallel=False)
+    spark.stop()
+    """
+)
+
+
+def _cfg(end: int, amount: int) -> ResyncConfig:
+    return ResyncConfig(
+        namespace="chaos",
+        dataset="events",
+        partition_column="event_id",
+        mode="int",
+        start=0,
+        end=end,
+        amount=amount,
+        max_retries=2,
+    )
+
+
+def _manifest_entries(lake_dir: str) -> int:
+    path = os.path.join(
+        lake_dir, "production", "work", "chaos", "events", "_SLICES.json"
+    )
+    try:
+        with open(path) as fh:
+            return len(json.load(fh))
+    except Exception:
+        return 0
+
+
+def _trusted_rows(spark, lake_dir: str, pipe: ResyncPipeline):
+    out = pipe.transform_and_merge(spark, ["event_id"], batch_ts=BATCH_TS)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_sigkill_mid_run_then_resume_matches_uninterrupted(spark, tmp_path):
+    events = os.path.join(SF_DIR, "events.parquet")
+    n_events = spark.read.parquet(events).count()  # 100k, event_id 0..n-1
+    # amount is the ESTIMATED ROWCOUNT feeding the int chunk tier
+    # (slicing.chunk_ids_for_rowcount): 10_000 lands in the 5_000-wide
+    # tier -> ~20 slice jobs, a multi-second kill window
+    amount = 10_000
+    end = n_events
+
+    # ---- reference: uninterrupted run in this session -----------------
+    ref_lake = str(tmp_path / "lake_ref")
+    ref_pipe = ResyncPipeline(
+        ParquetSource(events, "event_id"), Lake(ref_lake), _cfg(end, amount)
+    )
+    ref_pipe.run(spark, parallel=False)
+    ref_rows = _trusted_rows(spark, ref_lake, ref_pipe)
+    assert ref_rows
+
+    # ---- chaos: child process killed mid-window -----------------------
+    chaos_lake = str(tmp_path / "lake_chaos")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "chaos_child.py"
+    script.write_text(
+        CHILD.format(repo=repo, events=events, lake=chaos_lake, end=end,
+                     amount=amount)
+    )
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    child = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # kill the JVM with the driver
+        env=env,
+    )
+    try:
+        deadline = time.time() + 180
+        killed = False
+        while time.time() < deadline:
+            done = _manifest_entries(chaos_lake)
+            if done >= 3:
+                # mid-window: >=3 slices committed, >=1 still to go
+                os.killpg(child.pid, signal.SIGKILL)
+                killed = True
+                break
+            if child.poll() is not None:
+                break
+            time.sleep(0.05)
+        assert killed, "child finished before the kill window (raise slice count)"
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait(timeout=60)
+
+    committed = _manifest_entries(chaos_lake)
+    assert committed >= 3
+
+    # ---- resume in a fresh driver (this session) ----------------------
+    chaos_pipe = ResyncPipeline(
+        ParquetSource(events, "event_id"), Lake(chaos_lake), _cfg(end, amount)
+    )
+    res = chaos_pipe.run(spark, parallel=False)
+    assert res.status == "success"
+    assert len(res.skipped) >= committed  # manifest slices not re-extracted
+
+    # ---- the promise: TRUSTED is exactly-once despite the torn WORK ---
+    chaos_rows = _trusted_rows(spark, chaos_lake, chaos_pipe)
+    assert chaos_rows == ref_rows
