@@ -165,16 +165,10 @@ class Lake:
 
     def _trusted_current(self, spark: SparkSession, namespace: str, dataset: str) -> str | None:
         base = self.path(TRUSTED, namespace, dataset)
-        ptr = os.path.join(base, _POINTER)
-        jvm_path, fs = self._fs(spark, ptr)
-        if not fs.exists(jvm_path):
+        value = self._read_pointer(spark, os.path.join(base, _POINTER))
+        if value is None:
             return None
-        stream = fs.open(jvm_path)
-        try:
-            version = bytes(stream.readAllBytes()).decode().strip()
-        finally:
-            stream.close()
-        return os.path.join(base, version)
+        return os.path.join(base, value.strip())
 
     def read_trusted(
         self,
@@ -321,12 +315,62 @@ class Lake:
         return hadoop_path, fs
 
     def _write_pointer(self, spark: SparkSession, ptr: str, value: str) -> None:
-        jvm_path, fs = self._fs(spark, ptr)
-        out = fs.create(jvm_path, True)
+        """Crash-atomic small-file write (the TRUSTED version pointer and
+        the resync slice manifest both ride this).
+
+        The previous in-place ``fs.create(path, overwrite=True)``
+        TRUNCATES the destination before the bytes land — a driver death
+        in that window left an empty ``_CURRENT`` (TRUSTED unreadable)
+        or a torn ``_SLICES.json`` (``json.loads`` fails on every
+        subsequent resume). Protocol instead: write the full content to
+        a ``.tmp`` sibling, close it, then rename over the destination
+        (one ``rename``; on filesystems whose rename refuses an existing
+        destination, delete-then-rename). :meth:`_read_pointer` falls
+        back to the ``.tmp`` sibling when the destination is missing, so
+        EVERY crash point leaves a readable, complete value:
+
+        - die mid-tmp-write: tmp is torn but the destination is intact
+          (it is only touched after tmp closes) -> reader uses the old
+          value;
+        - die after the HDFS-path delete, before the rename: destination
+          missing, tmp complete -> reader uses the new value;
+        - die any other time: destination holds old or new, complete.
+        """
+        tmp = ptr + ".tmp"
+        jvm_tmp, fs = self._fs(spark, tmp)
+        out = fs.create(jvm_tmp, True)
         try:
             out.write(bytearray(value.encode()))
         finally:
             out.close()
+        jvm_dst, _ = self._fs(spark, ptr)
+        # POSIX-backed local FS renames over the destination atomically;
+        # HDFS rename returns false when the destination exists
+        if not fs.rename(jvm_tmp, jvm_dst):
+            fs.delete(jvm_dst, False)
+            if not fs.rename(jvm_tmp, jvm_dst):
+                raise IOError(f"pointer swap failed: {tmp} -> {ptr}")
+
+    def _read_pointer(self, spark: SparkSession, ptr: str) -> str | None:
+        """Read a :meth:`_write_pointer` file; ``None`` when absent. The
+        ``.tmp`` fallback covers the delete->rename crash window — the
+        tmp sibling is only trusted when the destination is MISSING,
+        which (per the write protocol) implies tmp was fully written."""
+        jvm_path, fs = self._fs(spark, ptr)
+        if fs.exists(jvm_path):
+            stream = fs.open(jvm_path)
+            try:
+                return bytes(stream.readAllBytes()).decode()
+            finally:
+                stream.close()
+        jvm_tmp, fs = self._fs(spark, ptr + ".tmp")
+        if fs.exists(jvm_tmp):
+            stream = fs.open(jvm_tmp)
+            try:
+                return bytes(stream.readAllBytes()).decode()
+            finally:
+                stream.close()
+        return None
 
     def _rm(self, spark: SparkSession, path: str) -> None:
         jvm_path, fs = self._fs(spark, path)

@@ -127,14 +127,14 @@ class ResyncPipeline:
         )
 
     def _read_manifest(self, spark: SparkSession) -> list[list[str]]:
-        path, fs = Lake._fs(spark, self._manifest_path())
-        if not fs.exists(path):
+        # Lake._read_pointer pairs with the crash-atomic _write_pointer:
+        # a driver killed mid-append can never leave a truncated JSON
+        # here (the old torn-manifest state made json.loads fail on
+        # EVERY subsequent resume — a permanent brick)
+        value = self.lake._read_pointer(spark, self._manifest_path())
+        if value is None:
             return []
-        stream = fs.open(path)
-        try:
-            return json.loads(bytes(stream.readAllBytes()).decode())
-        finally:
-            stream.close()
+        return json.loads(value)
 
     def _append_manifest(self, spark: SparkSession, done: list[Interval]) -> None:
         entries = self._read_manifest(spark)

@@ -371,3 +371,91 @@ class TestCdcApply:
 
         plan = P.physical_plan(cdc_apply(self._feed(spark), ["k"]))
         assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+class TestCrashAtomicPointer:
+    """Round-9 chaos follow-up: the TRUSTED version pointer and the slice
+    manifest ride Lake._write_pointer, whose previous in-place
+    create(overwrite=True) TRUNCATED the destination before writing — a
+    driver killed in that window left an empty _CURRENT (TRUSTED
+    unreadable) or a torn _SLICES.json (every later resume crashed in
+    json.loads). The write-tmp-then-rename protocol + tmp-fallback
+    reader must leave a complete old-or-new value at EVERY crash point;
+    these tests lay each crash point's file state down directly."""
+
+    def _ptr(self, tmp_path):
+        return str(tmp_path / "_CURRENT")
+
+    def test_normal_write_leaves_no_tmp_and_reads_back(self, spark, tmp_path):
+        import os
+
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        lake._write_pointer(spark, ptr, "v0")
+        lake._write_pointer(spark, ptr, "v1")  # overwrite path
+        assert lake._read_pointer(spark, ptr) == "v1"
+        assert not os.path.exists(ptr + ".tmp")
+
+    def test_die_mid_tmp_write_keeps_old_value(self, spark, tmp_path):
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        lake._write_pointer(spark, ptr, "v0")
+        # crash point: tmp torn, destination untouched (the protocol only
+        # touches the destination after tmp closes)
+        (tmp_path / "_CURRENT.tmp").write_text('{"torn', encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v0"
+
+    def test_die_between_delete_and_rename_yields_new_value(self, spark, tmp_path):
+        import os
+
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        lake._write_pointer(spark, ptr, "v0")
+        # crash point on an HDFS-like FS: destination deleted, complete
+        # tmp not yet renamed — reader must serve the NEW value
+        (tmp_path / "_CURRENT.tmp").write_text("v1", encoding="utf-8")
+        os.remove(ptr)
+        assert lake._read_pointer(spark, ptr) == "v1"
+
+    def test_trusted_survives_pointer_crash_window(self, spark, tmp_path):
+        import os
+
+        lake = Lake(str(tmp_path))
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t0, ("a", 1))), "ns", "ds"
+        )
+        lake.merge_trusted(
+            spark, spark.createDataFrame(_rows(t1, ("a", 10), ("b", 2))), "ns", "ds"
+        )
+        base = lake.path("trusted", "ns", "ds")
+        ptr = os.path.join(base, "_CURRENT")
+        # delete->rename crash window: only the tmp sibling survives
+        os.rename(ptr, ptr + ".tmp")
+        out = {r.sk: r.v for r in lake.read_trusted(spark, "ns", "ds").collect()}
+        assert out == {"a": 10, "b": 2}
+
+    def test_manifest_resume_survives_torn_tmp(self, spark, tmp_path, sf_dir):
+        """A killed _append_manifest can leave a torn .tmp next to an
+        intact manifest; the next resume must read the intact one
+        instead of crashing (the pre-fix in-place write put the torn
+        bytes in the manifest ITSELF — an unrecoverable resume)."""
+        import json
+        import os
+
+        from etl_complete_with_spark_spark.pipeline import ResyncConfig, ResyncPipeline
+        from etl_complete_with_spark_spark.sources import ParquetSource
+
+        src = ParquetSource(f"{sf_dir}/events.parquet", "event_id")
+        lake = Lake(str(tmp_path / "lake"))
+        cfg = ResyncConfig(
+            namespace="ns", dataset="events", partition_column="event_id",
+            mode="int", start=0, end=3000, amount=1000,
+        )
+        pipe = ResyncPipeline(src, lake, cfg)
+        pipe.run(spark, parallel=False)
+        manifest = pipe._manifest_path()
+        assert len(json.load(open(manifest))) == 3
+        open(manifest + ".tmp", "w").write('[["0", "10')  # torn append
+        res = pipe.run(spark, parallel=False)  # resume: all slices skipped
+        assert res.status == "success" and len(res.skipped) == 3
