@@ -241,12 +241,33 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, num_hashes: int = 16
+    signatures: DataFrame,
+    bands: int = 4,
+    num_hashes: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a MinHash signature table.
 
     Each band's slice of the signature is hashed to a bucket key; docs
     sharing any (band, bucket) become a candidate pair. Distinct pairs out.
+
+    ``max_bucket`` is the adversarial-duplication guard (round 9): a
+    mega-cluster of m byte-identical (or near-identical) documents has
+    identical signatures, lands in ONE bucket in EVERY band, and the
+    bucket self-join emits m²/2 pairs — at m=1e6 that is 5e11 rows, a
+    scale-killer no threshold downstream can undo. Buckets larger than
+    ``max_bucket`` are STAR-CONNECTED instead: the bucket's min-id
+    member becomes the hub and only (hub, member) pairs are emitted —
+    m-1 pairs, and every member remains reachable from every other
+    through the hub, so connected-component dedup produces the SAME
+    clusters as the full clique (property-tested). Unlike the
+    stop-shingle cap in :func:`ngram_jaccard_pairs` (which silently
+    DROPS over-frequent shingles and loses oversized clusters), the
+    star keeps detection. Trade-off: member↔member edges inside an
+    oversized bucket are not emitted pairwise, so consumers that need
+    the explicit pair list (not components) see the star subset.
+    Default ``None`` = exact full-clique behavior (the oracle-parity
+    mode the catalog queries use).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -275,14 +296,34 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
-    a = stacked.select(F.col("id").alias("id1"), "bucket")
-    b = stacked.select(F.col("id").alias("id2"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    if max_bucket is None:
+        a = stacked.select(F.col("id").alias("id1"), "bucket")
+        b = stacked.select(F.col("id").alias("id2"), "bucket")
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+    # one aggregated pass sizes every bucket and picks its hub; the
+    # self-join then runs only on the bounded buckets (its pair stream is
+    # <= max_bucket * |postings|), and oversized buckets contribute m-1
+    # star edges each
+    stats = stacked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("id").alias("__hub")
     )
+    sized = stacked.join(stats, "bucket")
+    small = sized.filter(F.col("__cnt") <= max_bucket)
+    a = small.select(F.col("id").alias("id1"), "bucket")
+    b = small.select(F.col("id").alias("id2"), "bucket")
+    full_pairs = (
+        a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    star_pairs = (
+        sized.filter((F.col("__cnt") > max_bucket) & (F.col("id") != F.col("__hub")))
+        .select(F.col("__hub").alias("id1"), F.col("id").alias("id2"))
+    )
+    return full_pairs.union(star_pairs).distinct()
 
 
 def minhash_dedup_pairs(
@@ -293,19 +334,26 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: LSH candidates verified by estimated
     Jaccard (fraction of agreeing minhashes) >= threshold.
 
     The verify join touches only candidate pairs — the all-pairs matrix is
     never materialized. Returns (id1, id2, est_jaccard).
+
+    ``max_bucket`` (see :func:`lsh_candidate_pairs`) star-connects
+    oversized LSH buckets so a mega-duplicate cluster costs O(m) pairs
+    instead of O(m²); star edges still pass through the est_jaccard
+    verification below. The 100 TB setting is a few thousand; ``None``
+    (default) keeps exact full-clique oracle parity.
     """
     # lazy localCheckpoint, not cache(): see ngram_jaccard_pairs — blocks
     # free with the reference instead of leaking in the CacheManager.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=False
     )
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes, max_bucket)
     s1 = sigs.select(F.col("id").alias("id1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
     s2 = sigs.select(F.col("id").alias("id2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
     agree = sum(

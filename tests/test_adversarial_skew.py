@@ -166,3 +166,85 @@ class TestSkewRankFamily:
             .collect()[0]
         )
         assert (got["mx"], got["c"]) == (N_ROWS // 2, N_ROWS // 2)
+
+
+class TestMegaDuplicateClusterLSH:
+    """Round-9 adversarial-duplication guard: m byte-identical documents
+    share every LSH bucket, and the unbounded bucket self-join emits
+    m²/2 candidate pairs (5e11 at m=1e6 — a scale-killer). max_bucket
+    star-connects oversized buckets: O(m) pairs, same connected
+    components as the full clique."""
+
+    M = 300  # mega-cluster size; full clique would be 44,850 pairs
+
+    def _corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        mega = spark.range(self.M).select(
+            F.format_string("dup-%03d", F.col("id").cast("int")).alias("doc_id"),
+            F.lit(
+                "the same boilerplate page body repeated across the crawl "
+                "with enough tokens to shingle meaningfully over and over"
+            ).alias("text"),
+        )
+        # distinct background docs in their own small buckets
+        bg = spark.range(40).select(
+            F.format_string("bg-%03d", F.col("id").cast("int")).alias("doc_id"),
+            F.concat(
+                F.lit("unique background document number "),
+                F.col("id").cast("string"),
+                F.lit(" with its own words entirely different content "),
+                F.md5(F.col("id").cast("string")),
+            ).alias("text"),
+        )
+        return mega.union(bg)
+
+    def test_star_mode_bounds_pairs_and_preserves_components(self, spark):
+        from etl_complete_with_spark_spark.operators import dedup as D
+        from etl_complete_with_spark_spark.operators.graph import (
+            connected_components,
+        )
+
+        docs = self._corpus(spark)
+        sigs = D.minhash_signatures(docs, num_hashes=16).localCheckpoint(
+            eager=False
+        )
+        capped = D.lsh_candidate_pairs(sigs, bands=4, num_hashes=16, max_bucket=50)
+        rows = capped.collect()
+        dup_pairs = [r for r in rows if r["id1"].startswith("dup-")]
+        # star: exactly m-1 edges for the mega-cluster, all from the hub
+        assert len(dup_pairs) == self.M - 1
+        assert {r["id1"] for r in dup_pairs} == {"dup-000"}
+        # the full clique agrees on the resulting clusters
+        full = D.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+        assert full.filter(
+            full.id1.startswith("dup-")
+        ).count() == self.M * (self.M - 1) // 2
+
+        def comps(pairs):
+            c = connected_components(
+                pairs.select("id1", "id2"),
+                vertices=docs.select(F.col("doc_id")),
+            )
+            out = {}
+            for r in c.collect():
+                out.setdefault(r["component"], set()).add(r["id"])
+            return sorted(map(sorted, out.values()))
+
+        from pyspark.sql import functions as F
+
+        assert comps(capped) == comps(full)
+
+    def test_star_edges_survive_jaccard_verification(self, spark):
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        docs = self._corpus(spark)
+        verified = D.minhash_dedup_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5, max_bucket=50
+        )
+        dup_rows = [
+            r for r in verified.collect() if r["id1"].startswith("dup-")
+        ]
+        # identical docs: every star edge verifies at est_jaccard 1.0
+        assert len(dup_rows) == self.M - 1
+        assert all(r["est_jaccard"] == 1.0 for r in dup_rows)
