@@ -156,3 +156,104 @@ def test_sigkill_mid_run_then_resume_matches_uninterrupted(spark, tmp_path):
     # ---- the promise: TRUSTED is exactly-once despite the torn WORK ---
     chaos_rows = _trusted_rows(spark, chaos_lake, chaos_pipe)
     assert chaos_rows == ref_rows
+
+
+MERGE_CHILD = textwrap.dedent(
+    """
+    import datetime as dt
+    import sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import Row
+    from etl_complete_with_spark_spark.lake import Lake
+    from etl_complete_with_spark_spark.session import get_spark
+
+    spark = get_spark(app_name="chaos-merge-child", master="local[4]",
+                      shuffle_partitions=4)
+    lake = Lake({lake!r})
+    for i in range(200):
+        df = spark.createDataFrame([
+            Row(sk="a", v=i,
+                timestamp_kafka=dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i)),
+        ])
+        lake.merge_trusted(spark, df, "chaos", "kv")
+    spark.stop()
+    """
+)
+
+
+def test_sigkill_mid_merge_leaves_consistent_trusted(spark, tmp_path):
+    """Kill the driver while it is mid-`merge_trusted` (new version dir
+    being written / pointer being swapped). The versioned-parquet merge
+    promises: TRUSTED always reads as SOME complete committed snapshot.
+    The merge batches make torn states self-evident — batch i sets the
+    single key's value to i and lands as version v{{i}} — so after the
+    kill, the value read MUST equal the version the pointer names."""
+    lake_dir = str(tmp_path / "lake_merge")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "merge_child.py"
+    script.write_text(MERGE_CHILD.format(repo=repo, lake=lake_dir))
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    child = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+        env=env,
+    )
+    base = os.path.join(lake_dir, "production", "trusted", "chaos", "kv")
+
+    def versions_on_disk() -> int:
+        try:
+            return sum(
+                1 for d in os.listdir(base)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            return 0
+
+    try:
+        deadline = time.time() + 180
+        killed = False
+        while time.time() < deadline:
+            if versions_on_disk() >= 4:
+                # several merges committed; the next one is in flight —
+                # the kill lands mid-write or mid-swap
+                os.killpg(child.pid, signal.SIGKILL)
+                killed = True
+                break
+            if child.poll() is not None:
+                break
+            time.sleep(0.02)
+        assert killed, "merge child finished before the kill window"
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait(timeout=60)
+
+    from etl_complete_with_spark_spark.lake import Lake
+
+    lake = Lake(lake_dir)
+    # the pointer (or its .tmp sibling) must resolve and the snapshot it
+    # names must be complete: the value equals the version number
+    current = lake._trusted_current(spark, "chaos", "kv")
+    assert current is not None
+    version = int(os.path.basename(current)[1:])
+    rows = lake.read_trusted(spark, "chaos", "kv").collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == version
+    # and the lake remains writable: the next merge lands as usual
+    import datetime as dt_
+
+    from pyspark.sql import Row
+
+    lake.merge_trusted(
+        spark,
+        spark.createDataFrame(
+            [Row(sk="a", v=999, timestamp_kafka=dt_.datetime(2026, 2, 1))]
+        ),
+        "chaos",
+        "kv",
+    )
+    after = lake.read_trusted(spark, "chaos", "kv").collect()
+    assert len(after) == 1 and after[0]["v"] == 999
