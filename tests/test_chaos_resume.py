@@ -257,3 +257,124 @@ def test_sigkill_mid_merge_leaves_consistent_trusted(spark, tmp_path):
     )
     after = lake.read_trusted(spark, "chaos", "kv").collect()
     assert len(after) == 1 and after[0]["v"] == 999
+
+
+STREAM_CHILD = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from etl_complete_with_spark_spark.lake import Lake
+    from etl_complete_with_spark_spark.session import get_spark
+    from etl_complete_with_spark_spark.streaming.ingest import (
+        stream_source, stream_upsert_to_trusted,
+    )
+
+    spark = get_spark(app_name="chaos-stream-child", master="local[4]",
+                      shuffle_partitions=4)
+    stream = stream_source(spark, {src!r}, max_files_per_trigger=1)
+    q = stream_upsert_to_trusted(
+        stream, Lake({lake!r}), "chaos", "events", ["event_id"], {ckpt!r}
+    ).start()
+    q.awaitTermination()
+    """
+)
+
+
+def test_sigkill_mid_stream_then_restart_is_exactly_once(spark, tmp_path):
+    """The streaming leg of the chaos trilogy: SIGKILL the streaming
+    driver mid-micro-batch (merge committed but checkpoint offset not,
+    or vice versa), restart from the SAME checkpoint, drain. Spark
+    replays the in-flight batch; the sk-merge absorbs the replay —
+    TRUSTED must equal the batch pipeline's answer over the same files,
+    with no duplicates and no gaps."""
+    import shutil
+
+    # 12 single-file micro-batches over sf0.1 events
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    events.repartition(12).write.mode("overwrite").parquet(
+        str(tmp_path / "slices")
+    )
+    n = 0
+    for f in sorted((tmp_path / "slices").glob("part-*.parquet")):
+        shutil.copy(f, src_dir / f.name)
+        n += 1
+    assert n == 12
+
+    lake_dir = str(tmp_path / "lake_stream")
+    ckpt = str(tmp_path / "ckpt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "stream_child.py"
+    script.write_text(
+        STREAM_CHILD.format(repo=repo, src=str(src_dir), lake=lake_dir, ckpt=ckpt)
+    )
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    child = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,
+        env=env,
+    )
+    base = os.path.join(lake_dir, "production", "trusted", "chaos", "events")
+
+    def versions() -> int:
+        try:
+            return sum(
+                1 for d in os.listdir(base)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            return 0
+
+    try:
+        deadline = time.time() + 240
+        killed = False
+        while time.time() < deadline:
+            if versions() >= 4:
+                os.killpg(child.pid, signal.SIGKILL)
+                killed = True
+                break
+            if child.poll() is not None:
+                break
+            time.sleep(0.02)
+        assert killed, "stream child drained before the kill window"
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait(timeout=60)
+
+    # restart from the SAME checkpoint in this session; drain and stop
+    from etl_complete_with_spark_spark.lake import Lake as _Lake
+    from etl_complete_with_spark_spark.streaming.ingest import (
+        stream_source,
+        stream_upsert_to_trusted,
+    )
+
+    stream = stream_source(spark, str(src_dir), max_files_per_trigger=1)
+    q = stream_upsert_to_trusted(
+        stream, _Lake(lake_dir), "chaos", "events", ["event_id"], ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    trusted = _Lake(lake_dir).read_trusted(spark, "chaos", "events")
+    # exactly-once per event: batch_ts differs between driver sessions,
+    # so compare on everything EXCEPT the batch timestamp
+    cols = [c for c in trusted.columns if c != "timestamp_kafka"]
+    got = sorted(tuple(r) for r in trusted.select(*cols).collect())
+    from etl_complete_with_spark_spark.operators.transforms import (
+        work_to_trusted_transform,
+    )
+
+    ref = work_to_trusted_transform(
+        spark.read.parquet(str(src_dir)), ["event_id"],
+        deterministic_dedup=True,
+    )
+    want = sorted(tuple(r) for r in ref.select(*cols).collect())
+    assert len(got) == events.count()
+    assert got == want
