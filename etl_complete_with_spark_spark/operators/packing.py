@@ -34,17 +34,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Size-aware strategy dispatch (round 9). The one-pass rank strategy
-# (sortWithinPartitions + monotonic-id decode) wins every measured ruler
-# once the table is big enough for its single-session JIT cliff (~6 CPU s
-# of interpreted executions of one large fused method) to amortize: the
-# 20M-row probe (scale_probe.py global_ranks, ~240 MB of (long, long)
-# rows by plan stats) reads one_pass 5.2 s / 221 shuffled MB vs the
-# window strategy's 7.4 s / 464 MB INCLUDING that cliff. Below ~100 MB
-# the cliff dominates (the sf0.1 catalog inputs are single-digit MB and
-# a 2-run bench records the cliff as steady state), so the dispatch
-# threshold sits between the two regimes: inputs whose Catalyst-estimated
-# size reaches ONE_PASS_AUTO_BYTES get the one-pass form by default.
-ONE_PASS_AUTO_BYTES = 256 << 20
+# (sortWithinPartitions + monotonic-id decode) halves the table movement
+# (range exchange only: 221 vs 464 shuffled MB at the 20M-row probe) and
+# wins steady-state wall 4.2-4.3 s vs the window strategy's 6.5-7.6 s
+# (scale_probe.py global_ranks; plan-estimated input 240,000,000 bytes,
+# interleaved 3x repeats, r9 re-measurement). Its cost is a one-per-
+# session JIT cliff for the large fused codegen method: the FIRST
+# execution in a cold session reads ~11 s wall more than the window
+# form's own first run (26.6 vs 18.1 at the same probe). Break-even for
+# a single-shot cold job is therefore where the steady saving (~2.3 s
+# per 240 MB ≈ 10 s/GiB of input) covers that cliff — about 1 GiB —
+# while warm/repeated sessions break even far lower. The dispatch
+# threshold takes the conservative single-shot number: inputs whose
+# Catalyst-estimated size reaches ONE_PASS_AUTO_BYTES (1 GiB) get the
+# one-pass form by default; anything real at cluster scale is far past
+# it, and the sf0.1 catalog (single-digit-MB rank inputs, 2-run bench
+# that would record the cliff as steady state) stays on the window form.
+ONE_PASS_AUTO_BYTES = 1 << 30
 
 # Auto-scaled range partitioning (round 9, r8 ADVICE): the local-rank
 # encodings bound rows PER RANGE PARTITION — monotonically_increasing_id
@@ -342,13 +348,15 @@ def global_row_ranks(
       ``monotonically_increasing_id`` (the id encodes
       ``partition_id * 2^33 + row_position``; after a partition-local
       sort the position IS the local rank), so the range shuffle is the
-      ONLY time the table moves. Measured at 20M rows (~240 MB) it wins
-      every ruler INCLUDING its own JIT cliff (5.2 vs 7.4 s, 221 vs 464
-      shuffled MB; scale_probe.py global_ranks). Local-rank bound: the
-      id's position field is 33 bits, 2^33 (~8.6B) rows per partition
-      (guarded — and unreachable under auto partition scaling, which
-      would need sub-half-byte rows to pack 2^33 into one
-      RANGE_PARTITION_TARGET_BYTES partition).
+      ONLY time the table moves. Measured at 20M rows (~240 MB): wins
+      steady state 4.2-4.3 vs 6.5-7.6 s wall and halves the shuffle
+      (221 vs 464 MB), at the price of a ~11 s one-per-session cold-JIT
+      cliff on its first execution (scale_probe.py global_ranks; see
+      ONE_PASS_AUTO_BYTES for the break-even arithmetic). Local-rank
+      bound: the id's position field is 33 bits, 2^33 (~8.6B) rows per
+      partition (guarded — and unreachable under auto partition
+      scaling, which would need sub-half-byte rows to pack 2^33 into
+      one RANGE_PARTITION_TARGET_BYTES partition).
 
     Both bounds are enforced by a declarative raise_error over the
     per-partition counts (:func:`_guarded_partition_counts`): an

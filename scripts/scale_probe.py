@@ -156,10 +156,20 @@ def probe_global_ranks(spark, n_rows: int) -> dict:
         mb = None if before is None or after is None else round((after - before) / 1e6, 1)
         return {"wall_s": round(wall, 2), "shuffle_mb": mb}
 
+    from etl_complete_with_spark_spark.operators.packing import _plan_size_bytes
+
     return {
         "probe": "global_ranks", "n_rows": n_rows,
+        # the round-9 size-aware dispatch input: what this probe table's
+        # Catalyst size estimate is, i.e. the number the ONE_PASS_AUTO_BYTES
+        # threshold is judged against
+        "plan_size_bytes": _plan_size_bytes(base()),
         "one_pass": timed_build(lambda: global_row_ranks(base(), ["v", "id"], one_pass=True)),
-        "default_window": timed_build(lambda: global_row_ranks(base(), ["v", "id"])),
+        # one_pass=False explicitly: since round 9 the bare call dispatches
+        # by plan size and would take the one-pass path at probe scale
+        "default_window": timed_build(
+            lambda: global_row_ranks(base(), ["v", "id"], one_pass=False)
+        ),
         "pinned_checkpoint": timed_build(
             lambda: _global_row_ranks_pinned(base(), ["v", "id"], 32, "__rank", "__n")
         ),
