@@ -199,20 +199,37 @@ def pack_chunks_into_shards(
     partition id) and per-partition totals both consume the SAME range
     exchange (AQE stage reuse), with the cumulative offsets coming from
     the bounded tiny window over the one-row-per-partition totals table
-    and broadcast back. No driver collect, no localCheckpoint copy of
-    the doc-totals table (the retired shape pinned it and collected one
-    row per partition to the driver; kept as the fallback when
-    ``spark.sql.exchange.reuse`` is off). ``num_range_partitions=None``
-    scales the partition count with the plan-estimated input size
+    and broadcast back. No driver collect, no localCheckpoint of the
+    doc-TOTALS table (the retired shape pinned it and collected one row
+    per partition to the driver; kept as the fallback when
+    ``spark.sql.exchange.reuse`` is off).
+
+    The chunk INPUT stream is lazily checkpointed: it has two consumers
+    (the doc-totals aggregate and the chunk-level join/window stream),
+    and without the pin each consumer re-runs the upstream corpus scan
+    plus the chunking explode — at 100 TB the second corpus pass is the
+    dominant waste, while the chunk table itself is narrow (id, idx,
+    token count), so the pinned copy costs ~nothing (the r8 pagerank
+    input-checkpoint precedent; a window-based single-scan alternative
+    was tried and REJECTED: column pruning diverges the two consumers'
+    subtrees below the would-be shared exchange, the scan still ran
+    twice, and the doc-totals side shuffled #chunks narrow rows instead
+    of per-doc partials). ``num_range_partitions=None`` scales the
+    partition count with the plan-estimated input size
     (RANGE_PARTITION_TARGET_BYTES per partition).
     """
     spark = chunks.sparkSession
+    reuse = str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "true"
+    if reuse:
+        # two consumers below (doc totals + chunk stream): pin the narrow
+        # chunk table so the corpus scan + chunking explode run ONCE
+        chunks = chunks.localCheckpoint(eager=False)
     doc_tot = chunks.groupBy(doc_col).agg(
         F.sum(token_col).cast("long").alias("doc_tokens")
     )
     if num_range_partitions is None:
         num_range_partitions = _auto_range_partitions(_plan_size_bytes(doc_tot))
-    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() != "true":
+    if not reuse:
         doc_off = _doc_offsets_pinned(doc_tot, doc_col, num_range_partitions)
     else:
         ranged = doc_tot.repartitionByRange(
