@@ -27,12 +27,11 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # by the local gate (``scripts/oracle_check.py``, all 164 queries).
 #
 # ROUND 7: the r01∪…∪r06 union covers all 164 pre-round-7 queries.  The one
-# Round-9 window (VERDICT r8 order 4): every catalog query has >= 2
-# driver-green records after r8, so all 48 free slots go to the
-# 2-record backlog, earliest-recorded round first per the committed
-# policy (registration order as the tiebreak) — the evidence floor
-# keeps rising toward >= 3 records everywhere (the union stays
-# 165/165).
+# Round-10 window (VERDICT r9 order 2): the r9 rotation recorded a third
+# green row for 48 of the 2-record queries; the 61-query 2-record backlog
+# shrinks again this round — all 48 free slots go to the remaining
+# least-recorded queries, earliest-recorded round first per the committed
+# policy (registration order as the tiebreak).  The union stays 165/165.
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
 # was computed from (scripts/rotate_window.py prints it alongside the
@@ -40,58 +39,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 8
+WINDOW_GENERATED_AFTER = 9
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "dedup_semantic_cluster",  # 2 row(s), first r02
-    "pack_training_shards",  # 2 row(s), first r02
-    "fuzzy_match_part_names",  # 2 row(s), first r02
-    "jsonl_roundtrip_orders",  # 2 row(s), first r02
-    "ann_ivf_topk",  # 2 row(s), first r03
-    "decontaminate_ngram_overlap",  # 2 row(s), first r03
-    "sample_token_budget_mix",  # 2 row(s), first r03
-    "stream_static_enrich",  # 2 row(s), first r03
-    "orc_roundtrip_orders",  # 2 row(s), first r03
-    "udtf_token_runs",  # 2 row(s), first r03
-    "bpe_top_pairs",  # 2 row(s), first r03
-    "rollup_revenue_by_nation_region",  # 2 row(s), first r03
-    "running_revenue_per_customer",  # 2 row(s), first r03
-    "left_outer_order_counts",  # 2 row(s), first r03
-    "anti_join_customers_without_orders",  # 2 row(s), first r03
-    "orders_above_customer_avg",  # 2 row(s), first r03
-    "agg_approx_accuracy",  # 2 row(s), first r03
-    "semi_join_priority_orders",  # 2 row(s), first r03
-    "case_agg_priority_split",  # 2 row(s), first r03
-    "top10_orders_global",  # 2 row(s), first r03
-    "unpivot_event_matrix",  # 2 row(s), first r03
-    "part_name_search",  # 2 row(s), first r03
-    "stats_price_quantity",  # 2 row(s), first r03
-    "rolling_24h_user_value",  # 2 row(s), first r03
-    "gapfill_hourly_counts",  # 2 row(s), first r03
-    "grouping_sets_revenue",  # 2 row(s), first r03
-    "zorder_morton_codes",  # 2 row(s), first r03
-    "dq_orders_expectations",  # 2 row(s), first r03
-    "dq_fk_orphan_events",  # 2 row(s), first r03
-    "scd2_customer_versions",  # 2 row(s), first r03
-    "order_price_distribution",  # 2 row(s), first r03
-    "q3_shipping_priority",  # 2 row(s), first r03
-    "q22_idle_rich_customers",  # 2 row(s), first r03
-    "order_burst_components",  # 2 row(s), first r03
-    "variant_props_stats",  # 2 row(s), first r03
-    "q8_market_share",  # 2 row(s), first r03
-    "q18_large_volume_customers",  # 2 row(s), first r03
-    "dedup_cluster_keep_star",  # 2 row(s), first r04
-    "ann_tiled_topk",  # 2 row(s), first r04
-    "sample_weighted_quality",  # 2 row(s), first r04
-    "text_gopher_rules",  # 2 row(s), first r04
-    "ann_pq_topk",  # 2 row(s), first r04
-    "heavy_hitter_tokens",  # 2 row(s), first r04
-    "pagerank_suppliers",  # 2 row(s), first r04
-    "stream_sessionize",  # 2 row(s), first r04
-    "corpus_dup_ngram_profile",  # 2 row(s), first r04
-    "dedup_containment",  # 2 row(s), first r04
-    "knn_label_vote",  # 2 row(s), first r04
+    "bm25_doc_search",  # 2 row(s), first r04
+    "kmeans_embeddings_int",  # 2 row(s), first r04
+    "agg_approx_stats",  # 2 row(s), first r04
+    "sketch_merge_daily_users",  # 2 row(s), first r04
+    "supplier_balance_by_nation",  # 2 row(s), first r04
+    "orders_monthly_rollup",  # 2 row(s), first r04
+    "embedding_vector_stats",  # 2 row(s), first r04
+    "first_last_event_per_user",  # 2 row(s), first r04
+    "funnel_signup_click_purchase",  # 2 row(s), first r04
+    "table_diff_customer_batches",  # 2 row(s), first r04
+    "calendar_dim",  # 2 row(s), first r04
+    "histogram_order_prices",  # 2 row(s), first r04
+    "skew_key_profile_events",  # 2 row(s), first r04
+    "cohort_weekly_retention",  # 2 row(s), first r04
+    "rfm_customer_segments",  # 2 row(s), first r04
+    "markov_event_transitions",  # 2 row(s), first r04
+    "cdc_apply_orders",  # 2 row(s), first r04
+    "sketch_countmin_users",  # 2 row(s), first r04
+    "triangle_coorder_parts",  # 2 row(s), first r04
+    "sketch_quantile_bottomk",  # 2 row(s), first r04
+    "ewma_user_value",  # 2 row(s), first r04
+    "stream_quantile_sketch",  # 2 row(s), first r04
+    "q5_local_supplier_volume",  # 2 row(s), first r04
+    "q6_forecast_revenue",  # 2 row(s), first r04
+    "q7_volume_shipping",  # 2 row(s), first r04
+    "q9_product_profit",  # 2 row(s), first r04
+    "q10_returned_items",  # 2 row(s), first r04
+    "q13_customer_distribution",  # 2 row(s), first r04
+    "q14_promo_revenue",  # 2 row(s), first r04
+    "q15_top_supplier",  # 2 row(s), first r04
+    "q16_supplier_variety",  # 2 row(s), first r04
+    "q17_small_qty_revenue",  # 2 row(s), first r04
+    "q19_discount_revenue_bands",  # 2 row(s), first r04
+    "q20_excess_shippers",  # 2 row(s), first r04
+    "q2_min_cost_supplier",  # 2 row(s), first r04
+    "q11_important_stock",  # 2 row(s), first r04
+    "q21_suppliers_kept_waiting",  # 2 row(s), first r04
+    "golden_record_parts",  # 2 row(s), first r05
+    "sparse_tfidf_cosine_pairs",  # 2 row(s), first r05
+    "pyds_synthetic_rollup",  # 2 row(s), first r05
+    "mixture_kl_by_source",  # 2 row(s), first r05
+    "hits_customer_supplier",  # 2 row(s), first r05
+    "debounce_events",  # 2 row(s), first r05
+    "robust_outlier_prices",  # 2 row(s), first r05
+    "top_event_trigrams",  # 2 row(s), first r05
+    "kcore_coorder_parts",  # 2 row(s), first r05
+    "bfs_coorder_parts",  # 2 row(s), first r05
+    "item_cooccurrence_similarity",  # 2 row(s), first r05
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has

@@ -375,44 +375,182 @@ def _cpu_confirm(names: list[str]) -> dict[str, float | None]:
     out: dict[str, float | None] = {}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-cpu-confirm", extra_conf=_UI_CONF)
-
-    def measure(name: str) -> float | None:
-        fn = QUERIES[name]
-        for warm in _confirm_prewarm(name):
-            # unmeasured: materializes the shared subtree checkpoint the
-            # catalog baseline run inherited from an earlier same-segment
-            # group member (see CPU_CONFIRM_SHARED_CACHES)
-            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        before = _quiesced_totals(spark)
-        for _ in range(2):
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        after = _quiesced_totals(spark)
-        if before is None or after is None:
-            return None
-        return round((after[4] - before[4]) / 2 / 1e9, 2)
-
     try:
-        for wq in (CPU_CONFIRM_WARMUP, CPU_CONFIRM_WARMUP_PY):
-            try:
-                QUERIES[wq](spark, sf_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-            except Exception:
-                pass
+        _confirm_session_warmup(spark, sf_dir)
         for ctl in CPU_CONFIRM_CONTROLS:
             try:
-                out[f"__control__{ctl}"] = measure(ctl)
+                out[f"__control__{ctl}"] = _measure_cpu_one(spark, ctl, sf_dir)
             except Exception:
                 out[f"__control__{ctl}"] = None
         for name in names:
             try:
-                out[name] = measure(name)
+                out[name] = _measure_cpu_one(spark, name, sf_dir)
             except Exception:  # the confirm pass must never fail the bench
                 out[name] = None
     finally:
         spark.stop()
+    return out
+
+
+def _confirm_session_warmup(spark, sf_dir: str) -> None:
+    """Unmeasured session-JIT warmup: one JVM-codegen query plus one
+    Python-boundary query (daemon fork + Arrow serializer JIT)."""
+    for wq in (CPU_CONFIRM_WARMUP, CPU_CONFIRM_WARMUP_PY):
+        try:
+            QUERIES[wq](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+
+def _measure_cpu_one(spark, name: str, sf_dir: str) -> float | None:
+    """Catalog-methodology CPU re-time of one query: two runs INCLUDING
+    the first (per-query codegen lands in run 1, as mid-segment in the
+    catalog), executorCpuTime delta over quiesced UI totals, halved."""
+    fn = QUERIES[name]
+    for warm in _confirm_prewarm(name):
+        # unmeasured: materializes the shared subtree checkpoint the
+        # catalog baseline run inherited from an earlier same-segment
+        # group member (see CPU_CONFIRM_SHARED_CACHES)
+        QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    before = _quiesced_totals(spark)
+    for _ in range(2):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    after = _quiesced_totals(spark)
+    if before is None or after is None:
+        return None
+    return round((after[4] - before[4]) / 2 / 1e9, 2)
+
+
+# -- Two-strike escalation (round-10, per r9 VERDICT order 3) -----------
+# r9 retired three per-query gate flags on single calibrated confirms;
+# r8's pack_training_shards episode proved a single confirm can mis-read
+# (one sample adjudicated "box noise" at +98.9%; the interleaved ABAB
+# later measured the same plan in band). Policy: every flag is recorded
+# in a persistent ledger keyed by the baseline it was judged against; a
+# query flagged AGAIN — in a later round (new baseline) or a second time
+# on the same baseline — is never settled by the single confirm, it
+# escalates automatically to the interleaved ABAB protocol below
+# (scripts/ab_pack_shards.py is the template).
+FLAG_HISTORY_FILE = "bench_flag_history.json"
+ABAB_REPS = 3
+
+
+def _flag_history_path() -> str:
+    override = os.environ.get("SPARK_GRAFT_FLAG_HISTORY")
+    if override:
+        return override
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), FLAG_HISTORY_FILE)
+
+
+def _load_flag_history() -> dict:
+    try:
+        with open(_flag_history_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _prior_strikes(history: dict, q: str, baseline_round) -> int:
+    """Strikes already on record for ``q`` BEFORE this run: a flag under
+    any other baseline counts once; prior flags under THIS baseline count
+    via their recorded repeat count."""
+    n = 0
+    for row in history.get(q, []):
+        if row.get("baseline_round") == baseline_round:
+            n += row.get("count", 1)
+        else:
+            n += 1
+    return n
+
+
+def _record_flag_history(history: dict, regressions: dict, baseline_round) -> None:
+    """Append this run's flags to the ledger: one row per
+    (query, baseline_round); a repeat flag on the same baseline bumps
+    ``count`` (the 'twice on the same baseline' strike)."""
+    if not regressions:
+        return
+    for q, r in regressions.items():
+        rows = history.setdefault(q, [])
+        for row in rows:
+            if row.get("baseline_round") == baseline_round:
+                row["count"] = row.get("count", 1) + 1
+                row["verdict"] = r.get("verdict")
+                row["pct"] = r.get("pct")
+                break
+        else:
+            rows.append(
+                {
+                    "baseline_round": baseline_round,
+                    "count": 1,
+                    "verdict": r.get("verdict"),
+                    "pct": r.get("pct"),
+                }
+            )
+    try:
+        with open(_flag_history_path(), "w") as f:
+            json.dump(history, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # an unwritable ledger must never fail the bench
+
+
+def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
+    """Interleaved ABAB re-time for repeat-flagged queries: in ONE fresh
+    session (same warmups/methodology as `_cpu_confirm`), each rep times
+    the candidate then BOTH controls back-to-back, reps alternating so
+    box drift within the session hits candidate and ruler alike. Each
+    rep's control ratio calibrates that rep's candidate reading; the
+    MEDIAN calibrated value adjudicates — robust where the single
+    confirm was not. Returns per-name evidence for the artifact."""
+    out: dict[str, dict] = {n: {"samples_s": [], "calibrated_s": []} for n in names}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cpu_baseline.json")
+        ) as f:
+            base_q = json.load(f).get("executor_cpu_sec_per_run", {})
+    except Exception:
+        base_q = {}
+    spark = get_spark(app_name="bench-cpu-abab", extra_conf=_UI_CONF)
+    try:
+        _confirm_session_warmup(spark, sf_dir)
+        lo, hi = CPU_CONFIRM_CAL_CLAMP
+        for _rep in range(reps):
+            for name in names:
+                try:
+                    sample = _measure_cpu_one(spark, name, sf_dir)
+                except Exception:
+                    sample = None
+                ratios = []
+                for ctl in CPU_CONFIRM_CONTROLS:
+                    prev = base_q.get(ctl)
+                    try:
+                        conf = _measure_cpu_one(spark, ctl, sf_dir)
+                    except Exception:
+                        conf = None
+                    if conf is not None and prev:
+                        ratios.append(conf / prev)
+                cal = (
+                    min(max(sum(ratios) / len(ratios), lo), hi) if ratios else None
+                )
+                out[name]["samples_s"].append(sample)
+                out[name]["calibrated_s"].append(
+                    round(sample / cal, 2)
+                    if sample is not None and cal
+                    else (sample if sample is not None else None)
+                )
+    finally:
+        spark.stop()
+    for name in names:
+        vals = sorted(v for v in out[name]["calibrated_s"] if v is not None)
+        out[name]["reps"] = reps
+        out[name]["median_calibrated_s"] = (
+            vals[len(vals) // 2] if vals else None
+        )
     return out
 
 
@@ -592,6 +730,7 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
             if conf is not None and prev:
                 lo, hi = CPU_CONFIRM_CAL_CLAMP
                 control_detail[ctl] = {"baseline_s": prev, "confirm_s": conf,
+                                       "present": True,
                                        "ratio": round(conf / prev, 3),
                                        # a control outside the very band
                                        # the calibration clamps to is not
@@ -599,6 +738,15 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
                                        # artifact says so explicitly
                                        "in_band": lo <= conf / prev <= hi}
                 ratios.append(conf / prev)
+            else:
+                # a configured control that produced no reading (confirm
+                # returned None, or the rotated baseline lacks its row)
+                # must appear EXPLICITLY — silently dropping it made the
+                # health check below pass vacuously on exactly the
+                # degraded sessions it exists to catch (r9 ADVICE)
+                control_detail[ctl] = {"baseline_s": prev, "confirm_s": conf,
+                                       "present": False,
+                                       "ratio": None, "in_band": None}
         if ratios:
             lo, hi = CPU_CONFIRM_CAL_CLAMP
             calibration = round(min(max(sum(ratios) / len(ratios), lo), hi), 3)
@@ -616,6 +764,45 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
                 regressions[q]["verdict"] = "reverted-on-confirm (box noise)"
             else:
                 regressions[q]["verdict"] = "confirmed"
+
+    # Two-strike escalation (r9 VERDICT order 3): a query already on the
+    # flag ledger — flagged in a prior round, or earlier this round on
+    # the same baseline — must not be settled by the single confirm
+    # again. It re-times under the interleaved ABAB protocol and the
+    # MEDIAN calibrated reading adjudicates; the full evidence lands in
+    # the regression row. Exempt queries carry their written note and
+    # are not re-litigated.
+    history = _load_flag_history()
+    baseline_round = base.get("round")
+    if regressions:
+        repeat = [
+            q
+            for q in regressions
+            if q not in CPU_GATE_EXEMPT
+            and _prior_strikes(history, q, baseline_round) >= 1
+        ]
+        if repeat:
+            abab = _cpu_abab(repeat)
+            for q in repeat:
+                ev = abab.get(q) or {}
+                regressions[q]["strikes_prior"] = _prior_strikes(
+                    history, q, baseline_round
+                )
+                regressions[q]["abab"] = ev
+                med = ev.get("median_calibrated_s")
+                prev = base_q[q]
+                if med is None:
+                    # instrumentation gap: keep flagged
+                    regressions[q]["verdict"] = "confirmed (abab unreadable)"
+                elif med - prev <= CPU_GATE_ABS_FLOOR_S or (
+                    prev and (med - prev) / prev * 100.0 <= CPU_GATE_PCT
+                ):
+                    regressions[q]["verdict"] = (
+                        "reverted-on-abab (box noise, two-strike)"
+                    )
+                else:
+                    regressions[q]["verdict"] = "confirmed (abab)"
+        _record_flag_history(history, regressions, baseline_round)
     common = [q for q in executor_cpu if q in base_q]
     cur_total = round(sum(norm(executor_cpu[q]) for q in common), 1)
     cur_total_raw = round(sum(executor_cpu[q] for q in common), 1)
@@ -664,9 +851,11 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
         "confirm_calibration": calibration,
         "confirm_controls": control_detail,
         # False when ANY co-timed control read outside the calibration
-        # clamp band — the confirm pass's own health check (r8 order 3)
+        # clamp band OR never reported at all (a missing control is a
+        # degraded confirm session, not a pass) — the confirm pass's own
+        # health check (r8 order 3, tightened per r9 ADVICE)
         "confirm_controls_in_band": (
-            all(d["in_band"] for d in control_detail.values())
+            all(d["in_band"] is True for d in control_detail.values())
             if control_detail
             else None
         ),
@@ -676,7 +865,7 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
             q
             for q, r in regressions.items()
             if q not in CPU_GATE_EXEMPT
-            and r.get("verdict") != "reverted-on-confirm (box noise)"
+            and not str(r.get("verdict", "")).startswith("reverted-on-")
         ),
     }
 

@@ -23,6 +23,7 @@ through normal Spark parallelism — no driver-side data movement.
 from __future__ import annotations
 
 import os
+import zlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -289,7 +290,7 @@ class Lake:
                 self._write_delta(out, base)
                 for v in self.trusted_versions(spark, namespace, dataset):
                     self._rm(spark, os.path.join(base, f"v{v}"))
-                self._rm(spark, os.path.join(base, _POINTER))
+                self._rm_pointer(spark, os.path.join(base, _POINTER))
             else:
                 self._write_delta(df, base)
             return
@@ -327,20 +328,27 @@ class Lake:
         (one ``rename``; on filesystems whose rename refuses an existing
         destination, delete-then-rename). :meth:`_read_pointer` falls
         back to the ``.tmp`` sibling when the destination is missing, so
-        EVERY crash point leaves a readable, complete value:
+        EVERY crash point leaves a readable value or a clean ``None``:
 
         - die mid-tmp-write: tmp is torn but the destination is intact
           (it is only touched after tmp closes) -> reader uses the old
-          value;
+          value.  On the FIRST-EVER write there is no old value — the
+          torn tmp fails its frame check and the reader returns None
+          (fresh-table semantics), never the torn bytes;
         - die after the HDFS-path delete, before the rename: destination
-          missing, tmp complete -> reader uses the new value;
+          missing, tmp complete and frame-valid -> reader uses the new
+          value;
         - die any other time: destination holds old or new, complete.
+
+        The content is framed (``#ptr1 <len> <crc32>`` header line) so a
+        partially written tmp is DETECTABLY incomplete — the fallback
+        reader only ever trusts a tmp whose frame validates.
         """
         tmp = ptr + ".tmp"
         jvm_tmp, fs = self._fs(spark, tmp)
         out = fs.create(jvm_tmp, True)
         try:
-            out.write(bytearray(value.encode()))
+            out.write(bytearray(self._frame(value).encode()))
         finally:
             out.close()
         jvm_dst, _ = self._fs(spark, ptr)
@@ -351,28 +359,84 @@ class Lake:
             if not fs.rename(jvm_tmp, jvm_dst):
                 raise IOError(f"pointer swap failed: {tmp} -> {ptr}")
 
+    _FRAME_MAGIC = "#ptr1 "
+
+    @classmethod
+    def _frame(cls, value: str) -> str:
+        """Self-verifying envelope for pointer files: one header line
+        carrying the payload byte length and CRC32, then the payload.
+        Lets the reader distinguish a COMPLETE file from a torn one —
+        the property the tmp-fallback path needs on first-ever writes,
+        where there is no intact destination to fall back on."""
+        payload = value.encode()
+        return f"{cls._FRAME_MAGIC}{len(payload)} {zlib.crc32(payload):08x}\n{value}"
+
+    @classmethod
+    def _unframe(cls, content: bytes) -> str | None:
+        """Payload when the frame validates; ``None`` for torn, truncated
+        or unframed content."""
+        if not content.startswith(cls._FRAME_MAGIC.encode()):
+            return None
+        head, sep, payload = content.partition(b"\n")
+        if not sep:
+            return None
+        parts = head.split()
+        if len(parts) != 3:
+            return None
+        try:
+            length, crc = int(parts[1]), int(parts[2], 16)
+        except ValueError:
+            return None
+        if len(payload) != length or zlib.crc32(payload) != crc:
+            return None
+        return payload.decode()
+
+    @staticmethod
+    def _read_bytes(fs, jvm_path) -> bytes:
+        stream = fs.open(jvm_path)
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+
     def _read_pointer(self, spark: SparkSession, ptr: str) -> str | None:
-        """Read a :meth:`_write_pointer` file; ``None`` when absent. The
-        ``.tmp`` fallback covers the delete->rename crash window — the
-        tmp sibling is only trusted when the destination is MISSING,
-        which (per the write protocol) implies tmp was fully written."""
+        """Read a :meth:`_write_pointer` file; ``None`` when absent.
+
+        The destination is only ever installed by renaming a CLOSED tmp,
+        so it is complete whenever it exists: a valid frame yields its
+        payload, and unframed content is returned verbatim (pre-frame
+        writer compatibility).  A framed-but-invalid destination means
+        corruption outside the write protocol -> loud IOError.
+
+        The ``.tmp`` fallback covers the delete->rename crash window —
+        and, unlike the destination, a tmp MAY be torn (driver died
+        mid-write), so it is trusted only when its frame validates.
+        A torn or unframed tmp with no destination reads as None
+        (fresh-table / empty-manifest semantics), never as torn bytes."""
         jvm_path, fs = self._fs(spark, ptr)
         if fs.exists(jvm_path):
-            stream = fs.open(jvm_path)
-            try:
-                return bytes(stream.readAllBytes()).decode()
-            finally:
-                stream.close()
+            content = self._read_bytes(fs, jvm_path)
+            value = self._unframe(content)
+            if value is not None:
+                return value
+            if content.startswith(self._FRAME_MAGIC.encode()):
+                raise IOError(f"corrupt pointer frame: {ptr}")
+            return content.decode()
         jvm_tmp, fs = self._fs(spark, ptr + ".tmp")
         if fs.exists(jvm_tmp):
-            stream = fs.open(jvm_tmp)
-            try:
-                return bytes(stream.readAllBytes()).decode()
-            finally:
-                stream.close()
+            return self._unframe(self._read_bytes(fs, jvm_tmp))
         return None
 
     def _rm(self, spark: SparkSession, path: str) -> None:
         jvm_path, fs = self._fs(spark, path)
         if fs.exists(jvm_path):
             fs.delete(jvm_path, True)
+
+    def _rm_pointer(self, spark: SparkSession, ptr: str) -> None:
+        """Remove a pointer AND its ``.tmp`` sibling.  Now that
+        :meth:`_read_pointer` resurrects values from the tmp sibling, a
+        crash-leftover tmp surviving a pointer removal would make the
+        reader serve a stale version path (e.g. after the Delta
+        migration deletes the v*/ dirs)."""
+        self._rm(spark, ptr)
+        self._rm(spark, ptr + ".tmp")

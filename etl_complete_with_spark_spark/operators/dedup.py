@@ -240,11 +240,31 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*aggs)
 
 
+# Size-aware default for the LSH mega-bucket guard (round 10, per r9
+# VERDICT order 4): buckets at or below this stay exact full-clique;
+# larger ones star-connect. 4096 keeps the worst per-bucket self-join
+# under ~8M pairs while any real near-dup cluster the catalog's toy and
+# sf0.1 corpora produce is orders of magnitude smaller — so "auto" is
+# byte-identical to the clique on every oracle path, and a production
+# caller who never heard of the flag still cannot hit the m²/2 blow-up.
+LSH_MAX_BUCKET_AUTO = 4096
+
+
+def _resolve_max_bucket(max_bucket: int | str | None) -> int | None:
+    """``"auto"`` -> :data:`LSH_MAX_BUCKET_AUTO`; ``None``/``0`` -> exact
+    full-clique (the explicit oracle-parity override); ints pass through."""
+    if max_bucket == "auto":
+        return LSH_MAX_BUCKET_AUTO
+    if not max_bucket:
+        return None
+    return int(max_bucket)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     num_hashes: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a MinHash signature table.
 
@@ -259,16 +279,28 @@ def lsh_candidate_pairs(
     ``max_bucket`` are STAR-CONNECTED instead: the bucket's min-id
     member becomes the hub and only (hub, member) pairs are emitted —
     m-1 pairs, and every member remains reachable from every other
-    through the hub, so connected-component dedup produces the SAME
-    clusters as the full clique (property-tested). Unlike the
-    stop-shingle cap in :func:`ngram_jaccard_pairs` (which silently
+    through the hub. On the CANDIDATE graph (this function's output),
+    connected components are therefore identical to the full clique's
+    (property-tested). NOTE the equivalence is pre-verification
+    connectivity only: a consumer that filters these edges further
+    (e.g. :func:`minhash_dedup_pairs`'s est_jaccard threshold) judges
+    each star edge individually, and for a NEAR-identical (not
+    byte-identical) mega-cluster a member whose hub edge fails the
+    filter drops out even though some member↔member clique edge would
+    have kept it connected — for identical-signature clusters every
+    star edge verifies at 1.0 and the clusters match exactly. Unlike
+    the stop-shingle cap in :func:`ngram_jaccard_pairs` (which silently
     DROPS over-frequent shingles and loses oversized clusters), the
     star keeps detection. Trade-off: member↔member edges inside an
     oversized bucket are not emitted pairwise, so consumers that need
     the explicit pair list (not components) see the star subset.
-    Default ``None`` = exact full-clique behavior (the oracle-parity
-    mode the catalog queries use).
+
+    Default ``"auto"`` applies the guard above
+    :data:`LSH_MAX_BUCKET_AUTO` (the production default — r9 VERDICT
+    order 4); pass ``None``/``0`` for exact full-clique behavior (the
+    explicit oracle-parity mode).
     """
+    max_bucket = _resolve_max_bucket(max_bucket)
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
@@ -334,7 +366,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: LSH candidates verified by estimated
     Jaccard (fraction of agreeing minhashes) >= threshold.
@@ -344,9 +376,16 @@ def minhash_dedup_pairs(
 
     ``max_bucket`` (see :func:`lsh_candidate_pairs`) star-connects
     oversized LSH buckets so a mega-duplicate cluster costs O(m) pairs
-    instead of O(m²); star edges still pass through the est_jaccard
-    verification below. The 100 TB setting is a few thousand; ``None``
-    (default) keeps exact full-clique oracle parity.
+    instead of O(m²). Star edges still pass through the est_jaccard
+    verification below INDIVIDUALLY — for byte-identical mega-clusters
+    every hub edge verifies at 1.0 and the post-verification clusters
+    equal the clique's, but for near-identical clusters a member whose
+    hub edge falls below ``threshold`` is dropped even where a
+    member↔member clique edge would have connected it (the guard trades
+    that recall sliver for the O(m²) bound; property-tested both ways).
+    Default ``"auto"`` guards above :data:`LSH_MAX_BUCKET_AUTO` — the
+    production setting; pass ``None``/``0`` for exact full-clique
+    semantics at any bucket size.
     """
     # lazy localCheckpoint, not cache(): see ngram_jaccard_pairs — blocks
     # free with the reference instead of leaking in the CacheManager.
@@ -354,10 +393,30 @@ def minhash_dedup_pairs(
         eager=False
     )
     cands = lsh_candidate_pairs(sigs, bands, num_hashes, max_bucket)
-    s1 = sigs.select(F.col("id").alias("id1"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
-    s2 = sigs.select(F.col("id").alias("id2"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    return verify_est_jaccard(cands, sigs, num_hashes, threshold)
+
+
+def verify_est_jaccard(
+    cands: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate (id1, id2) pairs against the signature table:
+    est_jaccard = fraction of agreeing minhashes, filtered at
+    ``threshold``. Each edge is judged individually — see the star-mode
+    caveat on :func:`minhash_dedup_pairs`."""
+    s1 = signatures.select(
+        F.col("id").alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    s2 = signatures.select(
+        F.col("id").alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
     agree = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
     )
     return (
         cands.join(s1, "id1")

@@ -248,3 +248,77 @@ class TestMegaDuplicateClusterLSH:
         # identical docs: every star edge verifies at est_jaccard 1.0
         assert len(dup_rows) == self.M - 1
         assert all(r["est_jaccard"] == 1.0 for r in dup_rows)
+
+    def test_auto_default_equals_clique_below_threshold(self, spark):
+        """Round-10 (r9 VERDICT order 4): the guard is now the DEFAULT —
+        "auto" star-connects only above LSH_MAX_BUCKET_AUTO, so on any
+        corpus whose buckets stay below it (every oracle path) the
+        default is byte-identical to the explicit full clique."""
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        docs = self._corpus(spark)  # mega-bucket of 300 << 4096
+        sigs = D.minhash_signatures(docs, num_hashes=16).localCheckpoint(
+            eager=False
+        )
+        auto = D.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+        clique = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=None
+        )
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, clique.collect())
+        )
+        # ...and 0 is the documented explicit clique override too
+        assert D._resolve_max_bucket(0) is None
+        assert D._resolve_max_bucket(None) is None
+        assert D._resolve_max_bucket("auto") == D.LSH_MAX_BUCKET_AUTO
+        assert D._resolve_max_bucket(50) == 50
+
+    def _near_dup_signatures(self, spark, m=60):
+        """Hand-built signature table for the documented star-mode
+        divergence: one oversized band-0 bucket holding a min-id OUTLIER
+        (agrees with everyone on band 0 only: est 4/16) plus m members
+        that mutually agree on 10 of 16 hashes (est 0.625) but share NO
+        complete band other than band 0 — so the members' only path to
+        each other in star mode is through the outlier hub."""
+        rows = []
+        base = {f"mh_{i}": i + 1 for i in range(16)}
+        rows.append({"id": "a-000", **{k: v for k, v in base.items()}})
+        # outlier's mh_4..15 unique to it
+        for i in range(4, 16):
+            rows[0][f"mh_{i}"] = 1000 + i
+        for j in range(1, m + 1):
+            r = {"id": f"m-{j:03d}", **dict(base)}
+            # bands 1..3: first two hashes shared, last two unique per
+            # member -> band hash differs -> no shared bucket
+            for b in (1, 2, 3):
+                r[f"mh_{4 * b + 2}"] = 5000 + 100 * b + j
+                r[f"mh_{4 * b + 3}"] = 6000 + 100 * b + j
+            rows.append(r)
+        return spark.createDataFrame(rows)
+
+    def test_near_dup_mega_cluster_divergence_documented(self, spark):
+        """r9 ADVICE: star-mode components equal the clique's only
+        PRE-verification. With a near-identical (not byte-identical)
+        mega-bucket, every star edge goes through the min-id hub and is
+        judged alone: here all hub edges fail the 0.5 threshold, so the
+        verified star output is EMPTY while the clique keeps all
+        member<->member pairs at 0.625. This test pins the documented
+        trade-off (the docstrings qualify the equivalence claim)."""
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        sigs = self._near_dup_signatures(spark).localCheckpoint(eager=False)
+        star_cands = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=50
+        )
+        rows = star_cands.collect()
+        # one oversized band-0 bucket -> hub = min id = the outlier
+        assert {r["id1"] for r in rows} == {"a-000"} and len(rows) == 60
+        star_verified = D.verify_est_jaccard(star_cands, sigs, 16, 0.5)
+        assert star_verified.count() == 0  # every hub edge reads 4/16
+        clique_cands = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=None
+        )
+        clique_verified = D.verify_est_jaccard(clique_cands, sigs, 16, 0.5)
+        got = clique_verified.collect()
+        assert len(got) == 60 * 59 // 2
+        assert all(r["est_jaccard"] == 0.625 for r in got)

@@ -22,7 +22,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: E402
+
 import bench  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_flag_ledger(monkeypatch, tmp_path):
+    """Every gate call records flags into the two-strike ledger and a
+    repeat flag escalates to the (Spark-touching) ABAB pass — point the
+    ledger at a per-test tmp file and stub the ABAB so unit tests stay
+    pure arithmetic. Tests that assert ABAB semantics override the stub."""
+    monkeypatch.setenv("SPARK_GRAFT_FLAG_HISTORY", str(tmp_path / "flags.json"))
+    monkeypatch.setattr(
+        bench,
+        "_cpu_abab",
+        lambda names, reps=bench.ABAB_REPS: {
+            n: {"samples_s": [], "calibrated_s": [], "reps": 0,
+                "median_calibrated_s": None}
+            for n in names
+        },
+    )
 
 
 def _baseline() -> dict[str, float]:
@@ -463,3 +483,156 @@ def test_degraded_memory_box_rescales_comparison():
     assert g["box_factor"] == 1.3
     assert g["violations"] == []
     assert abs(g["total_pct"]) < 1.5 and abs(g["median_pct"]) < 1.5
+
+
+# -- Two-strike ABAB escalation (round-10, per r9 VERDICT order 3) -------
+
+
+def _flag_one(base, q, confirm_ratio=1.05):
+    """A catalog run flagging ``q`` at 2x with a confirm session reading
+    controls at baseline and the candidate at ``confirm_ratio``."""
+    cur = dict(base)
+    cur[q] = round(base[q] * 2.0, 2)
+    confirm = {f"__control__{c}": base[c] for c in bench.CPU_CONFIRM_CONTROLS}
+    confirm[q] = round(base[q] * confirm_ratio, 2)
+    return cur, confirm
+
+
+def test_first_flag_settles_on_single_confirm_and_records_strike(monkeypatch):
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur, confirm = _flag_one(base, big)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    g = bench._cpu_gate(cur)
+    # no prior strike -> single-confirm adjudication, no ABAB evidence
+    assert g["regressions"][big]["verdict"] == "reverted-on-confirm (box noise)"
+    assert "abab" not in g["regressions"][big]
+    ledger = json.load(open(os.environ["SPARK_GRAFT_FLAG_HISTORY"]))
+    assert ledger[big][0]["count"] == 1
+
+
+def test_second_flag_same_baseline_escalates_to_abab(monkeypatch):
+    """r8's pack episode: a single confirm can mis-read. A query flagged
+    twice on the same baseline must NOT be retired on another single
+    confirm — the interleaved ABAB median adjudicates."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur, confirm = _flag_one(base, big)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    bench._cpu_gate(cur)  # strike 1 recorded
+
+    abab_calls = []
+
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        abab_calls.append(list(names))
+        return {n: {"samples_s": [base[n]] * 3,
+                    "calibrated_s": [round(base[n] * r, 2) for r in (0.98, 1.03, 1.01)],
+                    "reps": 3,
+                    "median_calibrated_s": round(base[n] * 1.01, 2)}
+                for n in names}
+
+    monkeypatch.setattr(bench, "_cpu_abab", fake_abab)
+    g = bench._cpu_gate(cur)  # strike 2: must escalate
+    assert abab_calls == [[big]]
+    row = g["regressions"][big]
+    assert row["strikes_prior"] >= 1
+    assert row["abab"]["median_calibrated_s"] is not None
+    assert row["verdict"] == "reverted-on-abab (box noise, two-strike)"
+    assert big not in g["violations"]
+    # both strikes are on the ledger now
+    ledger = json.load(open(os.environ["SPARK_GRAFT_FLAG_HISTORY"]))
+    assert ledger[big][0]["count"] == 2
+
+
+def test_prior_round_strike_escalates_immediately(monkeypatch):
+    """A flag recorded under a PREVIOUS baseline (consecutive-round
+    repeat) escalates on the very first flag of the new round."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
+        json.dump({big: [{"baseline_round": -1, "count": 1,
+                          "verdict": "reverted-on-confirm (box noise)",
+                          "pct": 40.0}]}, f)
+    cur, confirm = _flag_one(base, big)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        return {n: {"samples_s": [], "calibrated_s": [], "reps": 3,
+                    "median_calibrated_s": round(base[n] * 1.02, 2)}
+                for n in names}
+
+    monkeypatch.setattr(bench, "_cpu_abab", fake_abab)
+    g = bench._cpu_gate(cur)
+    assert g["regressions"][big]["verdict"] == (
+        "reverted-on-abab (box noise, two-strike)"
+    )
+
+
+def test_abab_confirms_real_regression_as_violation(monkeypatch):
+    base = _baseline()
+    big = max(base, key=base.get)
+    with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
+        json.dump({big: [{"baseline_round": -1, "count": 1,
+                          "verdict": "confirmed", "pct": 60.0}]}, f)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        return {n: {"samples_s": [], "calibrated_s": [], "reps": 3,
+                    "median_calibrated_s": round(base[n] * 1.9, 2)}
+                for n in names}
+
+    monkeypatch.setattr(bench, "_cpu_abab", fake_abab)
+    g = bench._cpu_gate(cur)
+    assert g["regressions"][big]["verdict"] == "confirmed (abab)"
+    assert big in g["violations"]
+
+
+def test_abab_instrumentation_gap_stays_flagged(monkeypatch):
+    """An unreadable ABAB (UI totals unavailable in every rep) must keep
+    the repeat flag a violation, never hide it."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
+        json.dump({big: [{"baseline_round": -1, "count": 1,
+                          "verdict": "confirmed", "pct": 60.0}]}, f)
+    cur, confirm = _flag_one(base, big)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    # autouse stub already returns median None
+    g = bench._cpu_gate(cur)
+    assert g["regressions"][big]["verdict"] == "confirmed (abab unreadable)"
+    assert big in g["violations"]
+
+
+def test_repo_ledger_seeded_with_r9_watchlist():
+    """The three queries r9 retired on single confirms must escalate on
+    any r10 re-flag — the committed ledger carries their r9 strike."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, bench.FLAG_HISTORY_FILE)) as f:
+        ledger = json.load(f)
+    for q in ("corpus_dup_ngram_profile", "order_burst_components",
+              "order_price_distribution"):
+        assert any(row["baseline_round"] == 9 for row in ledger[q]), q
+
+
+def test_missing_control_reading_fails_health_check(monkeypatch):
+    """r9 ADVICE: a configured control that never reported used to be
+    silently dropped from control_detail, letting the health check pass
+    vacuously on exactly the degraded sessions it exists to catch."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    ctl_ok, ctl_missing = bench.CPU_CONFIRM_CONTROLS
+
+    def fake_confirm(names):
+        out = {f"__control__{ctl_ok}": base[ctl_ok] * 1.02,
+               f"__control__{ctl_missing}": None}
+        out.update({n: cur[n] for n in names})
+        return out
+
+    monkeypatch.setattr(bench, "_cpu_confirm", fake_confirm)
+    g = bench._cpu_gate(cur)
+    assert g["confirm_controls"][ctl_missing]["present"] is False
+    assert g["confirm_controls"][ctl_missing]["in_band"] is None
+    assert g["confirm_controls_in_band"] is False

@@ -77,8 +77,11 @@ def _manifest_entries(lake_dir: str) -> int:
         lake_dir, "production", "work", "chaos", "events", "_SLICES.json"
     )
     try:
-        with open(path) as fh:
-            return len(json.load(fh))
+        with open(path, "rb") as fh:
+            content = fh.read()
+        # the manifest rides Lake._write_pointer's self-verifying frame
+        value = Lake._unframe(content)
+        return len(json.loads(value if value is not None else content.decode()))
     except Exception:
         return 0
 

@@ -412,10 +412,59 @@ class TestCrashAtomicPointer:
         ptr = self._ptr(tmp_path)
         lake._write_pointer(spark, ptr, "v0")
         # crash point on an HDFS-like FS: destination deleted, complete
-        # tmp not yet renamed — reader must serve the NEW value
-        (tmp_path / "_CURRENT.tmp").write_text("v1", encoding="utf-8")
+        # (frame-valid) tmp not yet renamed — reader must serve the NEW
+        # value
+        (tmp_path / "_CURRENT.tmp").write_text(Lake._frame("v1"), encoding="utf-8")
         os.remove(ptr)
         assert lake._read_pointer(spark, ptr) == "v1"
+
+    def test_torn_tmp_on_first_ever_write_reads_as_absent(self, spark, tmp_path):
+        """r9 ADVICE (medium): on the FIRST-EVER write there is no old
+        destination to fall back on — a driver killed mid-tmp-write used
+        to leave torn bytes the reader returned as authoritative (a torn
+        first _SLICES.json bricked every resume in json.loads). The
+        frame check must reject the torn tmp -> None (fresh-table
+        semantics)."""
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        # every truncation prefix of a framed payload must read as absent
+        full = Lake._frame('[["0", "1000"]]')
+        for cut in range(len(full)):
+            (tmp_path / "_CURRENT.tmp").write_text(full[:cut], encoding="utf-8")
+            assert lake._read_pointer(spark, ptr) is None, f"cut={cut}"
+
+    def test_legacy_unframed_destination_still_reads(self, spark, tmp_path):
+        """Pre-frame writers left raw payloads in the destination; the
+        reader keeps returning those verbatim (the destination is only
+        ever installed complete, so no validation is needed there)."""
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        (tmp_path / "_CURRENT").write_text("v7", encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v7"
+
+    def test_corrupt_framed_destination_raises(self, spark, tmp_path):
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        (tmp_path / "_CURRENT").write_text(
+            Lake._frame("v1")[:-1], encoding="utf-8"
+        )
+        with pytest.raises(IOError):
+            lake._read_pointer(spark, ptr)
+
+    def test_rm_pointer_removes_tmp_sibling(self, spark, tmp_path):
+        """r9 ADVICE (low): the Delta migration removes v*/ dirs and the
+        pointer but used to leave a crash-leftover .tmp behind — which
+        the tmp-fallback reader would then resurrect as a path to the
+        just-deleted version data."""
+        import os
+
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        lake._write_pointer(spark, ptr, "v0")
+        (tmp_path / "_CURRENT.tmp").write_text(Lake._frame("v0"), encoding="utf-8")
+        lake._rm_pointer(spark, ptr)
+        assert not os.path.exists(ptr) and not os.path.exists(ptr + ".tmp")
+        assert lake._read_pointer(spark, ptr) is None
 
     def test_trusted_survives_pointer_crash_window(self, spark, tmp_path):
         import os
@@ -455,7 +504,7 @@ class TestCrashAtomicPointer:
         pipe = ResyncPipeline(src, lake, cfg)
         pipe.run(spark, parallel=False)
         manifest = pipe._manifest_path()
-        assert len(json.load(open(manifest))) == 3
+        assert len(json.loads(Lake._unframe(open(manifest, "rb").read()))) == 3
         open(manifest + ".tmp", "w").write('[["0", "10')  # torn append
         res = pipe.run(spark, parallel=False)  # resume: all slices skipped
         assert res.status == "success" and len(res.skipped) == 3
