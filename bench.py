@@ -507,6 +507,11 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
     confirm was not. Returns per-name evidence for the artifact."""
     out: dict[str, dict] = {n: {"samples_s": [], "calibrated_s": []} for n in names}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # odd rep count: the FIRST rep of a fresh session reads hot (per-query
+    # codegen + residual session JIT the warmup queries didn't touch —
+    # measured 2x on a 1.7 s query) and the median of an odd sample set
+    # outvotes it; an even count would let vals[len//2] land ON it
+    reps = reps if reps % 2 else reps + 1
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -519,21 +524,29 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
     try:
         _confirm_session_warmup(spark, sf_dir)
         lo, hi = CPU_CONFIRM_CAL_CLAMP
-        for _rep in range(reps):
+
+        def timed(name: str) -> float | None:
+            try:
+                return _measure_cpu_one(spark, name, sf_dir)
+            except Exception:
+                return None
+
+        for rep in range(reps):
             for name in names:
-                try:
-                    sample = _measure_cpu_one(spark, name, sf_dir)
-                except Exception:
-                    sample = None
-                ratios = []
-                for ctl in CPU_CONFIRM_CONTROLS:
-                    prev = base_q.get(ctl)
-                    try:
-                        conf = _measure_cpu_one(spark, ctl, sf_dir)
-                    except Exception:
-                        conf = None
-                    if conf is not None and prev:
-                        ratios.append(conf / prev)
+                # true interleave: candidate-then-controls on even reps,
+                # controls-then-candidate on odd ones, so session drift
+                # and warmth hit candidate and ruler symmetrically
+                if rep % 2 == 0:
+                    sample = timed(name)
+                    ctl_conf = {c: timed(c) for c in CPU_CONFIRM_CONTROLS}
+                else:
+                    ctl_conf = {c: timed(c) for c in CPU_CONFIRM_CONTROLS}
+                    sample = timed(name)
+                ratios = [
+                    conf / base_q[ctl]
+                    for ctl, conf in ctl_conf.items()
+                    if conf is not None and base_q.get(ctl)
+                ]
                 cal = (
                     min(max(sum(ratios) / len(ratios), lo), hi) if ratios else None
                 )
