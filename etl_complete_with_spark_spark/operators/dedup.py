@@ -337,14 +337,21 @@ def lsh_candidate_pairs(
             .select("id1", "id2")
             .distinct()
         )
-    # one aggregated pass sizes every bucket and picks its hub; the
-    # self-join then runs only on the bounded buckets (its pair stream is
+    # size every bucket and pick its hub with ONE window over the bucket
+    # exchange (count/min over the whole partition) — the r10-open
+    # groupBy-stats + join shape spent three extra exchanges and cost the
+    # now-default guard +48% CPU on the catalog query; the window keeps
+    # the guard's toy-SF price inside measurement noise. The self-join
+    # then runs only on the bounded buckets (its pair stream is
     # <= max_bucket * |postings|), and oversized buckets contribute m-1
-    # star edges each
-    stats = stacked.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("__cnt"), F.min("id").alias("__hub")
+    # star edges each. Partitioned by bucket, never a global window.
+    w = Window.partitionBy("bucket")
+    sized = stacked.select(
+        "id",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.min("id").over(w).alias("__hub"),
     )
-    sized = stacked.join(stats, "bucket")
     small = sized.filter(F.col("__cnt") <= max_bucket)
     a = small.select(F.col("id").alias("id1"), "bucket")
     b = small.select(F.col("id").alias("id2"), "bucket")
