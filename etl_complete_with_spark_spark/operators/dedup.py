@@ -708,6 +708,7 @@ def incremental_neardup_filter(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | str | None = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an already-ingested corpus.
 
@@ -721,7 +722,24 @@ def incremental_neardup_filter(
     Returns ``(kept_new_docs, kept_signatures)``. Within-batch near-dups
     are also collapsed (lowest id wins) so a batch can't smuggle in two
     copies of a novel document.
+
+    ``max_bucket`` (round 10) extends the adversarial mega-duplicate
+    guard to continual ingest, where the blow-ups are (a) a stored
+    mega-cluster: |batch-bucket| x |corpus-bucket| probe rows per band
+    (b x m — at m=1e6 stored near-identical docs every matching new doc
+    drags a million-row probe), and (b) a duplicate-heavy batch: the
+    within-batch self-join's m²/2. Guarded form: the corpus side of the
+    probe keeps only the ``max_bucket`` LOWEST-id members per bucket
+    (identical-signature members are interchangeable for verification,
+    so detection is unchanged for exact dup families; a near-identical
+    doc matching ONLY an unsampled member escapes — the same bounded
+    recall trade the star mode documents), and the within-batch pass
+    reuses :func:`lsh_candidate_pairs`'s clique-below/star-above
+    switch, which preserves the keep-lowest semantics (every member is
+    verified against the bucket's min-id hub). ``None``/``0`` restores
+    the unbounded exact behavior at any bucket size.
     """
+    cap = _resolve_max_bucket(max_bucket)
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, n, num_hashes
     ).localCheckpoint(eager=False)
@@ -733,7 +751,9 @@ def incremental_neardup_filter(
     # CacheManager forever; checkpoint blocks free with the reference.
     corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
 
-    def banded(sigs: DataFrame, side: str) -> DataFrame:
+    def banded(
+        sigs: DataFrame, side: str, cap_members: int | None = None
+    ) -> DataFrame:
         rows_per_band = num_hashes // bands
         cols = [
             F.md5(
@@ -758,6 +778,15 @@ def incremental_neardup_filter(
                 )
             ).alias("bucket"),
         )
+        if cap_members:
+            # per-bucket representative sample, lowest ids (deterministic):
+            # bounds the probe join at cap * |batch postings| rows
+            w = Window.partitionBy("bucket").orderBy("id")
+            stacked = (
+                stacked.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cap_members)
+                .drop("__rn")
+            )
         return stacked.withColumnRenamed("id", f"{side}_id")
 
     agree = sum(
@@ -777,22 +806,20 @@ def incremental_neardup_filter(
             .distinct()
         )
 
-    # vs the stored corpus
+    # vs the stored corpus (corpus side bounded to cap reps per bucket)
     cand_old = (
         banded(new_sigs, "new")
-        .join(banded(corpus_signatures, "old"), "bucket")
+        .join(banded(corpus_signatures, "old", cap), "bucket")
         .select("new_id", "old_id")
         .distinct()
     )
     dup_vs_corpus = verify(cand_old, new_sigs, corpus_signatures)
 
-    # within the new batch (keep the lowest id of each near-dup pair)
-    cand_new = (
-        banded(new_sigs, "new")
-        .join(banded(new_sigs, "old"), "bucket")
-        .filter(F.col("new_id") > F.col("old_id"))
-        .select("new_id", "old_id")
-        .distinct()
+    # within the new batch (keep the lowest id of each near-dup pair):
+    # ride the guarded pair generator — clique below cap, min-id-hub star
+    # above, which is exactly keep-lowest (id1 is always the smaller id)
+    cand_new = lsh_candidate_pairs(new_sigs, bands, num_hashes, cap).select(
+        F.col("id2").alias("new_id"), F.col("id1").alias("old_id")
     )
     dup_in_batch = verify(cand_new, new_sigs, new_sigs)
 
