@@ -851,6 +851,7 @@ def blocked_fuzzy_pairs(
     col: str,
     block: Column | None = None,
     max_distance: int = 3,
+    max_block: int | str | None = "auto",
 ) -> DataFrame:
     """Entity-resolution join: value pairs within ``max_distance`` edits.
 
@@ -859,12 +860,22 @@ def blocked_fuzzy_pairs(
     comparisons to candidates that share it — the classic entity-
     resolution trade (recall bounded by blocking quality, cost bounded by
     block size). One shuffle on the block key; Levenshtein runs JVM-side
-    (``F.levenshtein``) on the blocked pairs only. Skewed blocks are the
-    known hazard: cap or split hot blocks the same way
-    ngram_jaccard_pairs caps hot shingles.
+    (``F.levenshtein``) on the blocked pairs only.
+
+    Skewed blocks are the known hazard — a key shared by m distinct
+    values (every company name ending in "inc") makes the self-join
+    m²/2. ``max_block`` (round 10, default ``"auto"`` = the shared
+    adversarial threshold) DROPS blocks above the cap, the stop-shingle
+    trade: a blocking key hit by thousands of distinct values carries no
+    discriminative signal, and unlike the LSH star-connect there is no
+    hub shortcut here (edit distance is per-pair, not transitive), so
+    dropping beats emitting a quadratic block. Callers with a hot-key
+    corpus should supply a finer ``block`` expression (e.g. first token
+    + length bucket); ``None``/``0`` keeps every block at any size.
 
     Returns (v1, v2, distance) over DISTINCT values, v1 < v2.
     """
+    cap = _resolve_max_bucket(max_block)
     if block is None:
         block = F.element_at(F.split(F.col(col), " "), -1)
     # compute the block key BEFORE renaming so a caller-supplied ``block``
@@ -874,6 +885,16 @@ def blocked_fuzzy_pairs(
         .withColumn("blk", block)
         .withColumnRenamed(col, "v")
     )
+    if cap:
+        # one window over the block exchange (see lsh_candidate_pairs:
+        # cheaper than a stats aggregate joined back)
+        vals = (
+            vals.withColumn(
+                "__cnt", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+            )
+            .filter(F.col("__cnt") <= cap)
+            .drop("__cnt")
+        )
     a = vals.select(F.col("v").alias("v1"), "blk")
     b = vals.select(F.col("v").alias("v2"), "blk")
     return (

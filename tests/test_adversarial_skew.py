@@ -408,3 +408,35 @@ class TestIncrementalIngestMegaDuplicate:
             batch, corpus_sigs, max_bucket=10
         )
         assert kept.count() == 0  # all five are stored-body copies
+
+
+class TestHotBlockFuzzyMatch:
+    """Round-10: blocked_fuzzy_pairs documented its hot-block hazard but
+    did not guard it. max_block drops oversized blocks (the stop-shingle
+    trade — no hub shortcut exists for per-pair edit distance), bounded
+    and parity-identical below the cap."""
+
+    def test_hot_block_dropped_small_blocks_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        hot = spark.range(80).select(
+            F.format_string("brand %03d corp", F.col("id").cast("int")).alias("name")
+        )  # 80 distinct values, one "corp" block
+        cold = spark.createDataFrame(
+            [("acme ltd",), ("acme1 ltd",), ("zenith gmbh",)], ["name"]
+        )
+        df = hot.union(cold)
+        guarded = D.blocked_fuzzy_pairs(df, "name", max_distance=2, max_block=50)
+        got = sorted(map(tuple, guarded.collect()))
+        # the hot block is gone; the small block's pair survives intact
+        assert got == [("acme ltd", "acme1 ltd", 1)]
+        # unbounded mode keeps the hot block's quadratic pair list
+        full = D.blocked_fuzzy_pairs(df, "name", max_distance=2, max_block=None)
+        assert full.count() > len(got)
+        # auto default == unbounded below the threshold
+        auto = D.blocked_fuzzy_pairs(df, "name", max_distance=2)
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, full.collect())
+        )
