@@ -547,8 +547,14 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
                     for ctl, conf in ctl_conf.items()
                     if conf is not None and base_q.get(ctl)
                 ]
-                cal = (
-                    min(max(sum(ratios) / len(ratios), lo), hi) if ratios else None
+                # same in-band-only rule as the confirm pass (see
+                # _cpu_gate): an out-of-band control poisons the rep's
+                # calibration; all-out falls back to the clamped mean
+                in_band = [r for r in ratios if lo <= r <= hi]
+                pool = in_band or ratios
+                cal = min(max(sum(pool) / len(pool), lo), hi) if pool else None
+                out[name].setdefault("control_ratios", []).append(
+                    [round(r, 3) for r in ratios]
                 )
                 out[name]["samples_s"].append(sample)
                 out[name]["calibrated_s"].append(
@@ -762,7 +768,19 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
                                        "ratio": None, "in_band": None}
         if ratios:
             lo, hi = CPU_CONFIRM_CAL_CLAMP
-            calibration = round(min(max(sum(ratios) / len(ratios), lo), hi), 3)
+            # a control reading outside the clamp band is not measuring
+            # session offset (its own in_band field says so) — averaging
+            # it in poisons the calibration. Observed r10: under a
+            # degraded-memory box the scan-bound control read 1.22x while
+            # the exchange-bound one read 0.53x (cache-friendly in a
+            # quiet session); the mean 0.88 INFLATED an in-band mem-bound
+            # candidate into a phantom confirm. Use only in-band control
+            # ratios; if EVERY control is out of band fall back to the
+            # clamped mean (keeps the r7 all-controls-fast anti-masking
+            # behavior).
+            in_band_ratios = [r for r in ratios if lo <= r <= hi]
+            pool = in_band_ratios or ratios
+            calibration = round(min(max(sum(pool) / len(pool), lo), hi), 3)
         for q, conf in confirmed.items():
             if conf is None:
                 regressions[q]["confirm_s"] = None  # instrumentation gap: keep flagged

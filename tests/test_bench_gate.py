@@ -636,3 +636,41 @@ def test_missing_control_reading_fails_health_check(monkeypatch):
     assert g["confirm_controls"][ctl_missing]["present"] is False
     assert g["confirm_controls"][ctl_missing]["in_band"] is None
     assert g["confirm_controls_in_band"] is False
+
+
+def test_out_of_band_control_excluded_from_calibration(monkeypatch):
+    """r10 field finding: under a degraded-memory box the scan-bound
+    control read 1.22x baseline while the exchange-bound one read 0.53x
+    (cache-friendly in a quiet session); their MEAN (0.88) inflated an
+    in-band mem-bound candidate into a phantom ABAB confirm. Out-of-band
+    control readings are excluded from the calibration (they are not
+    measuring session offset — their own in_band field says so); the
+    health check still reports the session degraded."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    ctl_a, ctl_b = bench.CPU_CONFIRM_CONTROLS
+    confirm = {f"__control__{ctl_a}": round(base[ctl_a] * 1.22, 3),  # in band
+               f"__control__{ctl_b}": round(base[ctl_b] * 0.53, 3)}  # out
+    confirm[big] = round(base[big] * 1.25, 2)  # slow-box raw, in band once divided
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert 1.21 <= g["confirm_calibration"] <= 1.23  # not the 0.88 mean
+    assert g["regressions"][big]["verdict"] == "reverted-on-confirm (box noise)"
+    assert g["confirm_controls_in_band"] is False
+
+
+def test_all_controls_out_of_band_keeps_clamped_mean(monkeypatch):
+    """The r7 anti-masking case must survive the in-band-only rule: when
+    EVERY control reads out of band (all-fast quiet session), the clamped
+    mean still applies and a genuinely regressed candidate is confirmed."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    cur = dict(base)
+    cur[big] = round(base[big] * 2.0, 2)
+    ctl = bench.CPU_CONFIRM_CONTROLS
+    confirm = {f"__control__{c}": round(base[c] * 0.5, 3) for c in ctl}
+    confirm[big] = round(base[big] * 1.4, 2)
+    g = _gate_with_confirm(monkeypatch, cur, confirm)
+    assert g["confirm_calibration"] == bench.CPU_CONFIRM_CAL_CLAMP[0]
+    assert g["regressions"][big]["verdict"] == "confirmed"
