@@ -26,11 +26,10 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # catalog entries follow in registration order and are still fully covered
 # by the local gate (``scripts/oracle_check.py``, all 164 queries).
 #
-# ROUND 7: the r01∪…∪r06 union covers all 164 pre-round-7 queries.  The one
-# Round-10 window (VERDICT r9 order 2): the r9 rotation recorded a third
-# green row for 48 of the 2-record queries; the 61-query 2-record backlog
-# shrinks again this round — all 48 free slots go to the remaining
-# least-recorded queries, earliest-recorded round first per the committed
+# Round-11 window (VERDICT r10 order 1): the 13 queries still holding only
+# 2 green records take the first free slots — this rotation closes the
+# evidence floor at 3 everywhere.  The remaining 35 slots start the
+# fourth-record pass, earliest-recorded round first per the committed
 # policy (registration order as the tiebreak).  The union stays 165/165.
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
@@ -39,58 +38,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 9
+WINDOW_GENERATED_AFTER = 10
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "bm25_doc_search",  # 2 row(s), first r04
-    "kmeans_embeddings_int",  # 2 row(s), first r04
-    "agg_approx_stats",  # 2 row(s), first r04
-    "sketch_merge_daily_users",  # 2 row(s), first r04
-    "supplier_balance_by_nation",  # 2 row(s), first r04
-    "orders_monthly_rollup",  # 2 row(s), first r04
-    "embedding_vector_stats",  # 2 row(s), first r04
-    "first_last_event_per_user",  # 2 row(s), first r04
-    "funnel_signup_click_purchase",  # 2 row(s), first r04
-    "table_diff_customer_batches",  # 2 row(s), first r04
-    "calendar_dim",  # 2 row(s), first r04
-    "histogram_order_prices",  # 2 row(s), first r04
-    "skew_key_profile_events",  # 2 row(s), first r04
-    "cohort_weekly_retention",  # 2 row(s), first r04
-    "rfm_customer_segments",  # 2 row(s), first r04
-    "markov_event_transitions",  # 2 row(s), first r04
-    "cdc_apply_orders",  # 2 row(s), first r04
-    "sketch_countmin_users",  # 2 row(s), first r04
-    "triangle_coorder_parts",  # 2 row(s), first r04
-    "sketch_quantile_bottomk",  # 2 row(s), first r04
-    "ewma_user_value",  # 2 row(s), first r04
-    "stream_quantile_sketch",  # 2 row(s), first r04
-    "q5_local_supplier_volume",  # 2 row(s), first r04
-    "q6_forecast_revenue",  # 2 row(s), first r04
-    "q7_volume_shipping",  # 2 row(s), first r04
-    "q9_product_profit",  # 2 row(s), first r04
-    "q10_returned_items",  # 2 row(s), first r04
-    "q13_customer_distribution",  # 2 row(s), first r04
-    "q14_promo_revenue",  # 2 row(s), first r04
-    "q15_top_supplier",  # 2 row(s), first r04
-    "q16_supplier_variety",  # 2 row(s), first r04
-    "q17_small_qty_revenue",  # 2 row(s), first r04
-    "q19_discount_revenue_bands",  # 2 row(s), first r04
-    "q20_excess_shippers",  # 2 row(s), first r04
-    "q2_min_cost_supplier",  # 2 row(s), first r04
-    "q11_important_stock",  # 2 row(s), first r04
-    "q21_suppliers_kept_waiting",  # 2 row(s), first r04
-    "golden_record_parts",  # 2 row(s), first r05
-    "sparse_tfidf_cosine_pairs",  # 2 row(s), first r05
-    "pyds_synthetic_rollup",  # 2 row(s), first r05
-    "mixture_kl_by_source",  # 2 row(s), first r05
-    "hits_customer_supplier",  # 2 row(s), first r05
-    "debounce_events",  # 2 row(s), first r05
-    "robust_outlier_prices",  # 2 row(s), first r05
-    "top_event_trigrams",  # 2 row(s), first r05
-    "kcore_coorder_parts",  # 2 row(s), first r05
-    "bfs_coorder_parts",  # 2 row(s), first r05
-    "item_cooccurrence_similarity",  # 2 row(s), first r05
+    "incremental_rollup_orders",  # 2 row(s), first r05
+    "stream_incremental_rollup",  # 2 row(s), first r05
+    "clustering_coefficient_parts",  # 2 row(s), first r05
+    "lpa_communities_parts",  # 2 row(s), first r05
+    "forecast_eval_seasonal_naive",  # 2 row(s), first r05
+    "regression_price_vs_quantity",  # 2 row(s), first r05
+    "time_to_purchase_stats",  # 2 row(s), first r05
+    "association_rules_parts",  # 2 row(s), first r05
+    "psi_order_price_drift",  # 2 row(s), first r05
+    "robust_outlier_prices_sampled",  # 2 row(s), first r05
+    "cluster_aware_split_docs",  # 2 row(s), first r06
+    "stream_scd2_dim",  # 2 row(s), first r06
+    "ann_ivf_topk_distributed",  # 2 row(s), first r07
+    "filter_range_halfopen",  # 3 row(s), first r01
+    "filter_between_inclusive",  # 3 row(s), first r01
+    "probe_bounds_date",  # 3 row(s), first r01
+    "probe_bounds_int",  # 3 row(s), first r01
+    "sk_hyphen",  # 3 row(s), first r01
+    "sk_concat",  # 3 row(s), first r01
+    "quality_check_dates",  # 3 row(s), first r01
+    "dedup_latest_per_key",  # 3 row(s), first r01
+    "agg_pricing_summary",  # 3 row(s), first r01
+    "join_revenue_by_nation",  # 3 row(s), first r01
+    "topk_orders_per_customer",  # 3 row(s), first r01
+    "text_token_stats",  # 3 row(s), first r01
+    "text_quality_score",  # 3 row(s), first r01
+    "text_language_id",  # 3 row(s), first r01
+    "text_fingerprint",  # 3 row(s), first r01
+    "dedup_exact",  # 3 row(s), first r01
+    "dedup_ngram_jaccard",  # 3 row(s), first r01
+    "dedup_minhash_lsh",  # 3 row(s), first r01
+    "dedup_simhash",  # 3 row(s), first r01
+    "dedup_embedding_cosine",  # 3 row(s), first r01
+    "dedup_cluster_keep",  # 3 row(s), first r01
+    "ann_cosine_topk",  # 3 row(s), first r01
+    "mm_frame_sample",  # 3 row(s), first r01
+    "stream_windowed_counts",  # 3 row(s), first r01
+    "corpus_clean_pipeline",  # 3 row(s), first r01
+    "chunk_documents_windows",  # 3 row(s), first r01
+    "scrub_pii_text",  # 3 row(s), first r01
+    "vocab_top_terms",  # 3 row(s), first r01
+    "tfidf_top_terms",  # 3 row(s), first r01
+    "sample_stratified_hash",  # 3 row(s), first r01
+    "stream_click_attribution",  # 3 row(s), first r01
+    "dedup_incremental_batch",  # 3 row(s), first r01
+    "text_repetition_signals",  # 3 row(s), first r01
+    "dedup_chunks_exact",  # 3 row(s), first r01
+    "set_ops_users",  # 3 row(s), first r01
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
