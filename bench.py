@@ -147,10 +147,20 @@ CPU_GATE_EXEMPT: dict[str, str] = {
 # and have disjoint shapes so one degradation axis can't fool both:
 # agg_quantiles is scan/aggregate-bound (approx-percentile over
 # lineitem, ~2.1 s), cdc_apply_orders is exchange-heavy (window + join,
-# ~1.1 s). Plan-stable, never candidates; the ratio is clamped so one
-# bad control reading cannot blind or hair-trigger the gate, and each
+# ~1.1 s), and robust_outlier_prices_sampled is Python-boundary-bound
+# (mapInPandas bottom-k pre-cut: pyspark daemon fork + Arrow
+# serializer, ~1.9 s baseline — round 11, per r10 order 3: the r10
+# incident left calibration hanging on a SINGLE control once the
+# out-of-band one was excluded; a third control on the one axis the
+# other two never touch gives the exclusion rule a quorum).
+# Plan-stable, never candidates; the ratio is clamped so one bad
+# control reading cannot blind or hair-trigger the gate, and each
 # control's in-band status is asserted into the artifact.
-CPU_CONFIRM_CONTROLS = ["agg_quantiles", "cdc_apply_orders"]
+CPU_CONFIRM_CONTROLS = [
+    "agg_quantiles",
+    "cdc_apply_orders",
+    "robust_outlier_prices_sampled",
+]
 CPU_CONFIRM_WARMUP = "agg_pricing_summary"  # JITs core paths, never measured
 # The JVM warmup never touches the Python boundary, so a mapInPandas /
 # pandas-UDF candidate would otherwise pay the pyspark daemon fork +
@@ -497,14 +507,33 @@ def _record_flag_history(history: dict, regressions: dict, baseline_round) -> No
         pass  # an unwritable ledger must never fail the bench
 
 
+def _calibrated_median(vals: list[float | None]) -> float | None:
+    """Median over the genuinely calibrated samples only (``None`` marks
+    a rep with no usable calibration — r10 ADVICE: mixing raw samples in
+    let an uncalibrated reading adjudicate, and a dropped rep could turn
+    the odd rep count even and park the hot first rep ON the median).
+    Even counts average the two middle values."""
+    clean = sorted(v for v in vals if v is not None)
+    if not clean:
+        return None
+    mid = len(clean) // 2
+    if len(clean) % 2:
+        return clean[mid]
+    return round((clean[mid - 1] + clean[mid]) / 2, 2)
+
+
 def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
     """Interleaved ABAB re-time for repeat-flagged queries: in ONE fresh
     session (same warmups/methodology as `_cpu_confirm`), each rep times
-    the candidate then BOTH controls back-to-back, reps alternating so
+    the candidate then ALL controls back-to-back, reps alternating so
     box drift within the session hits candidate and ruler alike. Each
     rep's control ratio calibrates that rep's candidate reading; the
     MEDIAN calibrated value adjudicates — robust where the single
-    confirm was not. Returns per-name evidence for the artifact."""
+    confirm was not. A rep with no usable calibration contributes its
+    raw sample to ``samples_s`` (evidence) but ``None`` to
+    ``calibrated_s`` and is EXCLUDED from the median (r10 ADVICE — see
+    :func:`_calibrated_median`). Returns per-name evidence for the
+    artifact."""
     out: dict[str, dict] = {n: {"samples_s": [], "calibrated_s": []} for n in names}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # odd rep count: the FIRST rep of a fresh session reads hot (per-query
@@ -557,18 +586,19 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
                     [round(r, 3) for r in ratios]
                 )
                 out[name]["samples_s"].append(sample)
+                # None marks an uncalibrated rep: its raw sample stays in
+                # samples_s as evidence but never reaches the median
                 out[name]["calibrated_s"].append(
                     round(sample / cal, 2)
                     if sample is not None and cal
-                    else (sample if sample is not None else None)
+                    else None
                 )
     finally:
         spark.stop()
     for name in names:
-        vals = sorted(v for v in out[name]["calibrated_s"] if v is not None)
         out[name]["reps"] = reps
-        out[name]["median_calibrated_s"] = (
-            vals[len(vals) // 2] if vals else None
+        out[name]["median_calibrated_s"] = _calibrated_median(
+            out[name]["calibrated_s"]
         )
     return out
 

@@ -227,11 +227,12 @@ def test_control_ratio_band_asserted_into_artifact(monkeypatch):
     cand = max(base, key=base.get)
     cur = dict(base)
     cur[cand] = round(base[cand] * 2.0, 3)
-    ctl_good, ctl_bad = bench.CPU_CONFIRM_CONTROLS
+    ctl_good, ctl_bad = bench.CPU_CONFIRM_CONTROLS[:2]
 
     def fake_confirm(names):
-        out = {f"__control__{ctl_good}": base[ctl_good] * 1.05,
-               f"__control__{ctl_bad}": base[ctl_bad] * 1.5}  # out of band
+        out = {f"__control__{c}": base[c] * 1.05
+               for c in bench.CPU_CONFIRM_CONTROLS}
+        out[f"__control__{ctl_bad}"] = base[ctl_bad] * 1.5  # out of band
         out.update({n: cur[n] for n in names})
         return out
 
@@ -623,11 +624,12 @@ def test_missing_control_reading_fails_health_check(monkeypatch):
     big = max(base, key=base.get)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
-    ctl_ok, ctl_missing = bench.CPU_CONFIRM_CONTROLS
+    ctl_ok, ctl_missing = bench.CPU_CONFIRM_CONTROLS[:2]
 
     def fake_confirm(names):
-        out = {f"__control__{ctl_ok}": base[ctl_ok] * 1.02,
-               f"__control__{ctl_missing}": None}
+        out = {f"__control__{c}": base[c] * 1.02
+               for c in bench.CPU_CONFIRM_CONTROLS}
+        out[f"__control__{ctl_missing}"] = None
         out.update({n: cur[n] for n in names})
         return out
 
@@ -650,12 +652,18 @@ def test_out_of_band_control_excluded_from_calibration(monkeypatch):
     big = max(base, key=base.get)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
-    ctl_a, ctl_b = bench.CPU_CONFIRM_CONTROLS
+    ctl_a, ctl_b, ctl_py = bench.CPU_CONFIRM_CONTROLS
     confirm = {f"__control__{ctl_a}": round(base[ctl_a] * 1.22, 3),  # in band
-               f"__control__{ctl_b}": round(base[ctl_b] * 0.53, 3)}  # out
+               f"__control__{ctl_b}": round(base[ctl_b] * 0.53, 3),  # out
+               # third (Python-boundary) control, r10 order 3: the
+               # exclusion rule now keeps a QUORUM of two in-band
+               # controls instead of hanging on a single reading
+               f"__control__{ctl_py}": round(base[ctl_py] * 1.18, 3)}
     confirm[big] = round(base[big] * 1.25, 2)  # slow-box raw, in band once divided
     g = _gate_with_confirm(monkeypatch, cur, confirm)
-    assert 1.21 <= g["confirm_calibration"] <= 1.23  # not the 0.88 mean
+    # calibration = mean of the two in-band readings (~1.20), never the
+    # poisoned all-controls mean (~0.98 here)
+    assert 1.17 <= g["confirm_calibration"] <= 1.23
     assert g["regressions"][big]["verdict"] == "reverted-on-confirm (box noise)"
     assert g["confirm_controls_in_band"] is False
 
@@ -674,3 +682,33 @@ def test_all_controls_out_of_band_keeps_clamped_mean(monkeypatch):
     g = _gate_with_confirm(monkeypatch, cur, confirm)
     assert g["confirm_calibration"] == bench.CPU_CONFIRM_CAL_CLAMP[0]
     assert g["regressions"][big]["verdict"] == "confirmed"
+
+
+def test_three_controls_cover_disjoint_axes():
+    """r10 order 3: the control set must include a Python-boundary query
+    (the axis neither the scan-bound nor the exchange-bound control
+    touches), so a single-axis box degradation can exclude one control
+    and still leave a calibration QUORUM of two."""
+    assert len(bench.CPU_CONFIRM_CONTROLS) == 3
+    assert "robust_outlier_prices_sampled" in bench.CPU_CONFIRM_CONTROLS
+
+
+# -- _calibrated_median (r10 ADVICE: never let a raw sample adjudicate) --
+
+
+def test_calibrated_median_excludes_uncalibrated_reps():
+    # the None (a rep with no usable calibration) must not count — the
+    # old code appended the RAW sample instead, letting an uncalibrated
+    # reading adjudicate a two-strike flag
+    assert bench._calibrated_median([2.0, None, 3.0, 4.0]) == 3.0
+    assert bench._calibrated_median([None, None]) is None
+    assert bench._calibrated_median([]) is None
+    assert bench._calibrated_median([5.0]) == 5.0
+
+
+def test_calibrated_median_even_count_averages_middle():
+    # a dropped rep can turn the odd rep count even; the upper-middle
+    # pick would land the documented hot first rep ON the median —
+    # average the two middle values instead
+    assert bench._calibrated_median([4.0, 1.0, 2.0, 3.0]) == 2.5
+    assert bench._calibrated_median([2.0, None, 4.0]) == 3.0
