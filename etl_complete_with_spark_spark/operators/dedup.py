@@ -251,13 +251,26 @@ LSH_MAX_BUCKET_AUTO = 4096
 
 
 def _resolve_max_bucket(max_bucket: int | str | None) -> int | None:
-    """``"auto"`` -> :data:`LSH_MAX_BUCKET_AUTO`; ``None``/``0`` -> exact
-    full-clique (the explicit oracle-parity override); ints pass through."""
-    if max_bucket == "auto":
-        return LSH_MAX_BUCKET_AUTO
-    if not max_bucket:
+    """``"auto"`` -> :data:`LSH_MAX_BUCKET_AUTO`; ``None`` and any value
+    <= 0 -> exact full-clique (the explicit oracle-parity override);
+    positive ints pass through. Coerces FIRST so the string ``"0"`` (or
+    ``"-5"``) means unbounded like its int twin rather than
+    "star-connect everything" (r10 ADVICE), and any other non-numeric
+    string is a loud ValueError, not a silent misconfiguration."""
+    if max_bucket is None:
         return None
-    return int(max_bucket)
+    if isinstance(max_bucket, str):
+        if max_bucket == "auto":
+            return LSH_MAX_BUCKET_AUTO
+        try:
+            max_bucket = int(max_bucket)
+        except ValueError:
+            raise ValueError(
+                "max_bucket must be 'auto', None, or an integer; got "
+                f"{max_bucket!r}"
+            ) from None
+    max_bucket = int(max_bucket)
+    return max_bucket if max_bucket > 0 else None
 
 
 def lsh_candidate_pairs(
@@ -709,7 +722,8 @@ def incremental_neardup_filter(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | str | None = "auto",
-) -> tuple[DataFrame, DataFrame]:
+    return_stats: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Dedup a NEW batch against an already-ingested corpus.
 
     The continual-ingest shape: the corpus is represented only by its
@@ -738,6 +752,17 @@ def incremental_neardup_filter(
     switch, which preserves the keep-lowest semantics (every member is
     verified against the bucket's min-id hub). ``None``/``0`` restores
     the unbounded exact behavior at any bucket size.
+
+    ``return_stats=True`` (round 11, per r10 order 4 — no silent caps)
+    returns ``(kept_new_docs, kept_signatures, stats)`` where ``stats``
+    is a one-row DataFrame ``(n_corpus_buckets_sampled,
+    n_corpus_postings_dropped)`` counting the corpus-side (band, bucket)
+    groups the cap sampled down to ``max_bucket`` representatives and
+    the posting rows discarded across them; both zero when no bucket
+    exceeded the cap (or the cap is off). Evaluating it costs one extra
+    banding pass over the (checkpointed) corpus signatures — the kept/
+    kept_signatures plans are unchanged and the default two-tuple return
+    is byte-identical to round 10.
     """
     cap = _resolve_max_bucket(max_bucket)
     new_sigs = minhash_signatures(
@@ -839,7 +864,30 @@ def incremental_neardup_filter(
     kept_sigs = new_sigs.join(
         dup_ids.withColumnRenamed("new_id", "id"), "id", "left_anti"
     )
-    return kept, kept_sigs
+    if not return_stats:
+        return kept, kept_sigs
+    # observable for the bounded-recall trade (r10 order 4): which
+    # corpus-side buckets the cap actually sampled, derived from the
+    # UNCAPPED banding of the checkpointed corpus signatures (a second
+    # lazy banding pass, paid only when the caller evaluates the stats)
+    if cap:
+        sizes = (
+            banded(corpus_signatures, "old")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        stats = sizes.filter(F.col("__n") > cap).agg(
+            F.count(F.lit(1)).alias("n_corpus_buckets_sampled"),
+            F.coalesce(F.sum(F.col("__n") - cap), F.lit(0))
+            .cast("long")
+            .alias("n_corpus_postings_dropped"),
+        )
+    else:
+        stats = new_docs.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_corpus_buckets_sampled"),
+            F.lit(0).cast("long").alias("n_corpus_postings_dropped"),
+        )
+    return kept, kept_sigs, stats
 
 
 # ---------------------------------------------------------------------------
@@ -852,7 +900,8 @@ def blocked_fuzzy_pairs(
     block: Column | None = None,
     max_distance: int = 3,
     max_block: int | str | None = "auto",
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Entity-resolution join: value pairs within ``max_distance`` edits.
 
     The all-pairs Levenshtein matrix is quadratic and unshippable at any
@@ -873,6 +922,15 @@ def blocked_fuzzy_pairs(
     corpus should supply a finer ``block`` expression (e.g. first token
     + length bucket); ``None``/``0`` keeps every block at any size.
 
+    ``return_stats=True`` (round 11, per r10 order 4 — no silent caps)
+    returns ``(pairs, stats)`` where ``stats`` is a one-row DataFrame
+    ``(n_blocks_dropped, n_values_dropped)`` counting the work the cap
+    discarded; both zero when every block fit (or the cap is off). The
+    stats plan shares the pairs plan's lineage but is a separate lazy
+    job — evaluating it costs one extra pass over the DISTINCT values,
+    never over the pair stream, and the pairs plan itself is unchanged
+    (the default ``False`` path is byte-identical to round 10).
+
     Returns (v1, v2, distance) over DISTINCT values, v1 < v2.
     """
     cap = _resolve_max_bucket(max_block)
@@ -885,25 +943,36 @@ def blocked_fuzzy_pairs(
         .withColumn("blk", block)
         .withColumnRenamed(col, "v")
     )
+    stats = None
     if cap:
         # one window over the block exchange (see lsh_candidate_pairs:
         # cheaper than a stats aggregate joined back)
-        vals = (
-            vals.withColumn(
-                "__cnt", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        sized = vals.withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+        )
+        if return_stats:
+            stats = sized.filter(F.col("__cnt") > cap).agg(
+                F.countDistinct("blk").alias("n_blocks_dropped"),
+                F.count(F.lit(1)).alias("n_values_dropped"),
             )
-            .filter(F.col("__cnt") <= cap)
-            .drop("__cnt")
+        vals = sized.filter(F.col("__cnt") <= cap).drop("__cnt")
+    elif return_stats:
+        stats = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_blocks_dropped"),
+            F.lit(0).cast("long").alias("n_values_dropped"),
         )
     a = vals.select(F.col("v").alias("v1"), "blk")
     b = vals.select(F.col("v").alias("v2"), "blk")
-    return (
+    pairs = (
         a.join(b, "blk")
         .filter(F.col("v1") < F.col("v2"))
         .withColumn("distance", F.levenshtein("v1", "v2").cast("long"))
         .filter(F.col("distance") <= max_distance)
         .select("v1", "v2", "distance")
     )
+    if return_stats:
+        return pairs, stats
+    return pairs
 
 
 def embedding_neardup_pairs_blas_tiled(

@@ -273,6 +273,23 @@ class TestMegaDuplicateClusterLSH:
         assert D._resolve_max_bucket("auto") == D.LSH_MAX_BUCKET_AUTO
         assert D._resolve_max_bucket(50) == 50
 
+    def test_resolve_max_bucket_normalizes_strings_and_negatives(self):
+        """r10 ADVICE: the string "0" used to resolve to int 0, which
+        downstream means "star-connect EVERY bucket" (0 is not None) —
+        the opposite of the documented unbounded behavior; negative ints
+        had the same everything-starred effect. Coerce first, <= 0 means
+        unbounded, and a non-numeric string is a loud error."""
+        import pytest
+
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        assert D._resolve_max_bucket("0") is None
+        assert D._resolve_max_bucket("-5") is None
+        assert D._resolve_max_bucket(-5) is None
+        assert D._resolve_max_bucket("50") == 50
+        with pytest.raises(ValueError, match="max_bucket"):
+            D._resolve_max_bucket("unbounded")
+
     def _near_dup_signatures(self, spark, m=60):
         """Hand-built signature table for the documented star-mode
         divergence: one oversized band-0 bucket holding a min-id OUTLIER
@@ -409,6 +426,41 @@ class TestIncrementalIngestMegaDuplicate:
         )
         assert kept.count() == 0  # all five are stored-body copies
 
+    def test_ingest_stats_surface_sampled_buckets(self, spark):
+        """Round-11 (r10 order 4 — no silent caps): return_stats=True
+        reports how many corpus-side (band, bucket) groups the cap
+        sampled and how many posting rows it discarded, so bounded
+        recall is visible per run, not only in the docstring."""
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        corpus = self._docs(spark, "old", 200, self.BODY)
+        corpus_sigs = D.minhash_signatures(corpus, num_hashes=16)
+        batch = self._docs(spark, "new", 5, self.BODY)
+        kept, sigs, stats = D.incremental_neardup_filter(
+            batch, corpus_sigs, max_bucket=10, return_stats=True
+        )
+        row = stats.collect()[0]
+        # 200 identical docs land in ONE bucket per band (4 bands at
+        # 16 hashes): 4 sampled buckets, (200 - 10) postings dropped each
+        assert row["n_corpus_buckets_sampled"] == 4
+        assert row["n_corpus_postings_dropped"] == 4 * 190
+        # the main outputs are unchanged by asking for stats
+        assert kept.count() == 0 and sigs.count() == 0
+
+    def test_ingest_stats_zero_when_nothing_sampled(self, spark):
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        corpus = self._docs(spark, "old", 20)  # distinct docs, tiny buckets
+        corpus_sigs = D.minhash_signatures(corpus, num_hashes=16)
+        batch = self._docs(spark, "fresh", 5)
+        for cap in ("auto", None):
+            _, _, stats = D.incremental_neardup_filter(
+                batch, corpus_sigs, max_bucket=cap, return_stats=True
+            )
+            row = stats.collect()[0]
+            assert row["n_corpus_buckets_sampled"] == 0
+            assert row["n_corpus_postings_dropped"] == 0
+
 
 class TestHotBlockFuzzyMatch:
     """Round-10: blocked_fuzzy_pairs documented its hot-block hazard but
@@ -440,3 +492,34 @@ class TestHotBlockFuzzyMatch:
         assert sorted(map(tuple, auto.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+    def test_hot_block_drop_surfaced_in_stats(self, spark):
+        """Round-11 (r10 order 4 + ADVICE: the drop was silent): the
+        bounded-recall trade is now observable — return_stats=True
+        reports the dropped block and value counts alongside the pairs,
+        and the pairs themselves are unchanged."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        hot = spark.range(80).select(
+            F.format_string("brand %03d corp", F.col("id").cast("int")).alias("name")
+        )
+        cold = spark.createDataFrame(
+            [("acme ltd",), ("acme1 ltd",), ("zenith gmbh",)], ["name"]
+        )
+        df = hot.union(cold)
+        pairs, stats = D.blocked_fuzzy_pairs(
+            df, "name", max_distance=2, max_block=50, return_stats=True
+        )
+        row = stats.collect()[0]
+        assert row["n_blocks_dropped"] == 1  # the hot "corp" block
+        assert row["n_values_dropped"] == 80
+        assert sorted(map(tuple, pairs.collect())) == [("acme ltd", "acme1 ltd", 1)]
+        # nothing dropped -> explicit zeros, for the capped and uncapped modes
+        for cap in ("auto", None):
+            _, stats0 = D.blocked_fuzzy_pairs(
+                df, "name", max_distance=2, max_block=cap, return_stats=True
+            )
+            row0 = stats0.collect()[0]
+            assert (row0["n_blocks_dropped"], row0["n_values_dropped"]) == (0, 0)
