@@ -22,7 +22,9 @@ through normal Spark parallelism — no driver-side data movement.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import zlib
 from dataclasses import dataclass
 
@@ -410,9 +412,14 @@ class Lake:
 
         The ``.tmp`` fallback covers the delete->rename crash window —
         and, unlike the destination, a tmp MAY be torn (driver died
-        mid-write), so it is trusted only when its frame validates.
-        A torn or unframed tmp with no destination reads as None
-        (fresh-table / empty-manifest semantics), never as torn bytes."""
+        mid-write), so it is trusted only when its frame validates,
+        with one legacy exception: an UNFRAMED tmp left by a pre-frame
+        writer crashing in that same window (r10 ADVICE — the committed
+        new value the old reader would have served) is accepted when it
+        parses cleanly as one of the payload shapes this lake has ever
+        stored (see :meth:`_legacy_tmp_value`). A torn framed tmp with
+        no destination reads as None (fresh-table / empty-manifest
+        semantics), never as torn bytes."""
         jvm_path, fs = self._fs(spark, ptr)
         if fs.exists(jvm_path):
             content = self._read_bytes(fs, jvm_path)
@@ -424,8 +431,39 @@ class Lake:
             return content.decode()
         jvm_tmp, fs = self._fs(spark, ptr + ".tmp")
         if fs.exists(jvm_tmp):
-            return self._unframe(self._read_bytes(fs, jvm_tmp))
+            content = self._read_bytes(fs, jvm_tmp)
+            value = self._unframe(content)
+            if value is not None:
+                return value
+            if not content.startswith(self._FRAME_MAGIC.encode()):
+                return self._legacy_tmp_value(content)
+            return None
         return None
+
+    @staticmethod
+    def _legacy_tmp_value(content: bytes) -> str | None:
+        """One-time upgrade path (r10 ADVICE): a pre-frame writer that
+        crashed between the destination delete and the rename left a
+        COMPLETE but unframed tmp holding the committed new value, which
+        the frame-only fallback would treat as absent. Accept unframed
+        tmp content only when it parses cleanly as one of the two
+        payload shapes this lake has ever written — a version string
+        (``v<digits>``, the TRUSTED ``_CURRENT`` pointer) or a JSON
+        document (the resync ``_SLICES.json`` manifest). Residual risk,
+        same as the pre-frame reader had: a legacy tmp torn at a point
+        that still parses (e.g. ``v12`` cut to ``v1``) is served; the
+        frame closes that window for every post-upgrade write."""
+        try:
+            text = content.decode()
+        except UnicodeDecodeError:
+            return None
+        if re.fullmatch(r"v\d+", text):
+            return text
+        try:
+            json.loads(text)
+        except ValueError:
+            return None
+        return text
 
     def _rm(self, spark: SparkSession, path: str) -> None:
         jvm_path, fs = self._fs(spark, path)

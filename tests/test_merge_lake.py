@@ -442,6 +442,29 @@ class TestCrashAtomicPointer:
         (tmp_path / "_CURRENT").write_text("v7", encoding="utf-8")
         assert lake._read_pointer(spark, ptr) == "v7"
 
+    def test_legacy_unframed_complete_tmp_serves_committed_value(
+        self, spark, tmp_path
+    ):
+        """r10 ADVICE: a PRE-FRAME writer crashing between the
+        destination delete and the rename left a complete but unframed
+        tmp holding the committed new value — the frame-only fallback
+        read it as absent where the old reader served it. Unframed tmp
+        content is now accepted when it parses cleanly as one of the
+        two payload shapes ever written (version string / JSON);
+        anything else still reads as absent."""
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        (tmp_path / "_CURRENT.tmp").write_text("v12", encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v12"
+        manifest = '[["0", "1000"]]'
+        (tmp_path / "_CURRENT.tmp").write_text(manifest, encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == manifest
+        # torn JSON parses as neither shape -> absent, never torn bytes
+        (tmp_path / "_CURRENT.tmp").write_text('{"torn', encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) is None
+        (tmp_path / "_CURRENT.tmp").write_bytes(b"\xff\xfe\x00bin")
+        assert lake._read_pointer(spark, ptr) is None
+
     def test_corrupt_framed_destination_raises(self, spark, tmp_path):
         lake = Lake(str(tmp_path))
         ptr = self._ptr(tmp_path)
