@@ -289,20 +289,25 @@ def lsh_candidate_pairs(
     identical signatures, lands in ONE bucket in EVERY band, and the
     bucket self-join emits m²/2 pairs — at m=1e6 that is 5e11 rows, a
     scale-killer no threshold downstream can undo. Buckets larger than
-    ``max_bucket`` are STAR-CONNECTED instead: the bucket's min-id
-    member becomes the hub and only (hub, member) pairs are emitted —
-    m-1 pairs, and every member remains reachable from every other
-    through the hub. On the CANDIDATE graph (this function's output),
-    connected components are therefore identical to the full clique's
-    (property-tested). NOTE the equivalence is pre-verification
-    connectivity only: a consumer that filters these edges further
-    (e.g. :func:`minhash_dedup_pairs`'s est_jaccard threshold) judges
-    each star edge individually, and for a NEAR-identical (not
-    byte-identical) mega-cluster a member whose hub edge fails the
-    filter drops out even though some member↔member clique edge would
-    have kept it connected — for identical-signature clusters every
-    star edge verifies at 1.0 and the clusters match exactly. Unlike
-    the stop-shingle cap in :func:`ngram_jaccard_pairs` (which silently
+    ``max_bucket`` are STAR-CONNECTED instead: the bucket's min-id AND
+    max-id members become hubs (dual-hub since round 11, per the r10
+    VERDICT recall refinement) and only (hub, member) pairs are
+    emitted — 2(m-1)-1 pairs after dedup, still linear, and every
+    member remains reachable from every other through either hub. On
+    the CANDIDATE graph (this function's output), connected components
+    are therefore identical to the full clique's (property-tested).
+    NOTE the equivalence is pre-verification connectivity only: a
+    consumer that filters these edges further (e.g.
+    :func:`minhash_dedup_pairs`'s est_jaccard threshold) judges each
+    star edge individually, and for a NEAR-identical (not
+    byte-identical) mega-cluster a member stays connected only if at
+    least ONE of its two hub edges passes the filter — two independent
+    chances instead of the single-hub mode's one (the r10 divergence
+    halved), but a member failing against BOTH hubs still drops out
+    even where a member↔member clique edge would have kept it
+    (property-pinned) — for identical-signature clusters every star
+    edge verifies at 1.0 and the clusters match exactly. Unlike the
+    stop-shingle cap in :func:`ngram_jaccard_pairs` (which silently
     DROPS over-frequent shingles and loses oversized clusters), the
     star keeps detection. Trade-off: member↔member edges inside an
     oversized bucket are not emitted pairwise, so consumers that need
@@ -350,20 +355,24 @@ def lsh_candidate_pairs(
             .select("id1", "id2")
             .distinct()
         )
-    # size every bucket and pick its hub with ONE window over the bucket
-    # exchange (count/min over the whole partition) — the r10-open
+    # size every bucket and pick its hubs with ONE window over the bucket
+    # exchange (count/min/max over the whole partition) — the r10-open
     # groupBy-stats + join shape spent three extra exchanges and cost the
     # now-default guard +48% CPU on the catalog query; the window keeps
     # the guard's toy-SF price inside measurement noise. The self-join
     # then runs only on the bounded buckets (its pair stream is
-    # <= max_bucket * |postings|), and oversized buckets contribute m-1
-    # star edges each. Partitioned by bucket, never a global window.
+    # <= max_bucket * |postings|), and oversized buckets contribute
+    # 2(m-1)-1 star edges each (min-id and max-id hubs — still linear,
+    # two independent post-verification chances per member; both hub
+    # columns ride the SAME window, so the second hub costs no extra
+    # exchange). Partitioned by bucket, never a global window.
     w = Window.partitionBy("bucket")
     sized = stacked.select(
         "id",
         "bucket",
         F.count(F.lit(1)).over(w).alias("__cnt"),
-        F.min("id").over(w).alias("__hub"),
+        F.min("id").over(w).alias("__hub_lo"),
+        F.max("id").over(w).alias("__hub_hi"),
     )
     small = sized.filter(F.col("__cnt") <= max_bucket)
     a = small.select(F.col("id").alias("id1"), "bucket")
@@ -371,9 +380,29 @@ def lsh_candidate_pairs(
     full_pairs = (
         a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
     )
+    # both hub edges come out of ONE pass over the sized postings (an
+    # explode of the two per-row structs) — a second filter+select branch
+    # would re-run the banding + window exchange a fourth time under the
+    # union. Hub ids bound each side, so id1 < id2 holds on every star
+    # edge; the self-edges (hub row paired with itself) drop on the
+    # inequality filter and the doubly-emitted (hub_lo, hub_hi) edge
+    # dedups in the final distinct.
     star_pairs = (
-        sized.filter((F.col("__cnt") > max_bucket) & (F.col("id") != F.col("__hub")))
-        .select(F.col("__hub").alias("id1"), F.col("id").alias("id2"))
+        sized.filter(F.col("__cnt") > max_bucket)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__hub_lo").alias("id1"), F.col("id").alias("id2")
+                    ),
+                    F.struct(
+                        F.col("id").alias("id1"), F.col("__hub_hi").alias("id2")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.id1", "__e.id2")
+        .filter(F.col("id1") != F.col("id2"))
     )
     return full_pairs.union(star_pairs).distinct()
 
@@ -399,10 +428,12 @@ def minhash_dedup_pairs(
     instead of O(m²). Star edges still pass through the est_jaccard
     verification below INDIVIDUALLY — for byte-identical mega-clusters
     every hub edge verifies at 1.0 and the post-verification clusters
-    equal the clique's, but for near-identical clusters a member whose
-    hub edge falls below ``threshold`` is dropped even where a
-    member↔member clique edge would have connected it (the guard trades
-    that recall sliver for the O(m²) bound; property-tested both ways).
+    equal the clique's, while for near-identical clusters a member is
+    kept if EITHER of its two hub edges (min-id and max-id hubs, dual
+    since round 11) clears ``threshold``; one that falls below against
+    both hubs is dropped even where a member↔member clique edge would
+    have connected it (the guard trades that recall sliver for the
+    O(m²) bound; property-tested both ways).
     Default ``"auto"`` guards above :data:`LSH_MAX_BUCKET_AUTO` — the
     production setting; pass ``None``/``0`` for exact full-clique
     semantics at any bucket size.
@@ -750,8 +781,10 @@ def incremental_neardup_filter(
     recall trade the star mode documents), and the within-batch pass
     reuses :func:`lsh_candidate_pairs`'s clique-below/star-above
     switch, which preserves the keep-lowest semantics (every member is
-    verified against the bucket's min-id hub). ``None``/``0`` restores
-    the unbounded exact behavior at any bucket size.
+    verified against the bucket's min-id hub; the dual-hub max-id edges
+    only ADD detection — they mark the max-id member as a dup of a
+    lower id, never the reverse). ``None``/``0`` restores the unbounded
+    exact behavior at any bucket size.
 
     ``return_stats=True`` (round 11, per r10 order 4 — no silent caps)
     returns ``(kept_new_docs, kept_signatures, stats)`` where ``stats``
@@ -841,8 +874,9 @@ def incremental_neardup_filter(
     dup_vs_corpus = verify(cand_old, new_sigs, corpus_signatures)
 
     # within the new batch (keep the lowest id of each near-dup pair):
-    # ride the guarded pair generator — clique below cap, min-id-hub star
-    # above, which is exactly keep-lowest (id1 is always the smaller id)
+    # ride the guarded pair generator — clique below cap, dual-hub star
+    # above, which is exactly keep-lowest (id1 is always the smaller id
+    # on both the min-hub and max-hub edge branches)
     cand_new = lsh_candidate_pairs(new_sigs, bands, num_hashes, cap).select(
         F.col("id2").alias("new_id"), F.col("id1").alias("old_id")
     )

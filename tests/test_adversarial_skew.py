@@ -212,9 +212,14 @@ class TestMegaDuplicateClusterLSH:
         capped = D.lsh_candidate_pairs(sigs, bands=4, num_hashes=16, max_bucket=50)
         rows = capped.collect()
         dup_pairs = [r for r in rows if r["id1"].startswith("dup-")]
-        # star: exactly m-1 edges for the mega-cluster, all from the hub
-        assert len(dup_pairs) == self.M - 1
-        assert {r["id1"] for r in dup_pairs} == {"dup-000"}
+        # dual-hub star (r11): 2(m-1)-1 edges for the mega-cluster —
+        # min-id hub edges plus max-id hub edges, the shared
+        # (hub_lo, hub_hi) edge deduped — still linear in m
+        assert len(dup_pairs) == 2 * self.M - 3
+        hub_lo, hub_hi = "dup-000", f"dup-{self.M - 1:03d}"
+        assert all(
+            r["id1"] == hub_lo or r["id2"] == hub_hi for r in dup_pairs
+        )
         # the full clique agrees on the resulting clusters
         full = D.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         assert full.filter(
@@ -245,8 +250,8 @@ class TestMegaDuplicateClusterLSH:
         dup_rows = [
             r for r in verified.collect() if r["id1"].startswith("dup-")
         ]
-        # identical docs: every star edge verifies at est_jaccard 1.0
-        assert len(dup_rows) == self.M - 1
+        # identical docs: every dual-hub star edge verifies at 1.0
+        assert len(dup_rows) == 2 * self.M - 3
         assert all(r["est_jaccard"] == 1.0 for r in dup_rows)
 
     def test_auto_default_equals_clique_below_threshold(self, spark):
@@ -290,13 +295,17 @@ class TestMegaDuplicateClusterLSH:
         with pytest.raises(ValueError, match="max_bucket"):
             D._resolve_max_bucket("unbounded")
 
-    def _near_dup_signatures(self, spark, m=60):
+    def _near_dup_signatures(self, spark, m=60, max_outlier=False):
         """Hand-built signature table for the documented star-mode
         divergence: one oversized band-0 bucket holding a min-id OUTLIER
         (agrees with everyone on band 0 only: est 4/16) plus m members
         that mutually agree on 10 of 16 hashes (est 0.625) but share NO
         complete band other than band 0 — so the members' only path to
-        each other in star mode is through the outlier hub."""
+        each other in star mode is through a hub. With
+        ``max_outlier=True`` a second outlier ("z-000", max id, same
+        4/16 agreement with everyone) occupies the max-id hub slot too,
+        pinning the residual divergence the dual-hub mode cannot
+        close."""
         rows = []
         base = {f"mh_{i}": i + 1 for i in range(16)}
         rows.append({"id": "a-000", **{k: v for k, v in base.items()}})
@@ -311,16 +320,22 @@ class TestMegaDuplicateClusterLSH:
                 r[f"mh_{4 * b + 2}"] = 5000 + 100 * b + j
                 r[f"mh_{4 * b + 3}"] = 6000 + 100 * b + j
             rows.append(r)
+        if max_outlier:
+            z = {"id": "z-000", **dict(base)}
+            for i in range(4, 16):
+                z[f"mh_{i}"] = 2000 + i  # unique beyond band 0: 4/16 vs all
+            rows.append(z)
         return spark.createDataFrame(rows)
 
-    def test_near_dup_mega_cluster_divergence_documented(self, spark):
-        """r9 ADVICE: star-mode components equal the clique's only
-        PRE-verification. With a near-identical (not byte-identical)
-        mega-bucket, every star edge goes through the min-id hub and is
-        judged alone: here all hub edges fail the 0.5 threshold, so the
-        verified star output is EMPTY while the clique keeps all
-        member<->member pairs at 0.625. This test pins the documented
-        trade-off (the docstrings qualify the equivalence claim)."""
+    def test_near_dup_mega_cluster_dual_hub_recovers_members(self, spark):
+        """r10 VERDICT order 6: the single-hub star dropped every member
+        of a near-identical mega-bucket whose min-id hub was an outlier
+        (all hub edges fail the 0.5 threshold -> verified output EMPTY
+        while the clique keeps all member<->member pairs). The dual-hub
+        star gives each member a second, independent chance through the
+        max-id hub — here a genuine cluster member — so verification now
+        keeps every member connected and the post-verification
+        components MATCH the clique's on this corpus."""
         from etl_complete_with_spark_spark.operators import dedup as D
 
         sigs = self._near_dup_signatures(spark).localCheckpoint(eager=False)
@@ -328,8 +343,43 @@ class TestMegaDuplicateClusterLSH:
             sigs, bands=4, num_hashes=16, max_bucket=50
         )
         rows = star_cands.collect()
-        # one oversized band-0 bucket -> hub = min id = the outlier
-        assert {r["id1"] for r in rows} == {"a-000"} and len(rows) == 60
+        # one oversized band-0 bucket -> hubs = min id (the outlier) and
+        # max id (member m-060): 2*61 - 3 = 119 candidate edges
+        assert len(rows) == 2 * 61 - 3
+        assert all(
+            r["id1"] == "a-000" or r["id2"] == "m-060" for r in rows
+        )
+        star_verified = D.verify_est_jaccard(star_cands, sigs, 16, 0.5)
+        got = star_verified.collect()
+        # every a-000 hub edge reads 4/16 and fails; every member<->m-060
+        # edge reads 0.625 and passes -> all 60 members stay connected
+        assert len(got) == 59
+        assert all(
+            r["id2"] == "m-060" and r["est_jaccard"] == 0.625 for r in got
+        )
+
+    def test_near_dup_mega_cluster_divergence_documented(self, spark):
+        """r9 ADVICE / r10 order 6: star-mode components equal the
+        clique's only PRE-verification. The dual-hub mode halves the
+        exposure but cannot close it: when BOTH hub slots (min and max
+        id) are outliers, every star edge fails the 0.5 threshold and
+        the verified star output is EMPTY while the clique keeps all
+        member<->member pairs at 0.625. This test pins the residual
+        trade-off (the docstrings qualify the equivalence claim)."""
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        sigs = self._near_dup_signatures(
+            spark, max_outlier=True
+        ).localCheckpoint(eager=False)
+        star_cands = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=50
+        )
+        rows = star_cands.collect()
+        # hubs are the two outliers: every edge touches a-000 or z-000
+        assert all(
+            r["id1"] == "a-000" or r["id2"] == "z-000" for r in rows
+        )
+        assert len(rows) == 2 * 62 - 3
         star_verified = D.verify_est_jaccard(star_cands, sigs, 16, 0.5)
         assert star_verified.count() == 0  # every hub edge reads 4/16
         clique_cands = D.lsh_candidate_pairs(
