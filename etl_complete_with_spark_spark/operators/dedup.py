@@ -127,7 +127,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_shingle_freq: int | None = 1000,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """All document pairs with shingle-Jaccard >= threshold.
 
     Plan shape: posting list with shingles *hashed to int64*
@@ -138,6 +139,21 @@ def ngram_jaccard_pairs(
     shingle shared by f docs contributes f² join rows) -> self-join on
     shingle hash with id1 < id2 -> count common -> Jaccard via per-doc
     shingle counts. Returns (id1, id2, jaccard).
+
+    NOTE the stop-shingle cap changes ANSWERS, not just cost: a dropped
+    shingle no longer counts toward ``n_common`` (per-doc sizes keep it),
+    so documents whose overlap lives in boilerplate shingles read a LOWER
+    Jaccard, and a cluster of near-identical docs larger than the cap
+    loses its pairs entirely — unlike the LSH star-connect there is no
+    hub to keep detection. ``return_stats=True`` (round 11, extending the
+    r10 no-silent-caps order to the one remaining silent drop) returns
+    ``(pairs, stats)`` where ``stats`` is a one-row DataFrame
+    ``(n_stop_shingles_dropped, n_postings_dropped)``; both zero when no
+    shingle exceeded the cap (or the cap is off). The stats plan rides
+    the SAME lazily-checkpointed posting frequency aggregate the filter
+    already computes — evaluating it costs one short aggregate over the
+    per-shingle counts, never a pass over the pair stream, and the pairs
+    plan is unchanged (the default ``False`` path is byte-identical).
     """
     posting = explode_shingles(df, id_col, text_col, n).select(
         "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
@@ -162,11 +178,24 @@ def ngram_jaccard_pairs(
     sizes = posting.groupBy("id").agg(
         F.count("*").alias("n_shingles")
     ).localCheckpoint(eager=False)
+    stats = None
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df_"))
+        if return_stats:
+            stats = freq.filter(F.col("df_") > max_shingle_freq).agg(
+                F.count(F.lit(1)).alias("n_stop_shingles_dropped"),
+                F.coalesce(F.sum("df_"), F.lit(0))
+                .cast("long")
+                .alias("n_postings_dropped"),
+            )
         posting = (
             posting.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
             .drop("df_")
+        )
+    elif return_stats:
+        stats = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_stop_shingles_dropped"),
+            F.lit(0).cast("long").alias("n_postings_dropped"),
         )
     a = posting.select(F.col("id").alias("id1"), "shingle")
     b = posting.select(F.col("id").alias("id2"), "shingle")
@@ -178,7 +207,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
-    return (
+    pairs = (
         common.join(sa, "id1")
         .join(sb, "id2")
         .withColumn(
@@ -188,6 +217,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return (pairs, stats) if return_stats else pairs
 
 
 # ---------------------------------------------------------------------------

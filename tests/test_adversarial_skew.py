@@ -573,3 +573,67 @@ class TestHotBlockFuzzyMatch:
             )
             row0 = stats0.collect()[0]
             assert (row0["n_blocks_dropped"], row0["n_values_dropped"]) == (0, 0)
+
+
+class TestStopShingleCapStats:
+    """Round-11: the stop-shingle cap in ngram_jaccard_pairs was the one
+    remaining silent, answer-affecting drop (a shingle over the frequency
+    cap stops counting toward n_common and an over-cap near-dup cluster
+    loses its pairs entirely — no hub keeps detection here). The trade is
+    unchanged; return_stats makes it observable per run."""
+
+    def test_stop_shingle_drop_surfaced_in_stats(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        # 12 docs of pure boilerplate: one 3-gram shared by all 12
+        boiler = spark.range(12).select(
+            F.format_string("b-%03d", F.col("id").cast("int")).alias("doc_id"),
+            F.lit("the quick brown").alias("text"),
+        )
+        # 2 genuinely similar docs under the cap (3 shingles, 2 shared)
+        near = spark.createDataFrame(
+            [
+                ("n-001", "alpha beta gamma delta epsilon"),
+                ("n-002", "alpha beta gamma delta zeta"),
+            ],
+            ["doc_id", "text"],
+        )
+        df = boiler.union(near)
+        pairs, stats = D.ngram_jaccard_pairs(
+            df, threshold=0.3, max_shingle_freq=5, return_stats=True
+        )
+        row = stats.collect()[0]
+        assert row["n_stop_shingles_dropped"] == 1  # "the quick brown"
+        assert row["n_postings_dropped"] == 12
+        got = sorted(map(tuple, pairs.collect()))
+        # the boilerplate cluster vanishes (the documented trade); the
+        # under-cap near-dups keep their pair: 2 common / (3+3-2) = 0.5
+        assert got == [("n-001", "n-002", 0.5)]
+        # ...and the pairs are identical to the default (no-stats) path
+        default = D.ngram_jaccard_pairs(df, threshold=0.3, max_shingle_freq=5)
+        assert sorted(map(tuple, default.collect())) == got
+
+    def test_stop_shingle_stats_zero_when_nothing_dropped(self, spark):
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [
+                ("d-001", "alpha beta gamma delta"),
+                ("d-002", "alpha beta gamma zeta"),
+                ("d-003", "totally different words here"),
+            ],
+            ["doc_id", "text"],
+        )
+        # cap present but nothing over it, and cap off entirely
+        for cap in (1000, None):
+            pairs, stats = D.ngram_jaccard_pairs(
+                docs, threshold=0.1, max_shingle_freq=cap, return_stats=True
+            )
+            row = stats.collect()[0]
+            assert (
+                row["n_stop_shingles_dropped"],
+                row["n_postings_dropped"],
+            ) == (0, 0)
+            assert pairs.count() >= 1
