@@ -197,6 +197,39 @@ def probe_lsh_candidates(spark, sf_dir: str = "/root/testdata/sf0.1") -> dict:
     }
 
 
+def probe_star_guard(spark, m_ab: int = 8192, m_big: int = 200_000) -> dict:
+    """The adversarial mega-duplicate guard, measured (round 11): m
+    identical-signature docs land in one bucket per band and the
+    unbounded self-join emits m(m-1)/2 pairs. A/B at m=8192 — the
+    largest clique still comfortably measurable on this box (33.5M
+    pairs) — then the star path alone at m=200k, where the clique would
+    be 2.0e10 pairs (~1200x the A/B's) and only the O(m) star is
+    runnable at all."""
+    from etl_complete_with_spark_spark.operators.dedup import lsh_candidate_pairs
+
+    def sigs(m):
+        return spark.range(m).select(
+            "id", *[F.lit(i + 7).alias(f"mh_{i}") for i in range(16)]
+        ).localCheckpoint(eager=False)
+
+    s = sigs(m_ab)
+    clique = lsh_candidate_pairs(s, max_bucket=None)
+    star = lsh_candidate_pairs(s, max_bucket="auto")
+    wall_clique, mb_clique = timed(spark, clique)
+    wall_star, mb_star = timed(spark, star)
+    big = lsh_candidate_pairs(sigs(m_big), max_bucket="auto")
+    wall_big, mb_big = timed(spark, big)
+    return {
+        "probe": "star_guard", "m_ab": m_ab,
+        "clique_pairs": clique.count(), "star_pairs": star.count(),
+        "clique_wall_s": wall_clique, "star_wall_s": wall_star,
+        "clique_shuffle_mb": mb_clique, "star_shuffle_mb": mb_star,
+        "m_big": m_big, "big_star_pairs": big.count(),
+        "big_clique_pairs_analytic": m_big * (m_big - 1) // 2,
+        "big_star_wall_s": wall_big, "big_star_shuffle_mb": mb_big,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark(
@@ -210,6 +243,7 @@ def main() -> None:
     print(json.dumps(probe_ann_tiled(spark)))
     print(json.dumps(probe_global_ranks(spark, n_rows)))
     print(json.dumps(probe_lsh_candidates(spark)))
+    print(json.dumps(probe_star_guard(spark)))
     spark.stop()
 
 
