@@ -168,6 +168,16 @@ def ngram_jaccard_pairs(
     # GC'd with the DataFrame reference.  (Trade-off: lineage is
     # truncated, so a lost executor fails the stage instead of
     # recomputing — acceptable for a short-lived intermediate.)
+    # Timing caveat, measured round 11: under AQE, eager=False is lazy
+    # only for the FINAL stage — building the checkpoint needs
+    # queryExecution.toRdd, and finalizing an adaptive plan materializes
+    # every upstream query stage AT CONSTRUCTION TIME. A caller that
+    # builds a checkpoint-bearing operator pays its upstream compute
+    # even if no action ever runs. Correctness and the blocks-free-with-
+    # the-reference property (the reason checkpoint beats cache here)
+    # are unaffected; anything TIMING these operators must time
+    # construction + action together (bench.py does — see SCALING.md
+    # round-11 "checkpoint materializes at construction").
     posting = posting.localCheckpoint(eager=False)
     # sizes feeds BOTH normalizer joins (sa on id1, sb on id2); without a
     # materialization the per-doc aggregate — a full pass over the posting
@@ -912,11 +922,13 @@ def incremental_neardup_filter(
     )
     dup_in_batch = verify(cand_new, new_sigs, new_sigs)
 
-    # dup_ids feeds BOTH return values; checkpointing it here (lazily —
-    # materialized by whichever output runs first, reused by the other)
-    # pins one authoritative dup set, so kept text and kept signatures can
-    # never diverge even under nondeterministic upstreams, and the
-    # banding/verification joins run once per batch, not once per output.
+    # dup_ids feeds BOTH return values; checkpointing it pins one
+    # authoritative dup set, so kept text and kept signatures can never
+    # diverge even under nondeterministic upstreams, and the banding/
+    # verification joins run once per batch, not once per output. (Under
+    # AQE the upstream stages of this checkpoint materialize at
+    # CONSTRUCTION, not first action — see the timing caveat on
+    # ngram_jaccard_pairs.)
     dup_ids = (
         dup_vs_corpus.unionByName(dup_in_batch)
         .distinct()

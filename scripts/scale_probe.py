@@ -230,6 +230,79 @@ def probe_star_guard(spark, m_ab: int = 8192, m_big: int = 200_000) -> dict:
     }
 
 
+def probe_ingest_guard(
+    spark, m_ab: int = 200_000, m_big: int = 2_000_000, b: int = 512
+) -> dict:
+    """The continual-ingest corpus-probe bound, measured (round 11): a
+    stored mega-cluster of m identical-signature docs makes the
+    unbounded probe join b x m rows per band for a matching batch of b
+    docs. A/B at m=200k (unbounded probe 1e8 rows/band, measurable),
+    then the guarded path alone at m=2M, where the unbounded probe
+    would be 1e9 rows/band and the guarded one stays at b x cap.
+
+    Walls time CONSTRUCTION + action together: the operator's internal
+    localCheckpoint materializes its upstream stages when the operator
+    is BUILT (AQE finalizes the adaptive plan for toRdd) — timing only
+    the action reads the ~0.4 s final stage and misses >99% of the work
+    (the round-11 finding recorded in SCALING.md). The corpus is read
+    from parquet like a production signature table, so the scan is not
+    constant-foldable."""
+    import shutil
+    import tempfile
+
+    from etl_complete_with_spark_spark.operators.dedup import (
+        LSH_MAX_BUCKET_AUTO,
+        incremental_neardup_filter,
+        minhash_signatures,
+    )
+
+    text = (
+        "the same boilerplate page body repeated across the crawl "
+        "with enough tokens to shingle meaningfully over and over"
+    )
+    batch = spark.range(b).select(
+        F.concat(F.lit("new-"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit(text).alias("text"),
+    )
+    # the stored mega-cluster: every corpus doc carries the batch's
+    # signature (computed once on one doc, inlined as literals), written
+    # to parquet so the probe scans a real stored table
+    one = minhash_signatures(batch.limit(1), "doc_id", "text").collect()[0]
+    tmp = tempfile.mkdtemp(prefix="ingest_guard_probe_")
+
+    def write_corpus(m, path):
+        spark.range(m).select(
+            F.concat(F.lit("old-"), F.col("id").cast("string")).alias("id"),
+            *[F.lit(int(one[f"mh_{i}"])).alias(f"mh_{i}") for i in range(16)],
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def run(corpus_df, cap):
+        t0 = time.perf_counter()
+        kept, _ = incremental_neardup_filter(batch, corpus_df, max_bucket=cap)
+        n_kept = kept.count()
+        return round(time.perf_counter() - t0, 2), n_kept
+
+    try:
+        corpus = write_corpus(m_ab, os.path.join(tmp, "ab"))
+        wall_unbounded, kept_u = run(corpus, None)
+        wall_guarded, kept_g = run(corpus, "auto")
+        big = write_corpus(m_big, os.path.join(tmp, "big"))
+        wall_big, kept_b = run(big, "auto")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "probe": "ingest_guard", "batch": b, "m_ab": m_ab,
+        "unbounded_wall_s": wall_unbounded, "guarded_wall_s": wall_guarded,
+        "kept_unbounded": kept_u, "kept_guarded": kept_g,
+        "unbounded_probe_rows_per_band": b * m_ab,
+        "guarded_probe_rows_per_band": b * LSH_MAX_BUCKET_AUTO,
+        "m_big": m_big, "big_guarded_wall_s": wall_big,
+        "big_kept": kept_b,
+        "big_unbounded_probe_rows_per_band_analytic": b * m_big,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark(
@@ -244,6 +317,7 @@ def main() -> None:
     print(json.dumps(probe_global_ranks(spark, n_rows)))
     print(json.dumps(probe_lsh_candidates(spark)))
     print(json.dumps(probe_star_guard(spark)))
+    print(json.dumps(probe_ingest_guard(spark)))
     spark.stop()
 
 
