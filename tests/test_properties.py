@@ -952,3 +952,62 @@ class TestAssociationRulesProperties:
         finally:
             QA.load = orig_load
         assert got == want
+
+
+class TestDualHubStarProperties:
+    @SETTINGS
+    @given(
+        n_dup=st.integers(min_value=3, max_value=12),
+        n_uniq=st.integers(min_value=0, max_value=4),
+        cap=st.integers(min_value=2, max_value=6),
+    )
+    def test_star_components_equal_clique_components(
+        self, spark, n_dup, n_uniq, cap
+    ):
+        """r11 dual-hub star: for ANY identical-signature cluster size and
+        cap, the guarded candidate graph is an edge-subset of the clique's
+        with IDENTICAL connected components (the pre-verification
+        equivalence the docstring claims), and oversized buckets emit
+        exactly 2(m-1)-1 edges."""
+        from etl_complete_with_spark_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        rows = [
+            {"id": f"d-{j:02d}", **{f"mh_{i}": i + 1 for i in range(16)}}
+            for j in range(n_dup)
+        ]
+        for u in range(n_uniq):
+            rows.append(
+                {"id": f"u-{u:02d}", **{f"mh_{i}": 100 * (u + 2) + i for i in range(16)}}
+            )
+        sigs = spark.createDataFrame(rows).localCheckpoint(eager=False)
+        capped = set(
+            map(tuple, lsh_candidate_pairs(sigs, 4, 16, cap).collect())
+        )
+        clique = set(
+            map(tuple, lsh_candidate_pairs(sigs, 4, 16, None).collect())
+        )
+        assert capped <= clique
+        if n_dup > cap:
+            assert len(capped) == 2 * (n_dup - 1) - 1
+        else:
+            assert capped == clique
+
+        def components(pairs):
+            parent = {r["id"]: r["id"] for r in rows}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                parent[find(a)] = find(b)
+            out = {}
+            for v in parent:
+                out.setdefault(find(v), set()).add(v)
+            return sorted(map(sorted, out.values()))
+
+        assert components(capped) == components(clique)

@@ -1,0 +1,48 @@
+"""Smoke coverage for the round-11 guard probes in scripts/scale_probe.py.
+
+The probes' recorded numbers live in SCALING.md; these tests only pin
+that the probe code keeps RUNNING end-to-end at toy sizes (so the
+recorded methodology stays reproducible) and that the analytic
+invariants hold: pair-count formulas, identical kept output across
+guard modes, and walls that include construction (the round-11
+localCheckpoint finding — an action-only timer would read near zero
+while these return positive construction-inclusive walls).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+
+class TestStarGuardProbe:
+    def test_probe_runs_and_counts_match_formulas(self, spark):
+        from scale_probe import probe_star_guard
+
+        out = probe_star_guard(spark, m_ab=40, m_big=60)
+        # below the auto cap both modes are the full clique
+        assert out["clique_pairs"] == 40 * 39 // 2
+        assert out["star_pairs"] == out["clique_pairs"]
+        assert out["big_star_pairs"] == 60 * 59 // 2
+        assert out["big_clique_pairs_analytic"] == 60 * 59 // 2
+        assert out["clique_wall_s"] >= 0 and out["star_wall_s"] >= 0
+
+
+class TestIngestGuardProbe:
+    def test_probe_runs_and_guard_modes_agree(self, spark):
+        from scale_probe import probe_ingest_guard
+
+        out = probe_ingest_guard(spark, m_ab=30, m_big=60, b=8)
+        # every batch doc is a dup of the stored cluster in EVERY mode
+        assert out["kept_unbounded"] == out["kept_guarded"] == out["big_kept"] == 0
+        assert out["unbounded_probe_rows_per_band"] == 8 * 30
+        assert out["big_unbounded_probe_rows_per_band_analytic"] == 8 * 60
+        # construction-inclusive walls (the localCheckpoint finding):
+        # even at toy sizes the dup pipeline executes at build time, so
+        # the timed region is well above an action-only reading
+        assert out["unbounded_wall_s"] > 0.5
+        assert out["guarded_wall_s"] > 0.5
