@@ -1208,7 +1208,8 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Document pairs where the smaller shingle set is nearly CONTAINED in
     the larger: max-containment = |A ∩ B| / min(|A|, |B|) >= threshold.
 
@@ -1221,7 +1222,14 @@ def containment_pairs(
     Same plan shape (and scale posture) as :func:`ngram_jaccard_pairs`:
     60-bit hashed shingle postings, stop-shingle frequency cap to kill f²
     join blow-up, id1 < id2 self-join, per-doc set sizes joined back.
-    Returns (id1, id2, containment).
+    Returns (id1, id2, containment). ``return_stats=True`` surfaces the
+    cap's dropped work exactly as on :func:`ngram_jaccard_pairs` — here
+    the answer distortion bites HARDER (a dropped shingle shrinks
+    ``n_common`` while ``min(n1, n2)`` keeps it, so containment reads
+    low on exactly the boilerplate-wrapped copies the operator exists to
+    catch); returns ``(pairs, stats)`` with the same
+    ``(n_stop_shingles_dropped, n_postings_dropped)`` row, zeros when
+    nothing was capped, default path byte-identical.
     """
     posting = explode_shingles(df, id_col, text_col, n).select(
         "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
@@ -1233,11 +1241,24 @@ def containment_pairs(
     sizes = posting.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     ).localCheckpoint(eager=False)
+    stats = None
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        if return_stats:
+            stats = freq.filter(F.col("df_") > max_shingle_freq).agg(
+                F.count(F.lit(1)).alias("n_stop_shingles_dropped"),
+                F.coalesce(F.sum("df_"), F.lit(0))
+                .cast("long")
+                .alias("n_postings_dropped"),
+            )
         posting = posting.join(
             freq.filter(F.col("df_") <= max_shingle_freq), "shingle"
         ).drop("df_")
+    elif return_stats:
+        stats = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_stop_shingles_dropped"),
+            F.lit(0).cast("long").alias("n_postings_dropped"),
+        )
     a = posting.select(F.col("id").alias("id1"), "shingle")
     b = posting.select(F.col("id").alias("id2"), "shingle")
     common = (
@@ -1248,7 +1269,7 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_shingles").alias("n2"))
-    return (
+    pairs = (
         common.join(sa, "id1")
         .join(sb, "id2")
         .withColumn(
@@ -1258,3 +1279,4 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id1", "id2", "containment")
     )
+    return (pairs, stats) if return_stats else pairs

@@ -637,3 +637,41 @@ class TestStopShingleCapStats:
                 row["n_postings_dropped"],
             ) == (0, 0)
             assert pairs.count() >= 1
+
+    def test_containment_stop_shingle_stats_mirror_jaccard(self, spark):
+        """Same cap, same observable: containment_pairs surfaces the
+        identical stats row, and the distortion direction is pinned —
+        a capped boilerplate shingle removes the contained copy's pair
+        entirely (n_common drops while min(n1,n2) keeps counting)."""
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        # 12 short docs = pure boilerplate phrase; 1 long doc wraps it
+        boiler = spark.range(12).select(
+            F.format_string("b-%03d", F.col("id").cast("int")).alias("doc_id"),
+            F.lit("the quick brown fox").alias("text"),
+        )
+        wrap = spark.createDataFrame(
+            [("w-001", "intro words then the quick brown fox closing remark here")],
+            ["doc_id", "text"],
+        )
+        df = boiler.union(wrap)
+        uncapped, stats0 = D.containment_pairs(
+            df, threshold=0.9, max_shingle_freq=None, return_stats=True
+        )
+        # containment catches the wrapped copies at 1.0 without the cap
+        assert uncapped.filter(F.col("id2") == "w-001").count() > 0
+        r0 = stats0.collect()[0]
+        assert (r0["n_stop_shingles_dropped"], r0["n_postings_dropped"]) == (0, 0)
+        capped, stats = D.containment_pairs(
+            df, threshold=0.9, max_shingle_freq=5, return_stats=True
+        )
+        row = stats.collect()[0]
+        assert row["n_stop_shingles_dropped"] >= 1
+        assert row["n_postings_dropped"] >= 12
+        # ...and the capped pairs are identical to the default path's
+        default = D.containment_pairs(df, threshold=0.9, max_shingle_freq=5)
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, default.collect())
+        )
