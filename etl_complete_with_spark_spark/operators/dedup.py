@@ -318,7 +318,8 @@ def lsh_candidate_pairs(
     bands: int = 4,
     num_hashes: int = 16,
     max_bucket: int | str | None = "auto",
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Banded-LSH candidate pairs from a MinHash signature table.
 
     Each band's slice of the signature is hashed to a bucket key; docs
@@ -357,6 +358,16 @@ def lsh_candidate_pairs(
     :data:`LSH_MAX_BUCKET_AUTO` (the production default — r9 VERDICT
     order 4); pass ``None``/``0`` for exact full-clique behavior (the
     explicit oracle-parity mode).
+
+    ``return_stats=True`` (round 11 — no silent caps, completing the
+    family) returns ``(pairs, stats)`` where ``stats`` is a one-row
+    DataFrame ``(n_buckets_starred, n_clique_pairs_not_emitted)``: how
+    many (band, bucket) groups rode the star subset and how many clique
+    edges the subset left unemitted (m(m-1)/2 − (2m−3) per such bucket —
+    an upper bound on pair-list loss; components are unaffected, and
+    duplicate edges across bands mean the distinct pair loss can be
+    lower). Zeros when no bucket exceeded the cap or the cap is off;
+    default plans byte-identical.
     """
     max_bucket = _resolve_max_bucket(max_bucket)
     if num_hashes % bands:
@@ -389,12 +400,19 @@ def lsh_candidate_pairs(
     if max_bucket is None:
         a = stacked.select(F.col("id").alias("id1"), "bucket")
         b = stacked.select(F.col("id").alias("id2"), "bucket")
-        return (
+        pairs = (
             a.join(b, "bucket")
             .filter(F.col("id1") < F.col("id2"))
             .select("id1", "id2")
             .distinct()
         )
+        if not return_stats:
+            return pairs
+        stats = signatures.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_buckets_starred"),
+            F.lit(0).cast("long").alias("n_clique_pairs_not_emitted"),
+        )
+        return pairs, stats
     # size every bucket and pick its hubs with ONE window over the bucket
     # exchange (count/min/max over the whole partition) — the r10-open
     # groupBy-stats + join shape spent three extra exchanges and cost the
@@ -444,7 +462,27 @@ def lsh_candidate_pairs(
         .select("__e.id1", "__e.id2")
         .filter(F.col("id1") != F.col("id2"))
     )
-    return full_pairs.union(star_pairs).distinct()
+    pairs = full_pairs.union(star_pairs).distinct()
+    if not return_stats:
+        return pairs
+    # per-bucket clique-vs-star edge gap, aggregated once over the same
+    # banded postings (one short extra job when the caller evaluates it;
+    # the pairs plan above is unchanged). `div` keeps the arithmetic in
+    # longs — m(m-1) is even, so integer division is exact.
+    stats = (
+        sized.filter(F.col("__cnt") > max_bucket)
+        .groupBy("bucket")
+        .agg(F.first("__cnt").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_starred"),
+            F.coalesce(
+                F.sum(F.expr("m * (m - 1) div 2 - (2 * m - 3)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_clique_pairs_not_emitted"),
+        )
+    )
+    return pairs, stats
 
 
 def minhash_dedup_pairs(

@@ -675,3 +675,45 @@ class TestStopShingleCapStats:
         assert sorted(map(tuple, capped.collect())) == sorted(
             map(tuple, default.collect())
         )
+
+    def test_star_subset_surfaced_in_stats(self, spark):
+        """r11 no-silent-caps completion: the star mode keeps detection
+        but subsets the explicit pair list — return_stats surfaces how
+        many buckets rode the star and the clique-edge gap per bucket
+        (m(m-1)/2 - (2m-3)), with explicit zeros below the cap and in
+        the unbounded mode."""
+        from etl_complete_with_spark_spark.operators import dedup as D
+
+        # reuse the mega-cluster corpus from TestMegaDuplicateClusterLSH
+        mega = TestMegaDuplicateClusterLSH()
+        docs = mega._corpus(spark)
+        sigs = D.minhash_signatures(docs, num_hashes=16).localCheckpoint(
+            eager=False
+        )
+        pairs, stats = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=50, return_stats=True
+        )
+        row = stats.collect()[0]
+        m = mega.M
+        # the 300-doc cluster shares one bucket in EVERY band -> 4 starred
+        assert row["n_buckets_starred"] == 4
+        assert row["n_clique_pairs_not_emitted"] == 4 * (
+            m * (m - 1) // 2 - (2 * m - 3)
+        )
+        # the pairs returned alongside stats match the default path
+        default = D.lsh_candidate_pairs(
+            sigs, bands=4, num_hashes=16, max_bucket=50
+        )
+        assert sorted(map(tuple, pairs.collect())) == sorted(
+            map(tuple, default.collect())
+        )
+        # zeros when nothing starred (auto cap) and in unbounded mode
+        for cap in ("auto", None):
+            _, s0 = D.lsh_candidate_pairs(
+                sigs, bands=4, num_hashes=16, max_bucket=cap, return_stats=True
+            )
+            r0 = s0.collect()[0]
+            assert (
+                r0["n_buckets_starred"],
+                r0["n_clique_pairs_not_emitted"],
+            ) == (0, 0)
