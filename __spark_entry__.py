@@ -24,7 +24,9 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # (dict insertion order).  This list controls that window; the remaining
 # catalog entries follow in registration order and are still fully covered
-# by the local gate (``scripts/oracle_check.py``, all 164 queries).
+# by the local gate (``scripts/oracle_check.py``, which runs every entry of
+# ``QUERIES`` — 165 at the time of writing; tests/test_entry_contract.py
+# pins this comment's count against ``len(QUERIES)``).
 #
 # Round-11 window (VERDICT r10 order 1): the 13 queries still holding only
 # 2 green records take the first free slots — this rotation closes the

@@ -154,6 +154,12 @@ def ngram_jaccard_pairs(
     already computes — evaluating it costs one short aggregate over the
     per-shingle counts, never a pass over the pair stream, and the pairs
     plan is unchanged (the default ``False`` path is byte-identical).
+
+    REMEDY when the stats row reads non-zero on a boilerplate-heavy
+    corpus: switch to :func:`minhash_dedup_pairs` — its mega-bucket
+    guard is a star-connect (dual-hub, r11), so oversized near-dup
+    clusters stay DETECTED (connected through the hubs) instead of
+    dropped; this operator's cap has no detection-preserving fallback.
     """
     posting = explode_shingles(df, id_col, text_col, n).select(
         "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")
@@ -1268,6 +1274,10 @@ def containment_pairs(
     catch); returns ``(pairs, stats)`` with the same
     ``(n_stop_shingles_dropped, n_postings_dropped)`` row, zeros when
     nothing was capped, default path byte-identical.
+
+    REMEDY when the stats row reads non-zero on a boilerplate-heavy
+    corpus: :func:`minhash_dedup_pairs` (star-guarded LSH) keeps
+    oversized clusters detected via hub edges; this cap does not.
     """
     posting = explode_shingles(df, id_col, text_col, n).select(
         "id", md5_hash60(F.col("shingle"), JACCARD_HASH_SEED).alias("shingle")

@@ -203,7 +203,7 @@ def probe_star_guard(spark, m_ab: int = 8192, m_big: int = 200_000) -> dict:
     unbounded self-join emits m(m-1)/2 pairs. A/B at m=8192 — the
     largest clique still comfortably measurable on this box (33.5M
     pairs) — then the star path alone at m=200k, where the clique would
-    be 2.0e10 pairs (~1200x the A/B's) and only the O(m) star is
+    be 2.0e10 pairs (~600x the A/B's) and only the O(m) star is
     runnable at all."""
     from etl_complete_with_spark_spark.operators.dedup import lsh_candidate_pairs
 

@@ -42,7 +42,10 @@ class TestIngestGuardProbe:
         assert out["unbounded_probe_rows_per_band"] == 8 * 30
         assert out["big_unbounded_probe_rows_per_band_analytic"] == 8 * 60
         # construction-inclusive walls (the localCheckpoint finding):
-        # even at toy sizes the dup pipeline executes at build time, so
-        # the timed region is well above an action-only reading
-        assert out["unbounded_wall_s"] > 0.5
-        assert out["guarded_wall_s"] > 0.5
+        # structural assertion only — positive, finite readings.  An
+        # absolute floor (the old 0.5s) would flake on a warm JVM or a
+        # faster box without any real regression (r11 ADVICE); the
+        # construction-vs-action magnitude evidence lives in SCALING.md,
+        # recorded at real probe sizes where it is unambiguous.
+        assert 0 < out["unbounded_wall_s"] < float("inf")
+        assert 0 < out["guarded_wall_s"] < float("inf")
