@@ -436,12 +436,11 @@ class Lake:
             if value is not None:
                 return value
             if not content.startswith(self._FRAME_MAGIC.encode()):
-                return self._legacy_tmp_value(content)
+                return self._legacy_tmp_value(spark, ptr, content)
             return None
         return None
 
-    @staticmethod
-    def _legacy_tmp_value(content: bytes) -> str | None:
+    def _legacy_tmp_value(self, spark: SparkSession, ptr: str, content: bytes) -> str | None:
         """One-time upgrade path (r10 ADVICE): a pre-frame writer that
         crashed between the destination delete and the rename left a
         COMPLETE but unframed tmp holding the committed new value, which
@@ -449,16 +448,43 @@ class Lake:
         tmp content only when it parses cleanly as one of the two
         payload shapes this lake has ever written — a version string
         (``v<digits>``, the TRUSTED ``_CURRENT`` pointer) or a JSON
-        document (the resync ``_SLICES.json`` manifest). Residual risk,
-        same as the pre-frame reader had: a legacy tmp torn at a point
-        that still parses (e.g. ``v12`` cut to ``v1``) is served; the
-        frame closes that window for every post-upgrade write."""
+        document (the resync ``_SLICES.json`` manifest).
+
+        Version strings are additionally cross-checked against the
+        ``v*/`` sibling directories (r11 VERDICT #4 — an unframed tmp
+        MAY be torn at a point that still parses, e.g. ``v12`` cut to
+        ``v1``). The merge protocol writes the ``v{n}`` directory
+        BEFORE flipping the pointer, and a surviving tmp means the
+        crash ended that table's write history, so the committed value
+        is always an existing dir of which the (possibly truncated)
+        payload is a prefix — serve the numerically-largest such dir:
+        a complete tmp names exactly itself, and a truncated one is
+        repaired to the committed version instead of silently serving
+        a stale snapshot. No prefix-matching dir -> absent. JSON
+        payloads keep the parse-only check (array manifests have no
+        cleanly-parsing proper prefix, and no on-disk twin to check
+        against)."""
         try:
             text = content.decode()
         except UnicodeDecodeError:
             return None
         if re.fullmatch(r"v\d+", text):
-            return text
+            base = os.path.dirname(ptr)
+            jvm_base, fs = self._fs(spark, base)
+            if not fs.exists(jvm_base):
+                return None
+            candidates = []
+            for status in fs.listStatus(jvm_base):
+                name = status.getPath().getName()
+                if (
+                    name.startswith(text)
+                    and re.fullmatch(r"v\d+", name)
+                    and status.isDirectory()
+                ):
+                    candidates.append(name)
+            if not candidates:
+                return None
+            return max(candidates, key=lambda n: int(n[1:]))
         try:
             json.loads(text)
         except ValueError:

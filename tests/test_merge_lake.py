@@ -451,9 +451,11 @@ class TestCrashAtomicPointer:
         read it as absent where the old reader served it. Unframed tmp
         content is now accepted when it parses cleanly as one of the
         two payload shapes ever written (version string / JSON);
-        anything else still reads as absent."""
+        anything else still reads as absent. Version strings must also
+        name an existing v*/ dir (r11 VERDICT #4)."""
         lake = Lake(str(tmp_path))
         ptr = self._ptr(tmp_path)
+        (tmp_path / "v12").mkdir()  # merge writes the dir before the flip
         (tmp_path / "_CURRENT.tmp").write_text("v12", encoding="utf-8")
         assert lake._read_pointer(spark, ptr) == "v12"
         manifest = '[["0", "1000"]]'
@@ -464,6 +466,49 @@ class TestCrashAtomicPointer:
         assert lake._read_pointer(spark, ptr) is None
         (tmp_path / "_CURRENT.tmp").write_bytes(b"\xff\xfe\x00bin")
         assert lake._read_pointer(spark, ptr) is None
+
+    def test_legacy_tmp_version_must_name_an_existing_dir(self, spark, tmp_path):
+        """r11 VERDICT #4: a parseable version string in an unframed tmp
+        is only trusted when a matching v*/ directory exists — the merge
+        protocol writes the dir before the pointer flip, so a committed
+        value always has one; a parse-clean artifact that names nothing
+        reads as absent."""
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        (tmp_path / "_CURRENT.tmp").write_text("v3", encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) is None  # no dirs at all
+        (tmp_path / "v0").mkdir()
+        (tmp_path / "v1").mkdir()
+        assert lake._read_pointer(spark, ptr) is None  # v3 dir absent
+        (tmp_path / "v3").mkdir()
+        assert lake._read_pointer(spark, ptr) == "v3"
+        # a FILE named like a version dir is not a snapshot
+        (tmp_path / "_CURRENT.tmp").write_text("v4", encoding="utf-8")
+        (tmp_path / "v4").write_text("not a dir", encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) is None
+
+    def test_legacy_tmp_truncation_never_serves_stale_version(self, spark, tmp_path):
+        """r11 VERDICT #4, the residual the parse-only check left open:
+        a pre-frame tmp holding ``v12`` torn to ``v1`` still parses and
+        used to be served as v1 — a stale snapshot presented as current.
+        Property over EVERY truncation prefix of the legacy payload
+        (dirs v0/v1/v12 on disk, committed value v12): each cut reads as
+        either absent or the committed ``v12`` — never ``v1``/``v0``.
+        The dir cross-check repairs the prefix to the numerically
+        largest matching dir, so the complete payload and the ``v1``
+        cut BOTH serve v12."""
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        for v in ("v0", "v1", "v12"):
+            (tmp_path / v).mkdir()
+        payload = "v12"
+        for cut in range(len(payload) + 1):
+            (tmp_path / "_CURRENT.tmp").write_text(payload[:cut], encoding="utf-8")
+            got = lake._read_pointer(spark, ptr)
+            assert got in (None, "v12"), f"cut={cut} served stale {got!r}"
+        # and the complete payload does serve (not everything absent)
+        (tmp_path / "_CURRENT.tmp").write_text(payload, encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v12"
 
     def test_corrupt_framed_destination_raises(self, spark, tmp_path):
         lake = Lake(str(tmp_path))
