@@ -488,13 +488,22 @@ def _prior_strikes(history: dict, q: str, baseline_round) -> int:
 def _record_flag_history(history: dict, regressions: dict, baseline_round) -> None:
     """Append this run's flags to the ledger: one row per
     (query, baseline_round); a repeat flag on the same baseline bumps
-    ``count`` (the 'twice on the same baseline' strike)."""
+    ``count`` (the 'twice on the same baseline' strike).
+
+    A row carrying an ``annulled`` annotation (a verdict later
+    adjudicated false — e.g. the r10 instrument-poisoned 'confirmed
+    (abab)' on agg_approx_accuracy, annulled r12) is never mutated:
+    the raw evidence and the annulment are a sealed historical record,
+    so a re-flag on the same baseline starts a FRESH row. Annulled
+    rows still count toward :func:`_prior_strikes` — the flag events
+    were real firings; only the confirm verdict was false — so the
+    conservative escalate-to-ABAB behavior is preserved."""
     if not regressions:
         return
     for q, r in regressions.items():
         rows = history.setdefault(q, [])
         for row in rows:
-            if row.get("baseline_round") == baseline_round:
+            if row.get("baseline_round") == baseline_round and not row.get("annulled"):
                 row["count"] = row.get("count", 1) + 1
                 row["verdict"] = r.get("verdict")
                 row["pct"] = r.get("pct")

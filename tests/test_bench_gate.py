@@ -605,6 +605,73 @@ def test_abab_instrumentation_gap_stays_flagged(monkeypatch):
     assert big in g["violations"]
 
 
+def test_annulled_row_still_counts_prior_strikes():
+    """r11 VERDICT #2 semantics, pinned: annulment supersedes the
+    VERDICT (the r10 'confirmed (abab)' was instrument poisoning), not
+    the strike history — the flag firings were real events, so a
+    re-flag must still escalate to ABAB, same as before the annulment."""
+    annulled = {
+        "baseline_round": 10,
+        "count": 2,
+        "pct": 42.2,
+        "verdict": "confirmed (abab) [ANNULLED r12 — see annulled.reason]",
+        "annulled": {"round": 12, "original_verdict": "confirmed (abab)",
+                     "reason": "instrument poisoning"},
+    }
+    history = {"q": [annulled]}
+    assert bench._prior_strikes(history, "q", 10) == 2  # same baseline: count
+    assert bench._prior_strikes(history, "q", 11) == 1  # other baseline: once
+
+
+def test_record_flag_history_never_mutates_annulled_row(monkeypatch, tmp_path):
+    """An annulled row is a sealed historical record: a fresh flag on the
+    same (query, baseline) appends a NEW row instead of overwriting the
+    annulled verdict/pct — otherwise the recorded supersession (and the
+    raw poisoned evidence it annotates) would silently vanish."""
+    monkeypatch.setenv("SPARK_GRAFT_FLAG_HISTORY", str(tmp_path / "flags.json"))
+    annulled = {
+        "baseline_round": 10,
+        "count": 2,
+        "pct": 42.2,
+        "verdict": "confirmed (abab) [ANNULLED r12 — see annulled.reason]",
+        "annulled": {"round": 12, "original_verdict": "confirmed (abab)",
+                     "reason": "instrument poisoning"},
+    }
+    history = {"q": [dict(annulled)]}
+    bench._record_flag_history(
+        history, {"q": {"verdict": "reverted-on-confirm (box noise)", "pct": 30.0}}, 10
+    )
+    assert history["q"][0] == annulled  # untouched, annotation intact
+    assert len(history["q"]) == 2
+    assert history["q"][1] == {
+        "baseline_round": 10, "count": 1, "pct": 30.0,
+        "verdict": "reverted-on-confirm (box noise)",
+    }
+    # and both rows keep counting as strikes
+    assert bench._prior_strikes(history, "q", 10) == 3
+
+
+def test_repo_ledger_carries_the_annulment():
+    """The committed ledger's poisoned r10 'confirmed (abab)' on
+    agg_approx_accuracy must carry the r12 annulment so no automated
+    escalation or human reader builds on the known-false confirm
+    (r11 VERDICT wrong #1 / order #2)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, bench.FLAG_HISTORY_FILE)) as f:
+        ledger = json.load(f)
+    rows = [r for r in ledger["agg_approx_accuracy"]
+            if r["baseline_round"] == 10 and r.get("count") == 2]
+    assert len(rows) == 1
+    row = rows[0]
+    assert "ANNULLED" in row["verdict"]
+    ann = row["annulled"]
+    assert ann["round"] == 12
+    assert ann["original_verdict"] == "confirmed (abab)"
+    assert "poisoning" in ann["reason"]
+    # raw evidence retained
+    assert row["pct"] == 42.2 and row["count"] == 2
+
+
 def test_repo_ledger_seeded_with_r9_watchlist():
     """The three queries r9 retired on single confirms must escalate on
     any r10 re-flag — the committed ledger carries their r9 strike."""
