@@ -28,11 +28,11 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # ``QUERIES`` — 165 at the time of writing; tests/test_entry_contract.py
 # pins this comment's count against ``len(QUERIES)``).
 #
-# Round-11 window (VERDICT r10 order 1): the 13 queries still holding only
-# 2 green records take the first free slots — this rotation closes the
-# evidence floor at 3 everywhere.  The remaining 35 slots start the
-# fourth-record pass, earliest-recorded round first per the committed
-# policy (registration order as the tiebreak).  The union stays 165/165.
+# Round-12 window (VERDICT r11 order 1): the evidence floor closed at 3 in
+# r11, so this rotation continues the fourth-record pass — all 48 free
+# slots go to the earliest-recorded of the 128 three-record queries
+# (r01/r02/r03 firsts, registration order as the tiebreak), per the
+# committed policy.  The union stays 165/165.
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
 # was computed from (scripts/rotate_window.py prints it alongside the
@@ -40,58 +40,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 10
+WINDOW_GENERATED_AFTER = 11
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "incremental_rollup_orders",  # 2 row(s), first r05
-    "stream_incremental_rollup",  # 2 row(s), first r05
-    "clustering_coefficient_parts",  # 2 row(s), first r05
-    "lpa_communities_parts",  # 2 row(s), first r05
-    "forecast_eval_seasonal_naive",  # 2 row(s), first r05
-    "regression_price_vs_quantity",  # 2 row(s), first r05
-    "time_to_purchase_stats",  # 2 row(s), first r05
-    "association_rules_parts",  # 2 row(s), first r05
-    "psi_order_price_drift",  # 2 row(s), first r05
-    "robust_outlier_prices_sampled",  # 2 row(s), first r05
-    "cluster_aware_split_docs",  # 2 row(s), first r06
-    "stream_scd2_dim",  # 2 row(s), first r06
-    "ann_ivf_topk_distributed",  # 2 row(s), first r07
-    "filter_range_halfopen",  # 3 row(s), first r01
-    "filter_between_inclusive",  # 3 row(s), first r01
-    "probe_bounds_date",  # 3 row(s), first r01
-    "probe_bounds_int",  # 3 row(s), first r01
-    "sk_hyphen",  # 3 row(s), first r01
-    "sk_concat",  # 3 row(s), first r01
-    "quality_check_dates",  # 3 row(s), first r01
-    "dedup_latest_per_key",  # 3 row(s), first r01
-    "agg_pricing_summary",  # 3 row(s), first r01
-    "join_revenue_by_nation",  # 3 row(s), first r01
-    "topk_orders_per_customer",  # 3 row(s), first r01
-    "text_token_stats",  # 3 row(s), first r01
-    "text_quality_score",  # 3 row(s), first r01
-    "text_language_id",  # 3 row(s), first r01
-    "text_fingerprint",  # 3 row(s), first r01
-    "dedup_exact",  # 3 row(s), first r01
-    "dedup_ngram_jaccard",  # 3 row(s), first r01
-    "dedup_minhash_lsh",  # 3 row(s), first r01
-    "dedup_simhash",  # 3 row(s), first r01
-    "dedup_embedding_cosine",  # 3 row(s), first r01
-    "dedup_cluster_keep",  # 3 row(s), first r01
-    "ann_cosine_topk",  # 3 row(s), first r01
-    "mm_frame_sample",  # 3 row(s), first r01
-    "stream_windowed_counts",  # 3 row(s), first r01
-    "corpus_clean_pipeline",  # 3 row(s), first r01
-    "chunk_documents_windows",  # 3 row(s), first r01
-    "scrub_pii_text",  # 3 row(s), first r01
-    "vocab_top_terms",  # 3 row(s), first r01
-    "tfidf_top_terms",  # 3 row(s), first r01
-    "sample_stratified_hash",  # 3 row(s), first r01
-    "stream_click_attribution",  # 3 row(s), first r01
-    "dedup_incremental_batch",  # 3 row(s), first r01
-    "text_repetition_signals",  # 3 row(s), first r01
-    "dedup_chunks_exact",  # 3 row(s), first r01
-    "set_ops_users",  # 3 row(s), first r01
+    "cube_revenue",  # 3 row(s), first r01
+    "distinct_users_per_type",  # 3 row(s), first r01
+    "pivot_user_event_matrix",  # 3 row(s), first r01
+    "sessionize_batch",  # 3 row(s), first r01
+    "asof_join_last_purchase",  # 3 row(s), first r01
+    "grouped_user_stats",  # 3 row(s), first r01
+    "range_join_event_windows",  # 3 row(s), first r01
+    "skew_salted_join",  # 3 row(s), first r01
+    "agg_quantiles",  # 3 row(s), first r01
+    "json_extract_props",  # 3 row(s), first r01
+    "ann_lsh_topk",  # 3 row(s), first r02
+    "mm_extract_features",  # 3 row(s), first r02
+    "emb_quantize_int8",  # 3 row(s), first r02
+    "emb_gram_int8",  # 3 row(s), first r02
+    "ann_int8_topk",  # 3 row(s), first r02
+    "emb_label_centroids",  # 3 row(s), first r02
+    "text_unigram_lm_score",  # 3 row(s), first r02
+    "stream_dedup_events",  # 3 row(s), first r02
+    "table_profile_orders",  # 3 row(s), first r02
+    "dedup_semantic_cluster",  # 3 row(s), first r02
+    "pack_training_shards",  # 3 row(s), first r02
+    "fuzzy_match_part_names",  # 3 row(s), first r02
+    "jsonl_roundtrip_orders",  # 3 row(s), first r02
+    "ann_ivf_topk",  # 3 row(s), first r03
+    "decontaminate_ngram_overlap",  # 3 row(s), first r03
+    "sample_token_budget_mix",  # 3 row(s), first r03
+    "stream_static_enrich",  # 3 row(s), first r03
+    "orc_roundtrip_orders",  # 3 row(s), first r03
+    "udtf_token_runs",  # 3 row(s), first r03
+    "bpe_top_pairs",  # 3 row(s), first r03
+    "rollup_revenue_by_nation_region",  # 3 row(s), first r03
+    "running_revenue_per_customer",  # 3 row(s), first r03
+    "left_outer_order_counts",  # 3 row(s), first r03
+    "anti_join_customers_without_orders",  # 3 row(s), first r03
+    "orders_above_customer_avg",  # 3 row(s), first r03
+    "agg_approx_accuracy",  # 3 row(s), first r03
+    "semi_join_priority_orders",  # 3 row(s), first r03
+    "case_agg_priority_split",  # 3 row(s), first r03
+    "top10_orders_global",  # 3 row(s), first r03
+    "unpivot_event_matrix",  # 3 row(s), first r03
+    "part_name_search",  # 3 row(s), first r03
+    "stats_price_quantity",  # 3 row(s), first r03
+    "rolling_24h_user_value",  # 3 row(s), first r03
+    "gapfill_hourly_counts",  # 3 row(s), first r03
+    "grouping_sets_revenue",  # 3 row(s), first r03
+    "zorder_morton_codes",  # 3 row(s), first r03
+    "dq_orders_expectations",  # 3 row(s), first r03
+    "dq_fk_orphan_events",  # 3 row(s), first r03
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
