@@ -303,6 +303,147 @@ def probe_ingest_guard(
     }
 
 
+def _build_boilerplate_corpus(spark, n_docs: int, m_cluster: int, path: str):
+    """Deterministic boilerplate-heavy fixture: every doc opens with the
+    same 8-word boilerplate sentence (6 trigram shingles at frequency
+    n_docs — the f² hazard the stop-shingle cap exists for); docs with
+    id < m_cluster continue with a shared 19-word body plus one unique
+    closing token (pairwise shingle-Jaccard 25/27 ≈ 0.93 — a genuine
+    near-dup cluster whose shared shingles sit at frequency m_cluster);
+    the rest get 20 unique tokens each (cross-doc Jaccard ≈ 0.13, below
+    every threshold). Written to parquet so the probe scans a real
+    table."""
+    boiler = "terms of service apply to every page here"
+    body = (
+        "this exact product description is repeated almost verbatim "
+        "across the catalog pages with only the trailing sku token changed"
+    )
+    uniq_tail = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{j}x"), F.col("id").cast("string")) for j in range(20)]
+    )
+    docs = spark.range(n_docs).select(
+        F.when(
+            F.col("id") < m_cluster,
+            F.concat(F.lit("c-"), F.lpad(F.col("id").cast("string"), 7, "0")),
+        )
+        .otherwise(F.concat(F.lit("x-"), F.lpad(F.col("id").cast("string"), 7, "0")))
+        .alias("doc_id"),
+        F.when(
+            F.col("id") < m_cluster,
+            F.concat_ws(
+                " ", F.lit(boiler), F.lit(body),
+                F.concat(F.lit("sku"), F.col("id").cast("string")),
+            ),
+        )
+        .otherwise(F.concat_ws(" ", F.lit(boiler), uniq_tail))
+        .alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def probe_stop_shingle_guard(
+    spark,
+    n_ab: int = 2_000,
+    m_ab: int = 200,
+    cap_ab: int = 100,
+    n_big: int = 100_000,
+    m_big: int = 8_192,
+) -> dict:
+    """The one guard whose trade is recall-for-cost, measured (round 12,
+    r11 VERDICT order 7): the stop-shingle cap in ngram_jaccard_pairs
+    bounds the f² posting self-join but LOSES near-dup clusters larger
+    than the cap entirely (no hub fallback). A/B at n=2k docs with a
+    planted 200-member cluster and cap=100 < 200: the unbounded arm is
+    still measurable (~25M posting-join rows from the frequency-n
+    boilerplate shingles) and finds the full 19,900-pair clique; the
+    capped arm kills the join blow-up AND the cluster (0 pairs, the
+    drop quantified by the stats row). The LSH path on the SAME fixture
+    (minhash_dedup_pairs, star guard on) is the documented remedy —
+    its recall on the planted cluster is recorded alongside. Then big
+    mode at n=100k / m=8192 > LSH_MAX_BUCKET_AUTO, where the unbounded
+    jaccard arm is analytic-only (6e10 join rows from the boilerplate
+    alone), the capped arm stays flat, and the LSH star keeps every
+    cluster member detected through O(m) hub edges.
+
+    Walls time CONSTRUCTION + action together (both operators carry
+    internal lazy localCheckpoints that materialize upstream stages at
+    build time — the round-11 finding)."""
+    import shutil
+    import tempfile
+
+    from etl_complete_with_spark_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    def run_jaccard(docs, cap):
+        t0 = time.perf_counter()
+        pairs, stats = ngram_jaccard_pairs(
+            docs, max_shingle_freq=cap, return_stats=True
+        )
+        n_pairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 2)
+        s = stats.collect()[0]
+        return {
+            "wall_s": wall, "pairs_found": n_pairs,
+            "n_stop_shingles_dropped": s["n_stop_shingles_dropped"],
+            "n_postings_dropped": s["n_postings_dropped"],
+        }
+
+    def run_lsh(docs, m):
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(docs, threshold=0.5, max_bucket="auto")
+        cluster = pairs.filter(
+            F.col("id1").startswith("c-") & F.col("id2").startswith("c-")
+        )
+        n_pairs = cluster.count()
+        covered = (
+            cluster.select(F.col("id1").alias("id"))
+            .union(cluster.select(F.col("id2").alias("id")))
+            .distinct()
+            .count()
+        )
+        return {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "cluster_pairs": n_pairs,
+            "cluster_members_detected": covered,
+            "cluster_members": m,
+        }
+
+    # analytic posting-join rows: 6 boilerplate shingles at f=n plus 19
+    # cluster-body/crossing shingles at f=m (unique-tail shingles are
+    # f=1 noise; counts confirmed by the stats row: 25 stop-shingles,
+    # 6n+19m postings at cap < m)
+    def join_rows(n, m):
+        return 6 * n * n + 19 * m * m
+
+    tmp = tempfile.mkdtemp(prefix="stop_shingle_probe_")
+    try:
+        docs = _build_boilerplate_corpus(spark, n_ab, m_ab, os.path.join(tmp, "ab"))
+        unbounded = run_jaccard(docs, None)
+        capped = run_jaccard(docs, cap_ab)
+        lsh = run_lsh(docs, m_ab)
+        big = _build_boilerplate_corpus(
+            spark, n_big, m_big, os.path.join(tmp, "big")
+        )
+        big_capped = run_jaccard(big, 1000)  # the operator's default cap
+        big_lsh = run_lsh(big, m_big)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "probe": "stop_shingle_guard",
+        "n_ab": n_ab, "m_ab": m_ab, "cap_ab": cap_ab,
+        "true_cluster_pairs_ab": m_ab * (m_ab - 1) // 2,
+        "unbounded_join_rows_analytic_ab": join_rows(n_ab, m_ab),
+        "unbounded": unbounded, "capped": capped, "lsh": lsh,
+        "n_big": n_big, "m_big": m_big,
+        "true_cluster_pairs_big": m_big * (m_big - 1) // 2,
+        "big_unbounded_join_rows_analytic": join_rows(n_big, m_big),
+        "big_capped": big_capped, "big_lsh": big_lsh,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark(
@@ -318,6 +459,7 @@ def main() -> None:
     print(json.dumps(probe_lsh_candidates(spark)))
     print(json.dumps(probe_star_guard(spark)))
     print(json.dumps(probe_ingest_guard(spark)))
+    print(json.dumps(probe_stop_shingle_guard(spark)))
     spark.stop()
 
 

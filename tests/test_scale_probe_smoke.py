@@ -49,3 +49,35 @@ class TestIngestGuardProbe:
         # recorded at real probe sizes where it is unambiguous.
         assert 0 < out["unbounded_wall_s"] < float("inf")
         assert 0 < out["guarded_wall_s"] < float("inf")
+
+
+class TestStopShingleGuardProbe:
+    def test_probe_runs_and_recall_accounting_holds(self, spark):
+        """Round-12 probe (r11 VERDICT order 7): the stop-shingle cap's
+        recall-for-cost trade at toy size. The planted m-cluster's pairs
+        are ALL found unbounded, ALL lost under cap < m (with the drop
+        quantified by the stats row: 25 over-cap shingles = 6 boilerplate
+        + 19 cluster-body, 6n + 19m postings), and near-fully recovered
+        by the LSH remedy path on the same fixture."""
+        from scale_probe import probe_stop_shingle_guard
+
+        out = probe_stop_shingle_guard(
+            spark, n_ab=60, m_ab=12, cap_ab=5, n_big=120, m_big=20
+        )
+        clique = 12 * 11 // 2
+        assert out["true_cluster_pairs_ab"] == clique
+        assert out["unbounded"]["pairs_found"] == clique
+        assert out["unbounded"]["n_postings_dropped"] == 0
+        # cap < cluster: every cluster pair lost, drop quantified
+        assert out["capped"]["pairs_found"] == 0
+        assert out["capped"]["n_stop_shingles_dropped"] == 25
+        assert out["capped"]["n_postings_dropped"] == 6 * 60 + 19 * 12
+        assert out["unbounded_join_rows_analytic_ab"] == 6 * 60 * 60 + 19 * 12 * 12
+        # the documented remedy keeps the cluster detected
+        assert out["lsh"]["cluster_members_detected"] >= 11
+        assert out["lsh"]["cluster_pairs"] > 0
+        # big mode at toy size: default cap (1000) exceeds every
+        # frequency, so nothing is dropped and the clique survives
+        assert out["big_capped"]["n_stop_shingles_dropped"] == 0
+        assert out["big_capped"]["pairs_found"] == 20 * 19 // 2
+        assert out["big_lsh"]["cluster_members_detected"] >= 18
