@@ -444,6 +444,79 @@ def probe_stop_shingle_guard(
     }
 
 
+def probe_fuzzy_block_guard(
+    spark, m_ab: int = 8_192, m_big: int = 200_000, cap="auto"
+) -> dict:
+    """The hot-block cap in blocked_fuzzy_pairs, measured (round 12,
+    completing the guard-probe family): m distinct values sharing one
+    non-discriminative blocking key (every name ending in "inc") make
+    the blocked self-join m(m-1)/2 Levenshtein comparisons. A/B at
+    m=8,192 (33.5M comparisons, measurable): the unbounded arm finds
+    the m/2 planted distance-1 pairs; the auto cap (4096 < m) drops the
+    block — 0 pairs, flat cost, the drop quantified by the stats row.
+    The DOCUMENTED remedy (the operator docstring: supply a finer
+    ``block`` expression) on the same fixture — first token, which the
+    planted pairs share — finds every true pair at O(m) cost. Then big
+    mode at m=200k, where the unbounded join would be 2e10 comparisons
+    (analytic-only) and both the cap and the finer-block path stay
+    flat.
+
+    Fixture: value 2k/2k+1 = "<md5-16-hex of k> plant{a|b} inc" —
+    pair distance 1, cross-pair distance >= 14 (16 random hex chars),
+    so ground truth is exactly m/2 pairs. Values written to parquet;
+    walls time construction + action."""
+    import shutil
+    import tempfile
+
+    from etl_complete_with_spark_spark.operators.dedup import blocked_fuzzy_pairs
+
+    def write_values(m, path):
+        base = F.substring(F.md5((F.col("id") / 2).cast("bigint").cast("string")), 1, 16)
+        variant = F.when(F.col("id") % 2 == 0, "planta").otherwise("plantb")
+        spark.range(m).select(
+            F.concat_ws(" ", base, variant, F.lit("inc")).alias("name")
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def run(vals, max_block, block=None):
+        t0 = time.perf_counter()
+        pairs, stats = blocked_fuzzy_pairs(
+            vals, "name", block=block, max_distance=3,
+            max_block=max_block, return_stats=True,
+        )
+        n_pairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 2)
+        s = stats.collect()[0]
+        return {
+            "wall_s": wall, "pairs_found": n_pairs,
+            "n_blocks_dropped": s["n_blocks_dropped"],
+            "n_values_dropped": s["n_values_dropped"],
+        }
+
+    finer = F.element_at(F.split(F.col("name"), " "), 1)
+    tmp = tempfile.mkdtemp(prefix="fuzzy_block_probe_")
+    try:
+        vals = write_values(m_ab, os.path.join(tmp, "ab"))
+        unbounded = run(vals, None)
+        capped = run(vals, cap)
+        remedy = run(vals, cap, block=finer)
+        big = write_values(m_big, os.path.join(tmp, "big"))
+        big_capped = run(big, cap)
+        big_remedy = run(big, cap, block=finer)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "probe": "fuzzy_block_guard", "m_ab": m_ab,
+        "true_pairs_ab": m_ab // 2,
+        "unbounded_comparisons_ab": m_ab * (m_ab - 1) // 2,
+        "unbounded": unbounded, "capped": capped,
+        "finer_block_remedy": remedy,
+        "m_big": m_big, "true_pairs_big": m_big // 2,
+        "big_unbounded_comparisons_analytic": m_big * (m_big - 1) // 2,
+        "big_capped": big_capped, "big_finer_block_remedy": big_remedy,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark(
@@ -460,6 +533,7 @@ def main() -> None:
     print(json.dumps(probe_star_guard(spark)))
     print(json.dumps(probe_ingest_guard(spark)))
     print(json.dumps(probe_stop_shingle_guard(spark)))
+    print(json.dumps(probe_fuzzy_block_guard(spark)))
     spark.stop()
 
 

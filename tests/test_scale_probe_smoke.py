@@ -81,3 +81,28 @@ class TestStopShingleGuardProbe:
         assert out["big_capped"]["n_stop_shingles_dropped"] == 0
         assert out["big_capped"]["pairs_found"] == 20 * 19 // 2
         assert out["big_lsh"]["cluster_members_detected"] >= 18
+
+
+class TestFuzzyBlockGuardProbe:
+    def test_probe_runs_and_drop_accounting_holds(self, spark):
+        """Round-12 probe: the hot-block cap in blocked_fuzzy_pairs at
+        toy size, with cap=16 < m=40 so the drop path engages. The
+        planted m/2 distance-1 pairs are all found unbounded, all lost
+        when the hot "inc" block exceeds the cap (1 block / m values
+        dropped, per the stats row), and all recovered by the
+        documented finer-block remedy (first token), whose blocks of 2
+        sail under the same cap."""
+        from scale_probe import probe_fuzzy_block_guard
+
+        out = probe_fuzzy_block_guard(spark, m_ab=40, m_big=60, cap=16)
+        assert out["true_pairs_ab"] == 20
+        assert out["unbounded_comparisons_ab"] == 40 * 39 // 2
+        assert out["unbounded"]["pairs_found"] == 20
+        assert out["unbounded"]["n_values_dropped"] == 0
+        assert out["capped"]["pairs_found"] == 0
+        assert out["capped"]["n_blocks_dropped"] == 1
+        assert out["capped"]["n_values_dropped"] == 40
+        assert out["finer_block_remedy"]["pairs_found"] == 20
+        assert out["finer_block_remedy"]["n_values_dropped"] == 0
+        assert out["big_capped"]["n_values_dropped"] == 60
+        assert out["big_finer_block_remedy"]["pairs_found"] == 30
