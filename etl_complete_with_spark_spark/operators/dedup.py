@@ -1041,6 +1041,11 @@ def blocked_fuzzy_pairs(
     dropping beats emitting a quadratic block. Callers with a hot-key
     corpus should supply a finer ``block`` expression (e.g. first token
     + length bucket); ``None``/``0`` keeps every block at any size.
+    The trade is MEASURED (SCALING.md §Round-12 / scale_probe
+    ``fuzzy_block_guard``): at an 8,192-value hot block the unbounded
+    join costs 232 s of Levenshtein, the cap flattens it to ~1 s with
+    the loss counted, and a first-token remedy block finds every true
+    pair in under a second.
 
     ``return_stats=True`` (round 11, per r10 order 4 — no silent caps)
     returns ``(pairs, stats)`` where ``stats`` is a one-row DataFrame

@@ -25,6 +25,21 @@ Probes:
   materialization). Twin: the retired checkpoint-pinned formulation
   (full extra copy of the table to executor storage + a second
   driver job).
+- ``lsh_candidates``: LSH candidate-pair fraction vs all pairs on the
+  real sf0.1 documents table (the n² baseline is the unmeasurable one).
+- ``star_guard`` (r11): the LSH mega-bucket star-connect vs the
+  unbounded clique at m=8,192, star alone at m=200k.
+- ``ingest_guard`` (r11): the incremental-dedup corpus-probe cap vs the
+  unbounded b×m probe join at m=200k, guarded alone at m=2M.
+- ``stop_shingle_guard`` (r12): the shingle-frequency cap's
+  recall-for-cost trade, with the LSH path's recall on the same
+  boilerplate-heavy fixture.
+- ``fuzzy_block_guard`` (r12): the hot-block cap in blocked fuzzy
+  matching vs the unbounded Levenshtein join, plus the finer-block
+  remedy's cost and recall on the same fixture.
+
+Recorded results for all probes live in SCALING.md; toy-size
+invariants are pinned in tests/test_scale_probe_smoke.py.
 """
 
 from __future__ import annotations
