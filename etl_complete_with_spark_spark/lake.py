@@ -211,18 +211,27 @@ class Lake:
             )
         return spark.read.parquet(current)
 
-    def trusted_versions(self, spark: SparkSession, namespace: str, dataset: str) -> list[int]:
-        """Retained TRUSTED snapshot versions, ascending."""
-        base = self.path(TRUSTED, namespace, dataset)
+    def _version_dirs(self, spark: SparkSession, base: str) -> list[tuple[int, int]]:
+        """The ``v<digits>`` snapshot DIRECTORIES under ``base`` as
+        ``(version, modification_time_ms)`` pairs, unordered. The single
+        definition of "what counts as a version dir" — shared by
+        :meth:`trusted_versions` and the legacy-tmp cross-check so the
+        two can never drift (r12 review). A FILE named like a version is
+        not a snapshot and is excluded."""
         jvm_path, fs = self._fs(spark, base)
         if not fs.exists(jvm_path):
             return []
-        versions = []
+        out = []
         for status in fs.listStatus(jvm_path):
             name = status.getPath().getName()
-            if name.startswith("v") and name[1:].isdigit():
-                versions.append(int(name[1:]))
-        return sorted(versions)
+            if re.fullmatch(r"v\d+", name) and status.isDirectory():
+                out.append((int(name[1:]), status.getModificationTime()))
+        return out
+
+    def trusted_versions(self, spark: SparkSession, namespace: str, dataset: str) -> list[int]:
+        """Retained TRUSTED snapshot versions, ascending."""
+        base = self.path(TRUSTED, namespace, dataset)
+        return sorted(v for v, _ in self._version_dirs(spark, base))
 
     def vacuum_trusted(
         self, spark: SparkSession, namespace: str, dataset: str, keep: int = 2
@@ -457,34 +466,32 @@ class Lake:
         BEFORE flipping the pointer, and a surviving tmp means the
         crash ended that table's write history, so the committed value
         is always an existing dir of which the (possibly truncated)
-        payload is a prefix — serve the numerically-largest such dir:
-        a complete tmp names exactly itself, and a truncated one is
-        repaired to the committed version instead of silently serving
-        a stale snapshot. No prefix-matching dir -> absent. JSON
-        payloads keep the parse-only check (array manifests have no
-        cleanly-parsing proper prefix, and no on-disk twin to check
-        against)."""
+        payload is a prefix — AND, because it was written last, the
+        MOST RECENTLY MODIFIED such dir. Serve the latest-mtime prefix
+        match (ties broken toward the larger version): in a monotonic
+        history a torn ``v12``->``v1`` repairs to v12 (the newest dir)
+        instead of silently serving the stale v1 snapshot, while after
+        a version-counter RESET (an unreadable pointer makes
+        merge_trusted restart at v0 beside surviving old-epoch dirs) a
+        complete ``v1`` tmp still serves the new-epoch v1, whose mtime
+        beats the old-epoch v10/v12 prefix matches that a
+        numerically-largest rule would wrongly prefer (r12 review). No
+        prefix-matching dir -> absent. JSON payloads keep the
+        parse-only check (array manifests have no cleanly-parsing
+        proper prefix, and no on-disk twin to check against)."""
         try:
             text = content.decode()
         except UnicodeDecodeError:
             return None
         if re.fullmatch(r"v\d+", text):
-            base = os.path.dirname(ptr)
-            jvm_base, fs = self._fs(spark, base)
-            if not fs.exists(jvm_base):
-                return None
-            candidates = []
-            for status in fs.listStatus(jvm_base):
-                name = status.getPath().getName()
-                if (
-                    name.startswith(text)
-                    and re.fullmatch(r"v\d+", name)
-                    and status.isDirectory()
-                ):
-                    candidates.append(name)
+            candidates = [
+                (mtime, v)
+                for v, mtime in self._version_dirs(spark, os.path.dirname(ptr))
+                if f"v{v}".startswith(text)
+            ]
             if not candidates:
                 return None
-            return max(candidates, key=lambda n: int(n[1:]))
+            return f"v{max(candidates)[1]}"
         try:
             json.loads(text)
         except ValueError:

@@ -494,13 +494,16 @@ class TestCrashAtomicPointer:
         Property over EVERY truncation prefix of the legacy payload
         (dirs v0/v1/v12 on disk, committed value v12): each cut reads as
         either absent or the committed ``v12`` — never ``v1``/``v0``.
-        The dir cross-check repairs the prefix to the numerically
-        largest matching dir, so the complete payload and the ``v1``
-        cut BOTH serve v12."""
+        The dir cross-check repairs the prefix to the latest-modified
+        matching dir (v12, written last in a monotonic history), so the
+        complete payload and the ``v1`` cut BOTH serve v12."""
+        import os as _os
+
         lake = Lake(str(tmp_path))
         ptr = self._ptr(tmp_path)
-        for v in ("v0", "v1", "v12"):
+        for i, v in enumerate(("v0", "v1", "v12")):
             (tmp_path / v).mkdir()
+            _os.utime(tmp_path / v, (1_000_000 + i, 1_000_000 + i))
         payload = "v12"
         for cut in range(len(payload) + 1):
             (tmp_path / "_CURRENT.tmp").write_text(payload[:cut], encoding="utf-8")
@@ -508,6 +511,32 @@ class TestCrashAtomicPointer:
             assert got in (None, "v12"), f"cut={cut} served stale {got!r}"
         # and the complete payload does serve (not everything absent)
         (tmp_path / "_CURRENT.tmp").write_text(payload, encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v12"
+
+    def test_legacy_tmp_after_version_counter_reset_serves_new_epoch(
+        self, spark, tmp_path
+    ):
+        """r12 review: an unreadable pointer makes merge_trusted restart
+        at v0 BESIDE surviving old-epoch dirs, so a complete legacy tmp
+        ``v1`` can coexist with old v10/v12 dirs that prefix-match it. A
+        numerically-largest rule would serve the stale old-epoch v12;
+        the latest-mtime rule serves the new-epoch v1 — the committed
+        value the old parse-only reader also served. The monotonic
+        truncation repair (test above) must keep working alongside."""
+        import os as _os
+
+        lake = Lake(str(tmp_path))
+        ptr = self._ptr(tmp_path)
+        # old epoch: v0..v12 written long ago; new epoch overwrote v0
+        # then wrote v1, so the new-epoch dirs carry the newest mtimes
+        for v, t in (("v10", 100), ("v12", 200), ("v0", 900), ("v1", 1000)):
+            (tmp_path / v).mkdir()
+            _os.utime(tmp_path / v, (1_000_000 + t, 1_000_000 + t))
+        (tmp_path / "_CURRENT.tmp").write_text("v1", encoding="utf-8")
+        assert lake._read_pointer(spark, ptr) == "v1"
+        # same fixture, tmp naming the old epoch's exact dir: only v12
+        # prefix-matches "v12", so the cross-check serves it verbatim
+        (tmp_path / "_CURRENT.tmp").write_text("v12", encoding="utf-8")
         assert lake._read_pointer(spark, ptr) == "v12"
 
     def test_corrupt_framed_destination_raises(self, spark, tmp_path):
