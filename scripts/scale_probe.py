@@ -384,6 +384,7 @@ def probe_stop_shingle_guard(
     Walls time CONSTRUCTION + action together (both operators carry
     internal lazy localCheckpoints that materialize upstream stages at
     build time — the round-11 finding)."""
+    import inspect
     import shutil
     import tempfile
 
@@ -407,12 +408,17 @@ def probe_stop_shingle_guard(
         }
 
     def run_lsh(docs, m):
+        # wall covers construction + ONE action (the pair count), the
+        # same work shape run_jaccard times — the coverage count below
+        # is a second action and stays OUTSIDE the timed region so the
+        # jaccard-vs-LSH wall comparison is like-for-like (r12 review)
         t0 = time.perf_counter()
         pairs = minhash_dedup_pairs(docs, threshold=0.5, max_bucket="auto")
         cluster = pairs.filter(
             F.col("id1").startswith("c-") & F.col("id2").startswith("c-")
         )
         n_pairs = cluster.count()
+        wall = round(time.perf_counter() - t0, 2)
         covered = (
             cluster.select(F.col("id1").alias("id"))
             .union(cluster.select(F.col("id2").alias("id")))
@@ -420,7 +426,7 @@ def probe_stop_shingle_guard(
             .count()
         )
         return {
-            "wall_s": round(time.perf_counter() - t0, 2),
+            "wall_s": wall,
             "cluster_pairs": n_pairs,
             "cluster_members_detected": covered,
             "cluster_members": m,
@@ -442,7 +448,12 @@ def probe_stop_shingle_guard(
         big = _build_boilerplate_corpus(
             spark, n_big, m_big, os.path.join(tmp, "big")
         )
-        big_capped = run_jaccard(big, 1000)  # the operator's default cap
+        # the operator's REAL default cap, introspected so the probe can
+        # never silently diverge from what production callers get
+        default_cap = inspect.signature(ngram_jaccard_pairs).parameters[
+            "max_shingle_freq"
+        ].default
+        big_capped = run_jaccard(big, default_cap)
         big_lsh = run_lsh(big, m_big)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
