@@ -563,12 +563,14 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cpu_baseline.json")
         ) as f:
-            base_q = json.load(f).get("executor_cpu_sec_per_run", {})
+            _base_full = json.load(f)
     except Exception:
-        base_q = {}
+        _base_full = {}
+    base_q = _base_full.get("executor_cpu_sec_per_run", {})
     spark = get_spark(app_name="bench-cpu-abab", extra_conf=_UI_CONF)
     try:
         _confirm_session_warmup(spark, sf_dir)
+        session_box = _abab_box_evidence(spark, _base_full)
         lo, hi = CPU_CONFIRM_CAL_CLAMP
 
         def timed(name: str) -> float | None:
@@ -617,7 +619,33 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
         out[name]["median_calibrated_s"] = _calibrated_median(
             out[name]["calibrated_s"]
         )
+        out[name]["session_box"] = session_box
     return out
+
+
+def _abab_box_evidence(spark, baseline: dict) -> dict:
+    """Box-state evidence for an escalation session (round 12): both
+    canaries measured INSIDE the ABAB session, with factors vs the
+    rotated baseline's canaries. Purely evidential — adjudication still
+    rests on the interleaved control calibration — but a confirm
+    produced in a degraded or dirty window now carries its own box
+    reading, so a later reader (or a ledger annulment) doesn't have to
+    reconstruct the session's state from neighboring artifacts. The r12
+    agg_approx_stats episode motivates it: an ABAB that ran right after
+    heavy co-resident Spark work confirmed +27.6% where a solo idle
+    re-run of the identical plan read +6.4% — with in-band controls,
+    because the dirty window degraded an axis none of the three
+    controls track. Costs ~5 s of canary time per escalation session."""
+    alu = _box_canary(spark)
+    mem = _box_canary_mem(spark)
+    base_alu = baseline.get("box_canary_cpu_s")
+    base_mem = baseline.get("box_canary_mem_cpu_s")
+    return {
+        "alu_cpu_s": alu,
+        "mem_cpu_s": mem,
+        "alu_factor": round(alu / base_alu, 3) if alu and base_alu else None,
+        "mem_factor": round(mem / base_mem, 3) if mem and base_mem else None,
+    }
 
 
 # Box-throughput canary: a fixed, engine-independent, all-core JVM
@@ -957,6 +985,14 @@ def main() -> None:
         print(round(run_one(sys.argv[2], sf_dir), 3))
         return
 
+    # co-tenancy evidence (r12): a recorded run taken in a dirty window
+    # (right after pytest / probes / oracle sweeps) reads inflated — the
+    # 1-minute load average at start is the cheapest stamp a later
+    # reader can use to judge whether an artifact was taken solo
+    try:
+        loadavg_start = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
     executor_s: dict[str, float] = {}
@@ -1021,6 +1057,7 @@ def main() -> None:
             "runs_per_query": 2,
             "reported": "min",
         },
+        "os_loadavg_at_start": loadavg_start,
     }
     if shuffle:
         full["shuffle_mb_per_run"] = shuffle

@@ -651,6 +651,25 @@ def test_record_flag_history_never_mutates_annulled_row(monkeypatch, tmp_path):
     assert bench._prior_strikes(history, "q", 10) == 3
 
 
+def test_abab_box_evidence_factors(monkeypatch):
+    """r12: escalation sessions stamp their own box state so a confirm
+    taken in a dirty window is self-annotating. Factors are computed
+    against the rotated baseline's canaries; missing baselines yield
+    None factors, never a crash."""
+    monkeypatch.setattr(bench, "_box_canary", lambda s: 14.93)
+    monkeypatch.setattr(bench, "_box_canary_mem", lambda s: 42.91)
+    ev = bench._abab_box_evidence(
+        None, {"box_canary_cpu_s": 12.44, "box_canary_mem_cpu_s": 35.76}
+    )
+    assert ev["alu_cpu_s"] == 14.93 and ev["mem_cpu_s"] == 42.91
+    assert ev["alu_factor"] == 1.2 and ev["mem_factor"] == 1.2
+    ev2 = bench._abab_box_evidence(None, {})
+    assert ev2["alu_factor"] is None and ev2["mem_factor"] is None
+    monkeypatch.setattr(bench, "_box_canary", lambda s: None)
+    ev3 = bench._abab_box_evidence(None, {"box_canary_cpu_s": 12.44})
+    assert ev3["alu_cpu_s"] is None and ev3["alu_factor"] is None
+
+
 def test_repo_ledger_carries_the_annulment():
     """The committed ledger's poisoned r10 'confirmed (abab)' on
     agg_approx_accuracy must carry the r12 annulment so no automated
