@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
 
 from etl_complete_with_spark_spark.lake import Lake
@@ -538,6 +539,54 @@ class TestCrashAtomicPointer:
         # prefix-matches "v12", so the cross-check serves it verbatim
         (tmp_path / "_CURRENT.tmp").write_text("v12", encoding="utf-8")
         assert lake._read_pointer(spark, ptr) == "v12"
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        versions=st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=8),
+        committed_idx=st.integers(min_value=0, max_value=7),
+        cut_frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_legacy_tmp_property_any_history(
+        self, spark, tmp_path, versions, committed_idx, cut_frac
+    ):
+        """Generalizes the monotonic-truncation and counter-reset
+        scenarios: for ANY set of version dirs with ANY write order (the
+        committed one is the last-written, i.e. newest mtime — the
+        protocol invariant), every truncation prefix of the committed
+        value's legacy tmp reads as either absent or the committed value
+        itself — never another version's dir."""
+        import os as _os
+        import shutil as _shutil
+
+        base = tmp_path / "t"
+        base.mkdir()
+        try:
+            vs = sorted(versions)
+            committed = vs[committed_idx % len(vs)]
+            # arbitrary epoch structure: all non-committed dirs get older
+            # mtimes (any order); the committed dir is written last
+            for i, v in enumerate(x for x in vs if x != committed):
+                (base / f"v{v}").mkdir()
+                _os.utime(base / f"v{v}", (2_000_000 + i, 2_000_000 + i))
+            (base / f"v{committed}").mkdir()
+            _os.utime(base / f"v{committed}", (2_000_500, 2_000_500))
+            payload = f"v{committed}"
+            cut = int(len(payload) * cut_frac)
+            (base / "_CURRENT.tmp").write_text(payload[:cut], encoding="utf-8")
+            lake = Lake(str(base))
+            got = lake._read_pointer(spark, str(base / "_CURRENT"))
+            assert got in (None, payload), (
+                f"history {vs}, committed {payload}, cut {cut} -> {got!r}"
+            )
+            # the complete payload always serves
+            (base / "_CURRENT.tmp").write_text(payload, encoding="utf-8")
+            assert lake._read_pointer(spark, str(base / "_CURRENT")) == payload
+        finally:
+            _shutil.rmtree(base, ignore_errors=True)
 
     def test_corrupt_framed_destination_raises(self, spark, tmp_path):
         lake = Lake(str(tmp_path))
