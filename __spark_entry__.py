@@ -28,11 +28,11 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # ``QUERIES`` — 165 at the time of writing; tests/test_entry_contract.py
 # pins this comment's count against ``len(QUERIES)``).
 #
-# Round-12 window (VERDICT r11 order 1): the evidence floor closed at 3 in
-# r11, so this rotation continues the fourth-record pass — all 48 free
-# slots go to the earliest-recorded of the 128 three-record queries
-# (r01/r02/r03 firsts, registration order as the tiebreak), per the
-# committed policy.  The union stays 165/165.
+# Round-13 window (VERDICT r12 order 1): the fourth-record pass continues —
+# after r12, 80 queries hold exactly 3 green records (79 hold 4); all 48
+# free slots go to the earliest-recorded of those 80 (r03/r04 firsts,
+# registration order as the tiebreak), leaving ~32 for r14.  The union
+# stays 165/165.
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
 # was computed from (scripts/rotate_window.py prints it alongside the
@@ -40,58 +40,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 11
+WINDOW_GENERATED_AFTER = 12
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "cube_revenue",  # 3 row(s), first r01
-    "distinct_users_per_type",  # 3 row(s), first r01
-    "pivot_user_event_matrix",  # 3 row(s), first r01
-    "sessionize_batch",  # 3 row(s), first r01
-    "asof_join_last_purchase",  # 3 row(s), first r01
-    "grouped_user_stats",  # 3 row(s), first r01
-    "range_join_event_windows",  # 3 row(s), first r01
-    "skew_salted_join",  # 3 row(s), first r01
-    "agg_quantiles",  # 3 row(s), first r01
-    "json_extract_props",  # 3 row(s), first r01
-    "ann_lsh_topk",  # 3 row(s), first r02
-    "mm_extract_features",  # 3 row(s), first r02
-    "emb_quantize_int8",  # 3 row(s), first r02
-    "emb_gram_int8",  # 3 row(s), first r02
-    "ann_int8_topk",  # 3 row(s), first r02
-    "emb_label_centroids",  # 3 row(s), first r02
-    "text_unigram_lm_score",  # 3 row(s), first r02
-    "stream_dedup_events",  # 3 row(s), first r02
-    "table_profile_orders",  # 3 row(s), first r02
-    "dedup_semantic_cluster",  # 3 row(s), first r02
-    "pack_training_shards",  # 3 row(s), first r02
-    "fuzzy_match_part_names",  # 3 row(s), first r02
-    "jsonl_roundtrip_orders",  # 3 row(s), first r02
-    "ann_ivf_topk",  # 3 row(s), first r03
-    "decontaminate_ngram_overlap",  # 3 row(s), first r03
-    "sample_token_budget_mix",  # 3 row(s), first r03
-    "stream_static_enrich",  # 3 row(s), first r03
-    "orc_roundtrip_orders",  # 3 row(s), first r03
-    "udtf_token_runs",  # 3 row(s), first r03
-    "bpe_top_pairs",  # 3 row(s), first r03
-    "rollup_revenue_by_nation_region",  # 3 row(s), first r03
-    "running_revenue_per_customer",  # 3 row(s), first r03
-    "left_outer_order_counts",  # 3 row(s), first r03
-    "anti_join_customers_without_orders",  # 3 row(s), first r03
-    "orders_above_customer_avg",  # 3 row(s), first r03
-    "agg_approx_accuracy",  # 3 row(s), first r03
-    "semi_join_priority_orders",  # 3 row(s), first r03
-    "case_agg_priority_split",  # 3 row(s), first r03
-    "top10_orders_global",  # 3 row(s), first r03
-    "unpivot_event_matrix",  # 3 row(s), first r03
-    "part_name_search",  # 3 row(s), first r03
-    "stats_price_quantity",  # 3 row(s), first r03
-    "rolling_24h_user_value",  # 3 row(s), first r03
-    "gapfill_hourly_counts",  # 3 row(s), first r03
-    "grouping_sets_revenue",  # 3 row(s), first r03
-    "zorder_morton_codes",  # 3 row(s), first r03
-    "dq_orders_expectations",  # 3 row(s), first r03
-    "dq_fk_orphan_events",  # 3 row(s), first r03
+    "scd2_customer_versions",  # 3 row(s), first r03
+    "order_price_distribution",  # 3 row(s), first r03
+    "q3_shipping_priority",  # 3 row(s), first r03
+    "q22_idle_rich_customers",  # 3 row(s), first r03
+    "order_burst_components",  # 3 row(s), first r03
+    "variant_props_stats",  # 3 row(s), first r03
+    "q8_market_share",  # 3 row(s), first r03
+    "q18_large_volume_customers",  # 3 row(s), first r03
+    "dedup_cluster_keep_star",  # 3 row(s), first r04
+    "ann_tiled_topk",  # 3 row(s), first r04
+    "sample_weighted_quality",  # 3 row(s), first r04
+    "text_gopher_rules",  # 3 row(s), first r04
+    "ann_pq_topk",  # 3 row(s), first r04
+    "heavy_hitter_tokens",  # 3 row(s), first r04
+    "pagerank_suppliers",  # 3 row(s), first r04
+    "stream_sessionize",  # 3 row(s), first r04
+    "corpus_dup_ngram_profile",  # 3 row(s), first r04
+    "dedup_containment",  # 3 row(s), first r04
+    "knn_label_vote",  # 3 row(s), first r04
+    "bm25_doc_search",  # 3 row(s), first r04
+    "kmeans_embeddings_int",  # 3 row(s), first r04
+    "agg_approx_stats",  # 3 row(s), first r04
+    "sketch_merge_daily_users",  # 3 row(s), first r04
+    "supplier_balance_by_nation",  # 3 row(s), first r04
+    "orders_monthly_rollup",  # 3 row(s), first r04
+    "embedding_vector_stats",  # 3 row(s), first r04
+    "first_last_event_per_user",  # 3 row(s), first r04
+    "funnel_signup_click_purchase",  # 3 row(s), first r04
+    "table_diff_customer_batches",  # 3 row(s), first r04
+    "calendar_dim",  # 3 row(s), first r04
+    "histogram_order_prices",  # 3 row(s), first r04
+    "skew_key_profile_events",  # 3 row(s), first r04
+    "cohort_weekly_retention",  # 3 row(s), first r04
+    "rfm_customer_segments",  # 3 row(s), first r04
+    "markov_event_transitions",  # 3 row(s), first r04
+    "cdc_apply_orders",  # 3 row(s), first r04
+    "sketch_countmin_users",  # 3 row(s), first r04
+    "triangle_coorder_parts",  # 3 row(s), first r04
+    "sketch_quantile_bottomk",  # 3 row(s), first r04
+    "ewma_user_value",  # 3 row(s), first r04
+    "stream_quantile_sketch",  # 3 row(s), first r04
+    "q5_local_supplier_volume",  # 3 row(s), first r04
+    "q6_forecast_revenue",  # 3 row(s), first r04
+    "q7_volume_shipping",  # 3 row(s), first r04
+    "q9_product_profit",  # 3 row(s), first r04
+    "q10_returned_items",  # 3 row(s), first r04
+    "q13_customer_distribution",  # 3 row(s), first r04
+    "q14_promo_revenue",  # 3 row(s), first r04
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
