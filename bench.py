@@ -456,6 +456,61 @@ def _measure_cpu_one(spark, name: str, sf_dir: str) -> float | None:
 FLAG_HISTORY_FILE = "bench_flag_history.json"
 ABAB_REPS = 3
 
+# Dirty-window self-defense for the two-strike escalation (round 13,
+# per r12 VERDICT order 2 / ADVICE): r12's `agg_approx_stats` episode
+# proved an ABAB can confirm a phantom (+27.6% dirty vs +6.4% solo-idle
+# on the identical plan) when the whole session sits in a window whose
+# degradation axis none of the calibration controls track. The session
+# now samples its OWN box canaries at start AND end (a window that
+# turns dirty mid-session — co-resident work landing during the reps —
+# is visible in the end sample), and a would-be "confirmed (abab)"
+# whose session evidence is out of band is NOT allowed to land: the
+# gate re-runs the ABAB once after a settle pause, and if the re-run is
+# dirty too the verdict records as "deferred (dirty window)" — which
+# stays a violation (never hidden) but never enters the ledger as a
+# confirm needing a human annulment after the fact.
+#
+# Threshold: clean escalation sessions historically read canary
+# factors 0.92-1.01 and the mem canary repeats within ~8% across
+# sessions (see the canary comments below); 1.15 sits ~2 sigma above
+# that envelope while any contention heavy enough to inflate a
+# candidate past the 25% gate band comfortably clears it. A factor of
+# None (no rotated canary baseline, or a canary that failed to run)
+# cannot adjudicate dirt and is treated as clean — adjudication then
+# rests on the interleaved control calibration exactly as before.
+# Reverted verdicts are NOT deferred: window dirt inflates readings,
+# so a calibrated median that still lands inside the band is safe
+# evidence of noise (the asymmetry is deliberate).
+ABAB_BOX_DIRTY_FACTOR = 1.15
+# Settle pause before the solo re-run, seconds (env-overridable so unit
+# tests and interactive debugging skip the wait).
+ABAB_DIRTY_SETTLE_S = 30.0
+
+
+def _box_dirty(ev: dict | None) -> bool:
+    """True when a session-box sample's canary factors read out of band
+    (either axis past ABAB_BOX_DIRTY_FACTOR). None factors are clean by
+    convention — see the ABAB_BOX_DIRTY_FACTOR comment."""
+    ev = ev or {}
+    return any(
+        f is not None and f > ABAB_BOX_DIRTY_FACTOR
+        for f in (ev.get("alu_factor"), ev.get("mem_factor"))
+    )
+
+
+def _compose_session_box(start: dict, end: dict) -> dict:
+    """Combine the start/end box samples of one escalation session into
+    the evidence stamped on every candidate: both samples verbatim plus
+    the dirty adjudication (dirty if EITHER sample is out of band — r12
+    ADVICE: a single start-of-session sample misses a window that turns
+    dirty mid-session)."""
+    return {
+        "start": start,
+        "end": end,
+        "dirty_threshold_factor": ABAB_BOX_DIRTY_FACTOR,
+        "dirty": _box_dirty(start) or _box_dirty(end),
+    }
+
 
 def _flag_history_path() -> str:
     override = os.environ.get("SPARK_GRAFT_FLAG_HISTORY")
@@ -570,7 +625,11 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
     spark = get_spark(app_name="bench-cpu-abab", extra_conf=_UI_CONF)
     try:
         _confirm_session_warmup(spark, sf_dir)
-        session_box = _abab_box_evidence(spark, _base_full)
+        # Box state sampled at session START and again at session END
+        # (after the last rep) — r12 ADVICE: one start-of-session sample
+        # stamped on every candidate can miss a window that turns dirty
+        # mid-session, the exact failure mode this instrument exists for.
+        box_start = _abab_box_evidence(spark, _base_full)
         lo, hi = CPU_CONFIRM_CAL_CLAMP
 
         def timed(name: str) -> float | None:
@@ -612,6 +671,8 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
                     if sample is not None and cal
                     else None
                 )
+        box_end = _abab_box_evidence(spark, _base_full)
+        session_box = _compose_session_box(box_start, box_end)
     finally:
         spark.stop()
     for name in names:
@@ -621,6 +682,33 @@ def _cpu_abab(names: list[str], reps: int = ABAB_REPS) -> dict[str, dict]:
         )
         out[name]["session_box"] = session_box
     return out
+
+
+def _loadavg() -> list[float] | None:
+    """1-minute/5/15 load averages, or None where unavailable — guarded
+    against AttributeError too (os.getloadavg does not exist on every
+    platform; r12 ADVICE: the OSError-only guard implied portability it
+    didn't deliver)."""
+    fn = getattr(os, "getloadavg", None)
+    if fn is None:
+        return None
+    try:
+        return [round(v, 2) for v in fn()]
+    except OSError:
+        return None
+
+
+def _abab_adjudicate(med: float | None, prev: float) -> str:
+    """Map an ABAB session's median calibrated reading to its verdict
+    (the dirty-window defense in _cpu_gate may override a confirm)."""
+    if med is None:
+        # instrumentation gap: keep flagged
+        return "confirmed (abab unreadable)"
+    if med - prev <= CPU_GATE_ABS_FLOOR_S or (
+        prev and (med - prev) / prev * 100.0 <= CPU_GATE_PCT
+    ):
+        return "reverted-on-abab (box noise, two-strike)"
+    return "confirmed (abab)"
 
 
 def _abab_box_evidence(spark, baseline: dict) -> dict:
@@ -645,6 +733,11 @@ def _abab_box_evidence(spark, baseline: dict) -> dict:
         "mem_cpu_s": mem,
         "alu_factor": round(alu / base_alu, 3) if alu and base_alu else None,
         "mem_factor": round(mem / base_mem, 3) if mem and base_mem else None,
+        # evidential only, never adjudicates dirt in-bench: the 1-minute
+        # average at escalation time still carries the bench's OWN
+        # just-finished catalog run on all cores, so it cannot separate
+        # self-load from co-tenants the way the canary factors can
+        "loadavg": _loadavg(),
     }
 
 
@@ -895,19 +988,37 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
                     history, q, baseline_round
                 )
                 regressions[q]["abab"] = ev
-                med = ev.get("median_calibrated_s")
                 prev = base_q[q]
-                if med is None:
-                    # instrumentation gap: keep flagged
-                    regressions[q]["verdict"] = "confirmed (abab unreadable)"
-                elif med - prev <= CPU_GATE_ABS_FLOOR_S or (
-                    prev and (med - prev) / prev * 100.0 <= CPU_GATE_PCT
-                ):
-                    regressions[q]["verdict"] = (
-                        "reverted-on-abab (box noise, two-strike)"
+                verdict = _abab_adjudicate(ev.get("median_calibrated_s"), prev)
+                # Self-defending confirm (r13, per r12 VERDICT order 2):
+                # a would-be confirm from a session whose own box
+                # evidence is out of band does not land — settle, re-run
+                # the ABAB solo, and adjudicate from the re-run. If the
+                # re-run is dirty too the verdict records as deferred:
+                # still a violation (never hidden) but never a ledger
+                # confirm needing a post-hoc human annulment.
+                if verdict == "confirmed (abab)" and (
+                    ev.get("session_box") or {}
+                ).get("dirty"):
+                    regressions[q]["abab_dirty_attempt"] = ev
+                    time.sleep(
+                        float(
+                            os.environ.get(
+                                "SPARK_GRAFT_ABAB_SETTLE_S",
+                                str(ABAB_DIRTY_SETTLE_S),
+                            )
+                        )
                     )
-                else:
-                    regressions[q]["verdict"] = "confirmed (abab)"
+                    ev = _cpu_abab([q]).get(q) or {}
+                    regressions[q]["abab"] = ev
+                    verdict = _abab_adjudicate(
+                        ev.get("median_calibrated_s"), prev
+                    )
+                    if verdict == "confirmed (abab)" and (
+                        ev.get("session_box") or {}
+                    ).get("dirty"):
+                        verdict = "deferred (dirty window)"
+                regressions[q]["verdict"] = verdict
         _record_flag_history(history, regressions, baseline_round)
     common = [q for q in executor_cpu if q in base_q]
     cur_total = round(sum(norm(executor_cpu[q]) for q in common), 1)
@@ -989,10 +1100,7 @@ def main() -> None:
     # (right after pytest / probes / oracle sweeps) reads inflated — the
     # 1-minute load average at start is the cheapest stamp a later
     # reader can use to judge whether an artifact was taken solo
-    try:
-        loadavg_start = [round(v, 2) for v in os.getloadavg()]
-    except OSError:
-        loadavg_start = None
+    loadavg_start = _loadavg()
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
     executor_s: dict[str, float] = {}

@@ -34,6 +34,7 @@ def _isolated_flag_ledger(monkeypatch, tmp_path):
     ledger at a per-test tmp file and stub the ABAB so unit tests stay
     pure arithmetic. Tests that assert ABAB semantics override the stub."""
     monkeypatch.setenv("SPARK_GRAFT_FLAG_HISTORY", str(tmp_path / "flags.json"))
+    monkeypatch.setenv("SPARK_GRAFT_ABAB_SETTLE_S", "0")
     monkeypatch.setattr(
         bench,
         "_cpu_abab",
@@ -668,6 +669,181 @@ def test_abab_box_evidence_factors(monkeypatch):
     monkeypatch.setattr(bench, "_box_canary", lambda s: None)
     ev3 = bench._abab_box_evidence(None, {"box_canary_cpu_s": 12.44})
     assert ev3["alu_cpu_s"] is None and ev3["alu_factor"] is None
+
+
+# -- Dirty-window self-defense (round-13, per r12 VERDICT order 2) -------
+
+
+def _clean_box():
+    return {"start": {"alu_factor": 0.97, "mem_factor": 1.01},
+            "end": {"alu_factor": 0.99, "mem_factor": 1.03},
+            "dirty_threshold_factor": bench.ABAB_BOX_DIRTY_FACTOR,
+            "dirty": False}
+
+
+def _dirty_box():
+    return {"start": {"alu_factor": 1.02, "mem_factor": 1.31},
+            "end": {"alu_factor": 1.05, "mem_factor": 1.4},
+            "dirty_threshold_factor": bench.ABAB_BOX_DIRTY_FACTOR,
+            "dirty": True}
+
+
+def _abab_stub_factory(base, boxes, ratio=1.9, calls=None):
+    """fake _cpu_abab returning a regressing median with the next box
+    state popped from ``boxes`` on each call."""
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        if calls is not None:
+            calls.append(list(names))
+        box = boxes.pop(0)
+        return {n: {"samples_s": [], "calibrated_s": [], "reps": 3,
+                    "median_calibrated_s": round(base[n] * ratio, 2),
+                    "session_box": box}
+                for n in names}
+    return fake_abab
+
+
+def _prime_strike(q):
+    with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
+        json.dump({q: [{"baseline_round": -1, "count": 1,
+                        "verdict": "confirmed", "pct": 60.0}]}, f)
+
+
+def test_box_dirty_thresholds():
+    t = bench.ABAB_BOX_DIRTY_FACTOR
+    assert bench._box_dirty({"alu_factor": t + 0.01, "mem_factor": 1.0})
+    assert bench._box_dirty({"alu_factor": 1.0, "mem_factor": t + 0.01})
+    assert not bench._box_dirty({"alu_factor": t, "mem_factor": t})  # at, not over
+    # None factors cannot adjudicate dirt (no canary baseline): clean
+    assert not bench._box_dirty({"alu_factor": None, "mem_factor": None})
+    assert not bench._box_dirty({})
+    assert not bench._box_dirty(None)
+
+
+def test_compose_session_box_dirty_on_either_sample():
+    clean = {"alu_factor": 0.98, "mem_factor": 1.0}
+    dirty = {"alu_factor": 0.99, "mem_factor": 1.3}
+    assert bench._compose_session_box(clean, clean)["dirty"] is False
+    # mid-session degradation: start clean, end dirty -> session dirty
+    assert bench._compose_session_box(clean, dirty)["dirty"] is True
+    assert bench._compose_session_box(dirty, clean)["dirty"] is True
+    box = bench._compose_session_box(clean, dirty)
+    assert box["start"] == clean and box["end"] == dirty
+    assert box["dirty_threshold_factor"] == bench.ABAB_BOX_DIRTY_FACTOR
+
+
+def test_dirty_window_confirm_never_lands_as_confirmed(monkeypatch):
+    """The r12 failure mode, closed: a regressing ABAB median measured in
+    a dirty window must not enter the ledger as 'confirmed (abab)' — the
+    gate retries solo, and a still-dirty retry records as deferred (a
+    violation, so nothing is masked, but no post-hoc annulment needed)."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _abab_stub_factory(base, [_dirty_box(), _dirty_box()], calls=calls))
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert calls == [[big], [big]]  # escalation + automatic solo re-run
+    assert row["verdict"] == "deferred (dirty window)"
+    assert "confirmed" not in row["verdict"]
+    assert row["abab_dirty_attempt"]["session_box"]["dirty"] is True
+    assert big in g["violations"]  # deferral never hides the flag
+    ledger = json.load(open(os.environ["SPARK_GRAFT_FLAG_HISTORY"]))
+    assert all("confirmed" not in (r.get("verdict") or "")
+               or r.get("baseline_round") == -1
+               for r in ledger[big])
+    assert ledger[big][-1]["verdict"] == "deferred (dirty window)"
+
+
+def test_dirty_window_retry_clean_confirms(monkeypatch):
+    """A clean solo re-run that still regresses IS a real confirm — the
+    defense defers dirty evidence, it does not grant immunity."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _abab_stub_factory(base, [_dirty_box(), _clean_box()]))
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert row["verdict"] == "confirmed (abab)"
+    assert row["abab"]["session_box"]["dirty"] is False  # verdict from clean run
+    assert row["abab_dirty_attempt"]["session_box"]["dirty"] is True
+    assert big in g["violations"]
+
+
+def test_dirty_window_retry_clean_reverts(monkeypatch):
+    """The r12 agg_approx_stats shape exactly: dirty window reads +90%,
+    the solo re-run reads in band -> reverted, no flag, no annulment."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    boxes = [_dirty_box(), _clean_box()]
+    calls = []
+
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        calls.append(list(names))
+        box = boxes.pop(0)
+        ratio = 1.9 if box["dirty"] else 1.02  # solo re-run reads in band
+        return {n: {"samples_s": [], "calibrated_s": [], "reps": 3,
+                    "median_calibrated_s": round(base[n] * ratio, 2),
+                    "session_box": box}
+                for n in names}
+
+    monkeypatch.setattr(bench, "_cpu_abab", fake_abab)
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert calls == [[big], [big]]
+    assert row["verdict"] == "reverted-on-abab (box noise, two-strike)"
+    assert big not in g["violations"]
+
+
+def test_clean_window_confirm_lands_without_retry(monkeypatch):
+    """A confirm whose session evidence is in band adjudicates exactly as
+    before — one ABAB session, no retry, no deferral."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _abab_stub_factory(base, [_clean_box()], calls=calls))
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert calls == [[big]]
+    assert row["verdict"] == "confirmed (abab)"
+    assert "abab_dirty_attempt" not in row
+
+
+def test_dirty_window_reverted_is_not_deferred(monkeypatch):
+    """Deliberate asymmetry: window dirt only inflates readings, so a
+    calibrated median that lands in band even in a dirty window is safe
+    evidence of noise — no retry burned on it."""
+    base = _baseline()
+    big = max(base, key=base.get)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _abab_stub_factory(base, [_dirty_box()], ratio=1.02, calls=calls))
+    g = bench._cpu_gate(cur)
+    assert calls == [[big]]
+    assert g["regressions"][big]["verdict"] == (
+        "reverted-on-abab (box noise, two-strike)"
+    )
+    assert big not in g["violations"]
 
 
 def test_repo_ledger_carries_the_annulment():
