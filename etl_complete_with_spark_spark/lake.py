@@ -478,7 +478,19 @@ class Lake:
         numerically-largest rule would wrongly prefer (r12 review). No
         prefix-matching dir -> absent. JSON payloads keep the
         parse-only check (array manifests have no cleanly-parsing
-        proper prefix, and no on-disk twin to check against)."""
+        proper prefix, and no on-disk twin to check against).
+
+        Operational caveat (r12 VERDICT #4 / ADVICE): the latest-mtime
+        rule holds only for IN-PROTOCOL writes — a backup restore or an
+        rsync/cp migration of the lake root that does not preserve (or
+        that equalizes) directory mtimes can make this repair serve a
+        stale old-epoch snapshot in the counter-reset scenario above
+        (equal mtimes tie-break toward the larger version, i.e. the old
+        epoch's v10 over the new epoch's v1). After restoring a lake
+        from a backup, delete any surviving ``*.tmp`` pointer sibling
+        before serving reads — the repair only ever engages on a
+        crash-leftover tmp and never touches a cleanly-framed
+        pointer."""
         try:
             text = content.decode()
         except UnicodeDecodeError:
