@@ -219,8 +219,17 @@ def probe_star_guard(spark, m_ab: int = 8192, m_big: int = 200_000) -> dict:
     largest clique still comfortably measurable on this box (33.5M
     pairs) — then the star path alone at m=200k, where the clique would
     be 2.0e10 pairs (~600x the A/B's) and only the O(m) star is
-    runnable at all."""
+    runnable at all.
+
+    The guarded arms pass the operator's OWN signature default (r12
+    VERDICT order 6: probe and product must not diverge — a probe with
+    a hard-coded cap keeps "measuring" a guard the shipped default no
+    longer applies)."""
+    import inspect
+
     from etl_complete_with_spark_spark.operators.dedup import lsh_candidate_pairs
+
+    shipped = inspect.signature(lsh_candidate_pairs).parameters["max_bucket"].default
 
     def sigs(m):
         return spark.range(m).select(
@@ -229,13 +238,14 @@ def probe_star_guard(spark, m_ab: int = 8192, m_big: int = 200_000) -> dict:
 
     s = sigs(m_ab)
     clique = lsh_candidate_pairs(s, max_bucket=None)
-    star = lsh_candidate_pairs(s, max_bucket="auto")
+    star = lsh_candidate_pairs(s, max_bucket=shipped)
     wall_clique, mb_clique = timed(spark, clique)
     wall_star, mb_star = timed(spark, star)
-    big = lsh_candidate_pairs(sigs(m_big), max_bucket="auto")
+    big = lsh_candidate_pairs(sigs(m_big), max_bucket=shipped)
     wall_big, mb_big = timed(spark, big)
     return {
         "probe": "star_guard", "m_ab": m_ab,
+        "guard_cap_default": shipped,
         "clique_pairs": clique.count(), "star_pairs": star.count(),
         "clique_wall_s": wall_clique, "star_wall_s": wall_star,
         "clique_shuffle_mb": mb_clique, "star_shuffle_mb": mb_star,
@@ -265,11 +275,19 @@ def probe_ingest_guard(
     import shutil
     import tempfile
 
+    import inspect
+
     from etl_complete_with_spark_spark.operators.dedup import (
-        LSH_MAX_BUCKET_AUTO,
+        _resolve_max_bucket,
         incremental_neardup_filter,
         minhash_signatures,
     )
+
+    # the operator's shipped default, introspected (r12 VERDICT order 6)
+    shipped = inspect.signature(incremental_neardup_filter).parameters[
+        "max_bucket"
+    ].default
+    shipped_rows = _resolve_max_bucket(shipped)
 
     text = (
         "the same boilerplate page body repeated across the crawl "
@@ -301,17 +319,18 @@ def probe_ingest_guard(
     try:
         corpus = write_corpus(m_ab, os.path.join(tmp, "ab"))
         wall_unbounded, kept_u = run(corpus, None)
-        wall_guarded, kept_g = run(corpus, "auto")
+        wall_guarded, kept_g = run(corpus, shipped)
         big = write_corpus(m_big, os.path.join(tmp, "big"))
-        wall_big, kept_b = run(big, "auto")
+        wall_big, kept_b = run(big, shipped)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "probe": "ingest_guard", "batch": b, "m_ab": m_ab,
+        "guard_cap_default": shipped,
         "unbounded_wall_s": wall_unbounded, "guarded_wall_s": wall_guarded,
         "kept_unbounded": kept_u, "kept_guarded": kept_g,
         "unbounded_probe_rows_per_band": b * m_ab,
-        "guarded_probe_rows_per_band": b * LSH_MAX_BUCKET_AUTO,
+        "guarded_probe_rows_per_band": b * shipped_rows,
         "m_big": m_big, "big_guarded_wall_s": wall_big,
         "big_kept": kept_b,
         "big_unbounded_probe_rows_per_band_analytic": b * m_big,
@@ -471,7 +490,7 @@ def probe_stop_shingle_guard(
 
 
 def probe_fuzzy_block_guard(
-    spark, m_ab: int = 8_192, m_big: int = 200_000, cap="auto"
+    spark, m_ab: int = 8_192, m_big: int = 200_000, cap=None
 ) -> dict:
     """The hot-block cap in blocked_fuzzy_pairs, measured (round 12,
     completing the guard-probe family): m distinct values sharing one
@@ -490,11 +509,20 @@ def probe_fuzzy_block_guard(
     Fixture: value 2k/2k+1 = "<md5-16-hex of k> plant{a|b} inc" —
     pair distance 1, cross-pair distance >= 14 (16 random hex chars),
     so ground truth is exactly m/2 pairs. Values written to parquet;
-    walls time construction + action."""
+    walls time construction + action.
+
+    ``cap=None`` (the recorded-run mode) measures the operator's OWN
+    signature default, introspected so probe and product can't diverge
+    (r12 VERDICT order 6); the toy smoke test overrides it to force the
+    drop path below the shipped cap."""
+    import inspect
     import shutil
     import tempfile
 
     from etl_complete_with_spark_spark.operators.dedup import blocked_fuzzy_pairs
+
+    if cap is None:
+        cap = inspect.signature(blocked_fuzzy_pairs).parameters["max_block"].default
 
     def write_values(m, path):
         base = F.substring(F.md5((F.col("id") / 2).cast("bigint").cast("string")), 1, 16)
@@ -533,6 +561,7 @@ def probe_fuzzy_block_guard(
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "probe": "fuzzy_block_guard", "m_ab": m_ab,
+        "guard_cap": cap,
         "true_pairs_ab": m_ab // 2,
         "unbounded_comparisons_ab": m_ab * (m_ab - 1) // 2,
         "unbounded": unbounded, "capped": capped,

@@ -83,6 +83,88 @@ class TestStopShingleGuardProbe:
         assert out["big_lsh"]["cluster_members_detected"] >= 18
 
 
+class TestProbeCapsMatchShippedDefaults:
+    """r12 VERDICT order 6 (round 13): every guard probe must measure the
+    cap the PRODUCT ships. The probes now introspect the operator
+    signatures at run time, so they cannot silently diverge; these
+    assertions pin the introspection path itself (a renamed parameter or
+    a changed default fails HERE, loudly, instead of the probe quietly
+    measuring a guard that no longer exists)."""
+
+    def test_star_guard_probe_cap_is_shipped_default(self, spark):
+        import inspect
+
+        from etl_complete_with_spark_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+        from scale_probe import probe_star_guard
+
+        out = probe_star_guard(spark, m_ab=6, m_big=8)
+        shipped = inspect.signature(lsh_candidate_pairs).parameters[
+            "max_bucket"
+        ].default
+        assert out["guard_cap_default"] == shipped
+
+    def test_ingest_guard_probe_cap_is_shipped_default(self, spark):
+        import inspect
+
+        from etl_complete_with_spark_spark.operators.dedup import (
+            _resolve_max_bucket,
+            incremental_neardup_filter,
+        )
+        from scale_probe import probe_ingest_guard
+
+        out = probe_ingest_guard(spark, m_ab=6, m_big=8, b=4)
+        sig = inspect.signature(incremental_neardup_filter).parameters[
+            "max_bucket"
+        ].default
+        assert out["guard_cap_default"] == sig
+        assert out["guarded_probe_rows_per_band"] == 4 * _resolve_max_bucket(sig)
+
+    def test_stop_shingle_probe_big_cap_is_shipped_default(self, spark):
+        import inspect
+
+        from etl_complete_with_spark_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from scale_probe import probe_stop_shingle_guard
+
+        shipped = inspect.signature(ngram_jaccard_pairs).parameters[
+            "max_shingle_freq"
+        ].default
+        assert isinstance(shipped, int) and shipped > 0
+        out = probe_stop_shingle_guard(
+            spark, n_ab=30, m_ab=6, cap_ab=5, n_big=30, m_big=6
+        )
+        # the big arm ran under the shipped cap: at toy size nothing
+        # exceeds it, so zero drops is the signature of the default path
+        assert out["big_capped"]["n_stop_shingles_dropped"] == 0
+
+    def test_fuzzy_block_probe_default_cap_is_shipped_default(self):
+        """No-Spark pin: the probe's recorded-run mode (cap=None)
+        resolves to blocked_fuzzy_pairs' own signature default."""
+        import inspect
+
+        from etl_complete_with_spark_spark.operators.dedup import (
+            blocked_fuzzy_pairs,
+        )
+        import scale_probe
+
+        src = inspect.getsource(scale_probe.probe_fuzzy_block_guard)
+        shipped = inspect.signature(blocked_fuzzy_pairs).parameters[
+            "max_block"
+        ].default
+        # the probe introspects the same signature the operator ships
+        assert 'parameters["max_block"].default' in src
+        assert (
+            inspect.signature(scale_probe.probe_fuzzy_block_guard)
+            .parameters["cap"]
+            .default
+            is None
+        )
+        assert shipped == "auto"  # recorded SCALING.md runs measured this
+
+
 class TestFuzzyBlockGuardProbe:
     def test_probe_runs_and_drop_accounting_holds(self, spark):
         """Round-12 probe: the hot-block cap in blocked_fuzzy_pairs at
