@@ -66,6 +66,72 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rev_e4(prefix: str = "") -> "F.Column":
+    """Exact integer lineitem revenue ``price * (1 - discount)`` in
+    1e-4-dollar units. Prices and discounts are cents-exact in the data
+    (verified to representation error), so
+    ``round(price*100) * (100 - round(discount*100))`` is an exact
+    integer — and integer sums are ORDER-INDEPENDENT where double sums
+    are not. Found by the r13 sf0.5 fixture sweep: q9's per-(nation,
+    year) double revenue sum landed within an ulp of a half-cent
+    rounding boundary, and Spark and DuckDB (different summation orders)
+    rounded opposite ways. Long arithmetic (ANSI: overflow raises, never
+    wraps) keeps the agg in whole-stage codegen at ~1/2 the cost of a
+    decimal sum; per-row magnitude <= ~1.1e9 gives ~8e9 rows of
+    per-group headroom (a full sf1000 lineitem in ONE group still
+    fits); past that, cast to decimal(38,0) at the measured ~2x agg
+    cost (SCALING.md r13)."""
+    cents = F.round(F.col(f"{prefix}l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col(f"{prefix}l_discount") * 100).cast("long")
+    return cents * (100 - disc)
+
+
+def sum_money(e4: "F.Column", unit: float = 10000.0) -> "F.Column":
+    """Exact integer money total -> dollars at 2dp, identical across
+    engines. ``unit`` = integer units per dollar (100 = cents, 10000 =
+    rev_e4, 1e6 = the charge form).
+
+    The exact total can sit EXACTLY on a half-cent (the r13 sf0.5 sweep
+    caught q9 at ...355.045: Spark round() is HALF_UP on the decimal
+    repr, DuckDB rounds the binary double — one cent apart on the same
+    integer). So the half-cent is resolved in INTEGER space first:
+    ``floor((total + k/2) / k)`` cents (k = units per cent), then one
+    exact cents->dollars division. Ties round toward +infinity — by the
+    same floor-offset arithmetic in both engines, so parity holds for
+    any sign. For ``unit=100`` the total already IS cents (no third
+    decimal exists, no tie possible) and the offset step is skipped."""
+    k = int(unit) // 100
+    s = F.sum(e4).cast("double")
+    if k == 1:
+        return F.round(s / 100.0, 2)
+    return F.round(F.floor((s + (k // 2)) / k) / 100.0, 2)
+
+
+def money_sum_sql(e4_sql: str, unit: float = 10000.0) -> str:
+    """DuckDB twin of :func:`sum_money` (sum as BIGINT -> HUGEINT,
+    exact; identical floor-offset tie handling)."""
+    k = int(unit) // 100
+    if k == 1:
+        return f"round(CAST(sum({e4_sql}) AS DOUBLE) / 100.0, 2)"
+    return (
+        f"round(floor((CAST(sum({e4_sql}) AS DOUBLE) + {k // 2}) / {k})"
+        f" / 100.0, 2)"
+    )
+
+
+def rev_e4_sql(prefix: str = "") -> str:
+    """DuckDB twin of :func:`rev_e4` (sum as BIGINT -> HUGEINT, exact)."""
+    return (
+        f"(CAST(round({prefix}l_extendedprice * 100) AS BIGINT)"
+        f" * (100 - CAST(round({prefix}l_discount * 100) AS BIGINT)))"
+    )
+
+
+def rev_sum_sql(prefix: str = "") -> str:
+    """DuckDB twin of ``sum_money(rev_e4())``."""
+    return money_sum_sql(rev_e4_sql(prefix))
+
+
 def query(name: str, oracle: str | None = None):
     """Register a catalog entry (and its DuckDB oracle, if expressible)."""
 
@@ -295,12 +361,15 @@ def pipeline_work_to_trusted(spark, sf_dir):
 
 @query(
     "agg_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           {money_sum_sql("CAST(round(l_extendedprice * 100) AS BIGINT)", 100.0)}
+               AS sum_base_price,
+           {rev_sum_sql()} AS sum_disc_price,
+           {money_sum_sql(rev_e4_sql()
+                          + " * (100 + CAST(round(l_tax * 100) AS BIGINT))",
+                          1000000.0)} AS sum_charge,
            round(avg(l_quantity), 2)                                        AS avg_qty,
            round(avg(l_extendedprice), 2)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -313,17 +382,25 @@ def pipeline_work_to_trusted(spark, sf_dir):
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary: scan-side filter + partial/final hash
     aggregate (map-side combine shrinks the shuffle to |groups| rows —
-    the shape that survives 100 TB)."""
+    the shape that survives 100 TB). Money sums run in exact integer
+    units (see :func:`rev_e4`: order-independent where double sums are
+    not); quantity/average sums stay double — quantities are integral
+    (exact at any order) and averages divide before the boundary can
+    matter. The charge sum's per-row magnitude (~1.1e11 in 1e-6-dollar
+    units) keeps ~8e7 rows of per-group long headroom, loud-raising
+    (ANSI) past it; the decimal(38,0) fallback costs ~2x (SCALING.md
+    r13)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_money(cents, 100.0).alias("sum_base_price"),
+            sum_money(rev_e4()).alias("sum_disc_price"),
+            sum_money(rev_e4() * (100 + tax), 1000000.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -334,9 +411,9 @@ def agg_pricing_summary(spark, sf_dir):
 
 @query(
     "join_revenue_by_nation",
-    """
+    f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {rev_sum_sql()} AS revenue,
            count(*) AS n_items
     FROM customer
     JOIN nation   ON c_nationkey = n_nationkey
@@ -360,7 +437,7 @@ def join_revenue_by_nation(spark, sf_dir):
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_money(rev_e4()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -9,7 +9,19 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .queries import load, query
+from .queries import load, query, rev_e4, rev_e4_sql, rev_sum_sql, sum_money
+
+
+def _cents(col: str) -> "F.Column":
+    """Exact integer cents of a cents-exact money column (see
+    queries.rev_e4: integer sums are order-independent; every money
+    column in the testdata is cents-exact to representation error)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _cents_sum_sql(col: str) -> str:
+    return (f"round(CAST(sum(CAST(round({col} * 100) AS BIGINT))"
+            f" AS DOUBLE) / 100.0, 2)")
 
 
 @query(
@@ -47,9 +59,9 @@ def set_ops_users(spark, sf_dir):
 
 @query(
     "cube_revenue",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {rev_sum_sql()} AS revenue,
            count(*) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -60,7 +72,7 @@ def cube_revenue(spark, sf_dir):
     hash aggregate (one shuffle for all 2^k grouping sets)."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        sum_money(rev_e4()).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -224,7 +236,9 @@ def grouped_user_stats(spark, sf_dir):
         SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS ws,
                CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS we
         FROM events WHERE event_type = 'signup' AND event_id % 31 = 0)
-    SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    SELECT w.window_id, count(*) AS n_events,
+           round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sum_value
     FROM w JOIN events e
       ON CAST(e.ts AS TIMESTAMP) >= w.ws AND CAST(e.ts AS TIMESTAMP) < w.we
     GROUP BY w.window_id
@@ -250,7 +264,7 @@ def range_join_event_windows(spark, sf_dir):
     joined = interval_join(ev, windows, ts_col="ts", start_col="ws", end_col="we")
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        sum_money(_cents("value"), 100.0).alias("sum_value"),
     )
 
 
@@ -259,7 +273,8 @@ def range_join_event_windows(spark, sf_dir):
     """
     WITH user_stats AS (
         SELECT user_id, count(*) AS n_user_events,
-               round(sum(value), 2) AS user_value
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS user_value
         FROM events GROUP BY user_id)
     SELECT e.event_id, e.user_id, e.event_type, s.n_user_events, s.user_value
     FROM events e JOIN user_stats s ON e.user_id = s.user_id
@@ -275,7 +290,7 @@ def skew_salted_join(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     dim = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_user_events"),
-        F.round(F.sum("value"), 2).alias("user_value"),
+        sum_money(_cents("value"), 100.0).alias("user_value"),
     )
     out = salted_join(
         ev.select("event_id", "user_id", "event_type"), dim, on="user_id",
@@ -328,9 +343,9 @@ def json_extract_props(spark, sf_dir):
 
 @query(
     "rollup_revenue_by_nation_region",
-    """
+    f"""
     SELECT r_name, n_name,
-           round(sum(c_acctbal), 2) AS total_acctbal,
+           {_cents_sum_sql("c_acctbal")} AS total_acctbal,
            count(*) AS n_customers
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -349,7 +364,7 @@ def rollup_revenue_by_nation_region(spark, sf_dir):
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            sum_money(_cents("c_acctbal"), 100.0).alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -359,9 +374,9 @@ def rollup_revenue_by_nation_region(spark, sf_dir):
     "running_revenue_per_customer",
     """
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-           round(sum(o_totalprice) OVER (
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2) AS running_total,
            CAST(row_number() OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS BIGINT) AS order_seq
@@ -378,7 +393,12 @@ def running_revenue_per_customer(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.round(
+            F.sum(_cents("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / 100.0,
+            2,
+        ).alias("running_total"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
@@ -387,7 +407,8 @@ def running_revenue_per_customer(spark, sf_dir):
     "left_outer_order_counts",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+           round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                      AS DOUBLE) / 100.0, 2) AS total_spent
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
@@ -402,7 +423,13 @@ def left_outer_order_counts(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0).cast("long"),
+                ).cast("double") / 100.0,
+                2,
+            ).alias("total_spent"),
         )
     )
 
@@ -736,10 +763,10 @@ def part_name_search(spark, sf_dir):
 
 @query(
     "supplier_balance_by_nation",
-    """
+    f"""
     SELECT n_name,
            count(*) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_balance,
+           {_cents_sum_sql("s_acctbal")} AS total_balance,
            round(max(s_acctbal), 2) AS max_balance
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -754,7 +781,7 @@ def supplier_balance_by_nation(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            sum_money(_cents("s_acctbal"), 100.0).alias("total_balance"),
             F.round(F.max("s_acctbal"), 2).alias("max_balance"),
         )
     )
@@ -762,10 +789,10 @@ def supplier_balance_by_nation(spark, sf_dir):
 
 @query(
     "orders_monthly_rollup",
-    """
+    f"""
     SELECT date_trunc('month', o_orderdate) AS order_month,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           {_cents_sum_sql("o_totalprice")} AS revenue
     FROM orders
     GROUP BY 1
     """,
@@ -779,7 +806,7 @@ def orders_monthly_rollup(spark, sf_dir):
         .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            sum_money(_cents("o_totalprice"), 100.0).alias("revenue"),
         )
     )
 
@@ -928,10 +955,10 @@ def gapfill_hourly_counts(spark, sf_dir):
 
 @query(
     "grouping_sets_revenue",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {rev_sum_sql()} AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -946,7 +973,9 @@ def grouping_sets_revenue(spark, sf_dir):
         """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                 AS DOUBLE) + 50) / 100) / 100.0D, 2) AS revenue
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -1284,9 +1313,9 @@ def order_price_distribution(spark, sf_dir):
 
 @query(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {rev_sum_sql("l.")} AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1308,11 +1337,7 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(sum_money(rev_e4()).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -1321,11 +1346,14 @@ def q3_shipping_priority(spark, sf_dir):
 
 @query(
     "q22_idle_rich_customers",
-    """
+    f"""
     WITH avg_bal AS (
-        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100.0 AS a
+        FROM customer WHERE c_acctbal > 0)
     SELECT c.c_nationkey, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_balance
+           round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_balance
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1342,7 +1370,15 @@ def q22_idle_rich_customers(spark, sf_dir):
     customer in this dataset has SOME order)."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        # exact average: integer cents sum / count, ONE terminal float
+        # division — a double avg() is summation-order-dependent and a
+        # customer sitting exactly on the boundary could flip engines
+        (
+            F.sum(_cents("c_acctbal")).cast("double")
+            / F.count(F.lit(1)) / 100.0
+        ).alias("a")
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
@@ -1354,7 +1390,7 @@ def q22_idle_rich_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            sum_money(_cents("c_acctbal"), 100.0).alias("total_balance"),
         )
     )
 
@@ -1628,12 +1664,12 @@ def variant_props_stats(spark, sf_dir):
 
 @query(
     "rfm_customer_segments",
-    """
+    f"""
     WITH m AS (
         SELECT o_custkey AS custkey,
                max(o_orderdate) AS recency,
                CAST(count(*) AS BIGINT) AS frequency,
-               round(sum(o_totalprice), 2) AS monetary
+               {_cents_sum_sql("o_totalprice")} AS monetary
         FROM orders GROUP BY o_custkey)
     SELECT custkey, recency, frequency, monetary,
            CAST(ntile(4) OVER (ORDER BY recency DESC, custkey) AS BIGINT) AS r_quartile,
@@ -1660,7 +1696,7 @@ def rfm_customer_segments(spark, sf_dir):
     m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        sum_money(_cents("o_totalprice"), 100.0).alias("monetary"),
     ).localCheckpoint(eager=False)  # 7 evaluations otherwise: each of the
     # three rank passes reads it twice (offsets probe + ranked output)
     # plus the final join spine — the orders scan+aggregate must run once

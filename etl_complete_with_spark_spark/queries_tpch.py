@@ -35,10 +35,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import load, query
+from .queries import (load, money_sum_sql, query, rev_e4, rev_e4_sql,
+                      rev_sum_sql, sum_money)
 
 
 def _rev() -> "F.Column":
+    # row-level revenue (joins/filters/per-row projections); SUMS use the
+    # exact-integer rev_e4 form — double sums are order-dependent and the
+    # r13 sf0.5 sweep caught q9 rounding a half-cent boundary both ways
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
@@ -48,9 +52,9 @@ def _rev() -> "F.Column":
 
 @query(
     "q5_local_supplier_volume",
-    """
+    f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {rev_sum_sql()} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -94,7 +98,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
         .join(asia_nat, supp.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(sum_money(rev_e4()).alias("revenue"))
     )
 
 
@@ -104,8 +108,10 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 @query(
     "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT {money_sum_sql("CAST(round(l_extendedprice * 100) AS BIGINT)"
+                           " * CAST(round(l_discount * 100) AS BIGINT)")}
+               AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -125,7 +131,12 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            sum_money(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("revenue")
+        )
     )
 
 
@@ -135,13 +146,13 @@ def q6_forecast_revenue(spark, sf_dir):
 
 @query(
     "q7_volume_shipping",
-    """
+    f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           {money_sum_sql("volume_e4")} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {rev_e4_sql()} AS volume_e4
         FROM supplier, lineitem, orders, customer, nation n1, nation n2
         WHERE s_suppkey = l_suppkey
           AND o_orderkey = l_orderkey
@@ -181,7 +192,7 @@ def q7_volume_shipping(spark, sf_dir):
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(sum_money(rev_e4()).alias("revenue"))
     )
 
 
@@ -191,13 +202,14 @@ def q7_volume_shipping(spark, sf_dir):
 
 @query(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           round(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 2)
-                 / round(sum(volume), 2), 6) AS mkt_share
+           round({money_sum_sql("CASE WHEN nation = 'NATION_3' THEN volume_e4"
+                                  " ELSE 0 END")}
+                 / {money_sum_sql("volume_e4")}, 6) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {rev_e4_sql()} AS volume_e4,
                n2.n_name AS nation
         FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
         WHERE p_partkey = l_partkey
@@ -246,14 +258,16 @@ def q8_market_share(spark, sf_dir):
         .join(supp_nat, F.col("s_nationkey") == F.col("supp_nk"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _rev().alias("volume"),
+            rev_e4().alias("volume_e4"),
             "nation",
         )
     )
     return vol.groupBy("o_year").agg(
         F.round(
-            F.round(F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0)), 2)
-            / F.round(F.sum("volume"), 2),
+            sum_money(
+                F.when(F.col("nation") == "NATION_3", F.col("volume_e4")).otherwise(F.lit(0).cast("long"))
+            )
+            / sum_money(F.col("volume_e4")),
             6,
         ).alias("mkt_share")
     )
@@ -265,12 +279,13 @@ def q8_market_share(spark, sf_dir):
 
 @query(
     "q9_product_profit",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS profit
+    f"""
+    SELECT nation, o_year,
+           {money_sum_sql("amount_e4")} AS profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS amount
+               {rev_e4_sql()} AS amount_e4
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey
           AND p_partkey = l_partkey
@@ -299,10 +314,10 @@ def q9_product_profit(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _rev().alias("amount"),
+            rev_e4().alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("profit"))
+        .agg(sum_money(F.col("amount_e4")).alias("profit"))
     )
 
 
@@ -312,9 +327,9 @@ def q9_product_profit(spark, sf_dir):
 
 @query(
     "q10_returned_items",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {rev_sum_sql()} AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -344,7 +359,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(sum_money(rev_e4()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -390,12 +405,11 @@ def q13_customer_distribution(spark, sf_dir):
 
 @query(
     "q14_promo_revenue",
-    """
+    f"""
     SELECT round(100.00
-                 * round(sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END), 2)
-                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_revenue
+                 * {money_sum_sql("CASE WHEN p_type = 'PROMO' THEN "
+                                  + rev_e4_sql() + " ELSE 0 END")}
+                 / {rev_sum_sql()}, 4) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -410,12 +424,14 @@ def q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     part = load(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
+    promo = F.when(F.col("p_type") == "PROMO", rev_e4()).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.round(F.sum(promo), 2) / F.round(F.sum(_rev()), 2), 4
+                100.0 * sum_money(promo) / sum_money(rev_e4()), 4
             ).alias("promo_revenue")
         )
     )
@@ -427,10 +443,10 @@ def q14_promo_revenue(spark, sf_dir):
 
 @query(
     "q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               {rev_sum_sql()} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -451,7 +467,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     supp = load(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 2).alias("total_revenue")
+        sum_money(rev_e4()).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -502,8 +518,9 @@ def q16_supplier_variety(spark, sf_dir):
 
 @query(
     "q17_small_qty_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#3'
@@ -537,7 +554,12 @@ def q17_small_qty_revenue(spark, sf_dir):
         li.join(part_keys, li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double") / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -589,8 +611,8 @@ def q18_large_volume_customers(spark, sf_dir):
 
 @query(
     "q19_discount_revenue_bands",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT {rev_sum_sql()} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -630,7 +652,7 @@ def q19_discount_revenue_bands(spark, sf_dir):
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(bands)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(sum_money(rev_e4()).alias("revenue"))
     )
 
 

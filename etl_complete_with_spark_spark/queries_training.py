@@ -658,7 +658,8 @@ def mm_frame_sample(spark, sf_dir):
            time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -2333,7 +2334,8 @@ def pagerank_suppliers(spark, sf_dir):
            max(ts) + INTERVAL '30 minutes' AS session_end,
            user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sum_value
     FROM g GROUP BY user_id, sid
     """,
 )

@@ -117,7 +117,14 @@ def windowed_event_counts(
         wmarked.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents sum (queries.rev_e4 rationale): double
+            # sums are summation-order-dependent, and streaming state
+            # merge order is even less deterministic than batch partials
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("double") / 100.0,
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -136,7 +143,15 @@ def sessionize(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact cents sum — see windowed_event_counts
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("double") / 100.0,
+                2,
+            ).alias("sum_value"),
+        )
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
