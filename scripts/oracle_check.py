@@ -6,11 +6,17 @@ an order-insensitive value hash. Catches mismatches before the driver
 does. Usage::
 
     python scripts/oracle_check.py [sf_dir] [query ...]
+    python scripts/oracle_check.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a CORRECTNESS_SF*-style artifact (the
+r12 SF01 sweep's shape: a ``_meta`` header + per-query ``results``).
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
+import json
 import math
 import os
 import sys
@@ -53,8 +59,13 @@ def frame_fingerprint(pdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # Data-trained oracles (ann_ivf_topk's quantizer) must learn from the
     # same SF the comparison runs at; set before the catalog import.
@@ -72,27 +83,40 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
+        row = {"err": None, "rows": None, "rows_match": None,
+               "schema_match": None, "hash_match": None}
+        results[name] = row
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            row["err"] = f"spark error: {ex}"
             failed.append(name)
             continue
+        row["rows"] = len(sdf)
         if name not in oracles:
             print(f"weak  {name}: rows-only check, {len(sdf)} rows")
+            row["weak"] = True
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            row["err"] = f"duckdb error: {ex}"
             failed.append(name)
             continue
         sh, sn = frame_fingerprint(sdf)
         dh, dn = frame_fingerprint(ddf)
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+        row["schema_match"] = scols == dcols
+        row["rows_match"] = sn == dn
+        row["hash_match"] = sh == dh
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} != {dcols}")
             failed.append(name)
@@ -105,6 +129,20 @@ def main() -> int:
         else:
             print(f"ok    {name}: {sn} rows")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_out:
+        artifact = {
+            "_meta": {
+                "command": " ".join(["python scripts/oracle_check.py"] + sys.argv[1:]),
+                "generated": datetime.date.today().isoformat(),
+                "n_failures": len(failed),
+                "n_queries": n_checked,
+                "sf_dir": sf_dir,
+            },
+            "results": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"artifact written: {json_out}")
     return 1 if failed else 0
 
 
