@@ -69,11 +69,20 @@ def set_ops_users(spark, sf_dir):
 )
 def cube_revenue(spark, sf_dir):
     """CUBE grouping-sets rollup — Spark expands to a single Expand +
-    hash aggregate (one shuffle for all 2^k grouping sets)."""
+    hash aggregate (one shuffle for all 2^k grouping sets). The exact
+    integer revenue is PROJECTED BEFORE the cube: Expand duplicates
+    every input row once per grouping set, so an agg-input expression
+    is otherwise evaluated 2^k times per row — measured +0.55 CPU s at
+    sf0.1 when rev_e4's rounds/casts sat inside the agg (r13 closing
+    gate caught it); pre-projected, Expand copies one computed long."""
     li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        sum_money(rev_e4()).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    return (
+        li.select("l_returnflag", "l_linestatus", rev_e4().alias("e4"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money(F.col("e4")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
@@ -966,17 +975,24 @@ def gapfill_hourly_counts(spark, sf_dir):
 def grouping_sets_revenue(spark, sf_dir):
     """Explicit GROUPING SETS (the general form under cube/rollup) +
     grouping() to disambiguate real NULLs from subtotal rows — one Expand
-    node, one shuffle for all three sets."""
+    node, one shuffle for all three sets. The exact integer revenue is
+    computed in a subquery BEFORE the grouping sets (see cube_revenue:
+    Expand re-evaluates agg-input expressions once per set). 100.0D, not
+    100.0 — Spark SQL parses a plain decimal literal as DECIMAL and the
+    division would silently turn the column decimal(24,2), which the
+    gate canonicalizer hashes differently from the oracle's double."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("li_gs")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               round(floor((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                                 AS DOUBLE) + 50) / 100) / 100.0D, 2) AS revenue
-        FROM li_gs
+               round(floor((CAST(sum(e4) AS DOUBLE) + 50) / 100) / 100.0D, 2) AS revenue
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4
+            FROM li_gs)
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
