@@ -475,9 +475,12 @@ ABAB_REPS = 3
 # sessions (see the canary comments below); 1.15 sits ~2 sigma above
 # that envelope while any contention heavy enough to inflate a
 # candidate past the 25% gate band comfortably clears it. A factor of
-# None (no rotated canary baseline, or a canary that failed to run)
-# cannot adjudicate dirt and is treated as clean — adjudication then
-# rests on the interleaved control calibration exactly as before.
+# None from a MISSING rotated canary baseline cannot adjudicate dirt
+# and is treated as clean — adjudication then rests on the interleaved
+# control calibration exactly as before. A factor of None because the
+# canary itself FAILED TO RUN while a baseline exists is the opposite
+# case (r13 ADVICE): the instrument died in exactly the kind of window
+# it polices, so it reads as dirty/indeterminate -> retry/defer.
 # Reverted verdicts are NOT deferred: window dirt inflates readings,
 # so a calibrated median that still lands inside the band is safe
 # evidence of noise (the asymmetry is deliberate).
@@ -489,13 +492,27 @@ ABAB_DIRTY_SETTLE_S = 30.0
 
 def _box_dirty(ev: dict | None) -> bool:
     """True when a session-box sample's canary factors read out of band
-    (either axis past ABAB_BOX_DIRTY_FACTOR). None factors are clean by
-    convention — see the ABAB_BOX_DIRTY_FACTOR comment."""
+    (either axis past ABAB_BOX_DIRTY_FACTOR) — or when a canary FAILED
+    TO RUN while its rotated baseline exists (r13 ADVICE: a window
+    degraded enough to kill the canary measurement itself must
+    adjudicate as indeterminate -> retry/defer, not clean; the
+    instrument's own failure mode otherwise bypasses the defense in
+    exactly the contended sessions it targets). A factor that is None
+    because NO baseline is recorded stays clean by convention —
+    adjudication then rests on the interleaved control calibration; see
+    the ABAB_BOX_DIRTY_FACTOR comment."""
     ev = ev or {}
-    return any(
-        f is not None and f > ABAB_BOX_DIRTY_FACTOR
-        for f in (ev.get("alu_factor"), ev.get("mem_factor"))
-    )
+    for axis in ("alu", "mem"):
+        f = ev.get(f"{axis}_factor")
+        if f is not None and f > ABAB_BOX_DIRTY_FACTOR:
+            return True
+        if (
+            f is None
+            and ev.get(f"{axis}_base_cpu_s") is not None
+            and ev.get(f"{axis}_cpu_s") is None
+        ):
+            return True  # canary failed with a baseline present: indeterminate
+    return False
 
 
 def _compose_session_box(start: dict, end: dict) -> dict:
@@ -731,6 +748,11 @@ def _abab_box_evidence(spark, baseline: dict) -> dict:
     return {
         "alu_cpu_s": alu,
         "mem_cpu_s": mem,
+        # the baselines ride along so _box_dirty can tell "canary failed
+        # in a window with a baseline" (indeterminate -> dirty) apart
+        # from "no baseline rotated yet" (clean by convention)
+        "alu_base_cpu_s": base_alu,
+        "mem_base_cpu_s": base_mem,
         "alu_factor": round(alu / base_alu, 3) if alu and base_alu else None,
         "mem_factor": round(mem / base_mem, 3) if mem and base_mem else None,
         # evidential only, never adjudicates dirt in-bench: the 1-minute
@@ -996,25 +1018,35 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
                 # the ABAB solo, and adjudicate from the re-run. If the
                 # re-run is dirty too the verdict records as deferred:
                 # still a violation (never hidden) but never a ledger
-                # confirm needing a post-hoc human annulment.
-                if verdict == "confirmed (abab)" and (
+                # confirm needing a post-hoc human annulment. The gate
+                # matches ANY confirmed* verdict (r13 ADVICE): the
+                # "confirmed (abab unreadable)" instrumentation-gap
+                # verdict is MORE likely in the contention that dirties
+                # the box (the same load that knocks controls out of the
+                # clamp band), and an unreadable confirm from dirty
+                # evidence was landing in the ledger with no retry.
+                if verdict.startswith("confirmed") and (
                     ev.get("session_box") or {}
                 ).get("dirty"):
                     regressions[q]["abab_dirty_attempt"] = ev
-                    time.sleep(
-                        float(
+                    try:
+                        settle = float(
                             os.environ.get(
                                 "SPARK_GRAFT_ABAB_SETTLE_S",
                                 str(ABAB_DIRTY_SETTLE_S),
                             )
                         )
-                    )
+                    except ValueError:
+                        # malformed env must not crash the gate after the
+                        # expensive catalog pass (r13 ADVICE)
+                        settle = ABAB_DIRTY_SETTLE_S
+                    time.sleep(settle)
                     ev = _cpu_abab([q]).get(q) or {}
                     regressions[q]["abab"] = ev
                     verdict = _abab_adjudicate(
                         ev.get("median_calibrated_s"), prev
                     )
-                    if verdict == "confirmed (abab)" and (
+                    if verdict.startswith("confirmed") and (
                         ev.get("session_box") or {}
                     ).get("dirty"):
                         verdict = "deferred (dirty window)"

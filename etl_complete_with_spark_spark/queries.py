@@ -94,27 +94,47 @@ def sum_money(e4: "F.Column", unit: float = 10000.0) -> "F.Column":
     The exact total can sit EXACTLY on a half-cent (the r13 sf0.5 sweep
     caught q9 at ...355.045: Spark round() is HALF_UP on the decimal
     repr, DuckDB rounds the binary double — one cent apart on the same
-    integer). So the half-cent is resolved in INTEGER space first:
-    ``floor((total + k/2) / k)`` cents (k = units per cent), then one
-    exact cents->dollars division. Ties round toward +infinity — by the
-    same floor-offset arithmetic in both engines, so parity holds for
-    any sign. For ``unit=100`` the total already IS cents (no third
-    decimal exists, no tie possible) and the offset step is skipped."""
+    integer). So the half-cent is resolved in INTEGER space:
+    ``floor((total + k/2) / k)`` cents (k = units per cent) computed in
+    decimal(38,0) arithmetic — NEVER through a double (r13 shipped the
+    offset on a double sum, which silently capped exactness at 2^53
+    e4-units, ~$900B/group at unit=10000 — ~1000x under the long-
+    overflow envelope rev_e4 documents; r13 ADVICE). floor/offset in
+    decimal is exact for every total a long sum can produce, so the
+    landed CENT is exact all the way to the 2^63 sum overflow (which
+    raises — ANSI is pinned in session.get_spark). Ties round toward
+    +infinity, floor semantics in both engines, so parity holds for any
+    sign. The only double in the path is the final cents->dollars
+    report: exact while cents <= 2^53 (~$90T/group), and past ~2^52
+    cents a double OUTPUT column cannot resolve single cents at all —
+    an output-type limit, not a tie-arithmetic one. For ``unit=100``
+    the total already IS cents (no third decimal exists, no tie
+    possible) and the offset step is skipped.
+
+    Cost: the decimal ops run once per GROUP in the final agg
+    projection; the per-row hot path (the long ``e4`` column and its
+    map-side partial sum) is untouched."""
     k = int(unit) // 100
-    s = F.sum(e4).cast("double")
+    s = F.sum(e4)
     if k == 1:
-        return F.round(s / 100.0, 2)
-    return F.round(F.floor((s + (k // 2)) / k) / 100.0, 2)
+        return F.round(s.cast("double") / 100.0, 2)
+    cents = F.floor((s.cast("decimal(38,0)") + F.lit(k // 2)) / F.lit(k))
+    return F.round(cents.cast("double") / 100.0, 2)
 
 
 def money_sum_sql(e4_sql: str, unit: float = 10000.0) -> str:
     """DuckDB twin of :func:`sum_money` (sum as BIGINT -> HUGEINT,
-    exact; identical floor-offset tie handling)."""
+    exact; identical integer floor-offset tie handling). DuckDB's
+    ``//`` TRUNCATES toward zero on negatives where Spark's
+    floor(decimal) floors toward -infinity, so the floor-div is spelled
+    ``(x - nonneg_mod(x, k)) // k``: the numerator is an exact multiple
+    of k, where truncation == floor for any sign."""
     k = int(unit) // 100
     if k == 1:
         return f"round(CAST(sum({e4_sql}) AS DOUBLE) / 100.0, 2)"
+    x = f"(sum({e4_sql}) + {k // 2})"
     return (
-        f"round(floor((CAST(sum({e4_sql}) AS DOUBLE) + {k // 2}) / {k})"
+        f"round(CAST(({x} - (({x} % {k} + {k}) % {k})) // {k} AS DOUBLE)"
         f" / 100.0, 2)"
     )
 

@@ -364,16 +364,21 @@ def json_extract_props(spark, sf_dir):
 )
 def rollup_revenue_by_nation_region(spark, sf_dir):
     """Hierarchical ROLLUP (region -> nation -> grand total) over a
-    broadcast dim chain — one Expand + one shuffle for all levels."""
+    broadcast dim chain — one Expand + one shuffle for all levels. The
+    integer cents column is projected BELOW the rollup (r14 Expand
+    audit, same rationale as cube_revenue: Expand re-evaluates agg-input
+    expressions once per grouping set — 3x here — while a pre-projected
+    column is computed once per input row)."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
     return (
         cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("r_name", "n_name", _cents("c_acctbal").alias("bal_cents"))
         .rollup("r_name", "n_name")
         .agg(
-            sum_money(_cents("c_acctbal"), 100.0).alias("total_acctbal"),
+            sum_money(F.col("bal_cents"), 100.0).alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -980,14 +985,19 @@ def grouping_sets_revenue(spark, sf_dir):
     Expand re-evaluates agg-input expressions once per set). 100.0D, not
     100.0 — Spark SQL parses a plain decimal literal as DECIMAL and the
     division would silently turn the column decimal(24,2), which the
-    gate canonicalizer hashes differently from the oracle's double."""
+    gate canonicalizer hashes differently from the oracle's double. The
+    half-cent tie offset runs in DECIMAL(38,0) integer space, the SQL
+    twin of queries.sum_money (r14: the r13 double-space offset capped
+    exactness at 2^53 e4-units; this was the one converted query whose
+    inline SQL still carried it)."""
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("li_gs")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               round(floor((CAST(sum(e4) AS DOUBLE) + 50) / 100) / 100.0D, 2) AS revenue
+               round(CAST(floor((CAST(sum(e4) AS DECIMAL(38,0)) + 50) / 100)
+                          AS DOUBLE) / 100.0D, 2) AS revenue
         FROM (
             SELECT l_returnflag, l_linestatus,
                    CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ANSI SQL mode, pinned explicitly (r13 VERDICT order 2): the
+        # money-sum contract (queries.rev_e4 / sum_money) promises that a
+        # long-sum overflow RAISES rather than silently wrapping to a
+        # plausible-looking wrong total. Spark 4.x defaults ansi=true, but
+        # the guarantee must not ride on a default a deployment (or a
+        # future version bump) can flip.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -53,6 +53,14 @@ def _baseline() -> dict[str, float]:
     return base["executor_cpu_sec_per_run"]
 
 
+def _biggest(base: dict[str, float]) -> str:
+    """Largest NON-EXEMPT baseline query — the r14 rotation made the
+    overall max (dedup_containment) a CPU_GATE_EXEMPT entry, and exempt
+    queries never escalate, which is not what these tests exercise."""
+    return max((q for q in base if q not in bench.CPU_GATE_EXEMPT),
+               key=base.get)
+
+
 def test_baseline_stores_cpu_column_for_current_round():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
@@ -117,7 +125,7 @@ def test_sub_floor_or_sub_pct_regressions_not_flagged():
     small = min(base, key=base.get)
     cur[small] = base[small] + 0.4
     # +10% (below the 25% threshold) on a large query
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur[big] = round(base[big] * 1.10, 2)
     g = bench._cpu_gate(cur)
     assert g["regressions"] == {}
@@ -131,7 +139,7 @@ def _gate_with_confirm(monkeypatch, cur, confirm_map):
 
 def test_confirmed_regression_is_violation_after_calibration(monkeypatch):
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     ctl = bench.CPU_CONFIRM_CONTROLS
@@ -147,7 +155,7 @@ def test_confirmed_regression_is_violation_after_calibration(monkeypatch):
 
 def test_noise_regression_reverts_after_calibration(monkeypatch):
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)  # catalog-run smear
     ctl = bench.CPU_CONFIRM_CONTROLS
@@ -169,7 +177,7 @@ def test_uncalibrated_underread_no_longer_masks(monkeypatch):
     clamp and that a genuinely-regressed 1.0x-raw candidate (2.0x at
     the clamped calibration) is still confirmed."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     ctl = bench.CPU_CONFIRM_CONTROLS
@@ -182,7 +190,7 @@ def test_uncalibrated_underread_no_longer_masks(monkeypatch):
 
 def test_missing_confirm_reading_stays_flagged(monkeypatch):
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     confirm = {f"__control__{c}": None for c in bench.CPU_CONFIRM_CONTROLS}
@@ -502,7 +510,7 @@ def _flag_one(base, q, confirm_ratio=1.05):
 
 def test_first_flag_settles_on_single_confirm_and_records_strike(monkeypatch):
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur, confirm = _flag_one(base, big)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
     g = bench._cpu_gate(cur)
@@ -518,7 +526,7 @@ def test_second_flag_same_baseline_escalates_to_abab(monkeypatch):
     twice on the same baseline must NOT be retired on another single
     confirm — the interleaved ABAB median adjudicates."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur, confirm = _flag_one(base, big)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
     bench._cpu_gate(cur)  # strike 1 recorded
@@ -550,7 +558,7 @@ def test_prior_round_strike_escalates_immediately(monkeypatch):
     """A flag recorded under a PREVIOUS baseline (consecutive-round
     repeat) escalates on the very first flag of the new round."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
         json.dump({big: [{"baseline_round": -1, "count": 1,
                           "verdict": "reverted-on-confirm (box noise)",
@@ -572,7 +580,7 @@ def test_prior_round_strike_escalates_immediately(monkeypatch):
 
 def test_abab_confirms_real_regression_as_violation(monkeypatch):
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
         json.dump({big: [{"baseline_round": -1, "count": 1,
                           "verdict": "confirmed", "pct": 60.0}]}, f)
@@ -594,7 +602,7 @@ def test_abab_instrumentation_gap_stays_flagged(monkeypatch):
     """An unreadable ABAB (UI totals unavailable in every rep) must keep
     the repeat flag a violation, never hide it."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     with open(os.environ["SPARK_GRAFT_FLAG_HISTORY"], "w") as f:
         json.dump({big: [{"baseline_round": -1, "count": 1,
                           "verdict": "confirmed", "pct": 60.0}]}, f)
@@ -737,7 +745,7 @@ def test_dirty_window_confirm_never_lands_as_confirmed(monkeypatch):
     gate retries solo, and a still-dirty retry records as deferred (a
     violation, so nothing is masked, but no post-hoc annulment needed)."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     _prime_strike(big)
     cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
@@ -763,7 +771,7 @@ def test_dirty_window_retry_clean_confirms(monkeypatch):
     """A clean solo re-run that still regresses IS a real confirm — the
     defense defers dirty evidence, it does not grant immunity."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     _prime_strike(big)
     cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
@@ -782,7 +790,7 @@ def test_dirty_window_retry_clean_reverts(monkeypatch):
     """The r12 agg_approx_stats shape exactly: dirty window reads +90%,
     the solo re-run reads in band -> reverted, no flag, no annulment."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     _prime_strike(big)
     cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
@@ -810,7 +818,7 @@ def test_clean_window_confirm_lands_without_retry(monkeypatch):
     """A confirm whose session evidence is in band adjudicates exactly as
     before — one ABAB session, no retry, no deferral."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     _prime_strike(big)
     cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
@@ -830,7 +838,7 @@ def test_dirty_window_reverted_is_not_deferred(monkeypatch):
     calibrated median that lands in band even in a dirty window is safe
     evidence of noise — no retry burned on it."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     _prime_strike(big)
     cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
     monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
@@ -844,6 +852,112 @@ def test_dirty_window_reverted_is_not_deferred(monkeypatch):
         "reverted-on-abab (box noise, two-strike)"
     )
     assert big not in g["violations"]
+
+
+def test_box_dirty_failed_canary_with_baseline_is_indeterminate():
+    """r13 ADVICE: a canary that failed to RUN (cpu None) while its
+    rotated baseline exists cannot adjudicate the window clean — the
+    instrument's own failure mode is most likely in exactly the
+    contended windows the defense targets. No-baseline None factors stay
+    clean (adjudication rests on the control calibration)."""
+    # canary failed, baseline present -> indeterminate -> dirty
+    assert bench._box_dirty(
+        {"alu_factor": None, "alu_cpu_s": None, "alu_base_cpu_s": 12.44,
+         "mem_factor": 1.0, "mem_cpu_s": 35.0, "mem_base_cpu_s": 35.76})
+    assert bench._box_dirty(
+        {"alu_factor": 1.0, "alu_cpu_s": 12.5, "alu_base_cpu_s": 12.44,
+         "mem_factor": None, "mem_cpu_s": None, "mem_base_cpu_s": 35.76})
+    # no baseline recorded -> clean by convention (pre-r14 artifacts too)
+    assert not bench._box_dirty(
+        {"alu_factor": None, "alu_cpu_s": 12.5, "alu_base_cpu_s": None,
+         "mem_factor": None, "mem_cpu_s": None, "mem_base_cpu_s": None})
+    assert not bench._box_dirty({"alu_factor": None, "mem_factor": None})
+
+
+def test_abab_box_evidence_carries_canary_baselines(monkeypatch):
+    """The evidence dict ships the baselines so _box_dirty can tell
+    'canary failed with a baseline' apart from 'no baseline rotated'."""
+    monkeypatch.setattr(bench, "_box_canary", lambda s: None)
+    monkeypatch.setattr(bench, "_box_canary_mem", lambda s: 36.0)
+    ev = bench._abab_box_evidence(
+        None, {"box_canary_cpu_s": 12.44, "box_canary_mem_cpu_s": 35.76})
+    assert ev["alu_base_cpu_s"] == 12.44 and ev["mem_base_cpu_s"] == 35.76
+    assert ev["alu_factor"] is None
+    assert bench._box_dirty(ev)  # failed alu canary + baseline = dirty
+    ev2 = bench._abab_box_evidence(None, {})
+    assert ev2["alu_base_cpu_s"] is None and not bench._box_dirty(ev2)
+
+
+def _unreadable_abab_stub(boxes, calls=None):
+    """fake _cpu_abab whose calibration broke: median None every call."""
+    def fake_abab(names, reps=bench.ABAB_REPS):
+        if calls is not None:
+            calls.append(list(names))
+        box = boxes.pop(0)
+        return {n: {"samples_s": [None], "calibrated_s": [None], "reps": 3,
+                    "median_calibrated_s": None, "session_box": box}
+                for n in names}
+    return fake_abab
+
+
+def test_dirty_window_unreadable_confirm_is_retried_and_deferred(monkeypatch):
+    """r13 ADVICE (medium): the defense must intercept EVERY confirmed*
+    verdict, including 'confirmed (abab unreadable)' — calibration
+    breaking is MORE likely in the contention that dirties the box, and
+    an unreadable confirm from dirty evidence was skipping the retry and
+    landing in the ledger as a confirm from dirty evidence."""
+    base = _baseline()
+    big = _biggest(base)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _unreadable_abab_stub([_dirty_box(), _dirty_box()], calls=calls))
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert calls == [[big], [big]]  # retry fired for the unreadable confirm
+    assert row["verdict"] == "deferred (dirty window)"
+    assert big in g["violations"]  # still a violation, nothing masked
+    ledger = json.load(open(os.environ["SPARK_GRAFT_FLAG_HISTORY"]))
+    assert ledger[big][-1]["verdict"] == "deferred (dirty window)"
+
+
+def test_unreadable_confirm_clean_window_stays_flagged(monkeypatch):
+    """In a CLEAN window the unreadable verdict keeps its pre-r14
+    semantics: flagged (instrumentation gap), no retry burned."""
+    base = _baseline()
+    big = _biggest(base)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_cpu_abab", _unreadable_abab_stub([_clean_box()], calls=calls))
+    g = bench._cpu_gate(cur)
+    row = g["regressions"][big]
+    assert calls == [[big]]
+    assert row["verdict"] == "confirmed (abab unreadable)"
+    assert big in g["violations"]
+
+
+def test_malformed_settle_env_does_not_crash_the_gate(monkeypatch):
+    """r13 ADVICE (low): a malformed SPARK_GRAFT_ABAB_SETTLE_S must fall
+    back to the default settle, not raise ValueError mid-gate after the
+    expensive catalog pass."""
+    base = _baseline()
+    big = _biggest(base)
+    _prime_strike(big)
+    cur, confirm = _flag_one(base, big, confirm_ratio=1.9)
+    monkeypatch.setattr(bench, "_cpu_confirm", lambda names: dict(confirm))
+    monkeypatch.setattr(
+        bench, "_cpu_abab",
+        _abab_stub_factory(base, [_dirty_box(), _clean_box()]))
+    monkeypatch.setenv("SPARK_GRAFT_ABAB_SETTLE_S", "not-a-number")
+    monkeypatch.setattr(bench, "ABAB_DIRTY_SETTLE_S", 0.0)  # don't sleep 30s
+    g = bench._cpu_gate(cur)  # must not raise
+    assert g["regressions"][big]["verdict"] == "confirmed (abab)"
 
 
 def test_repo_ledger_carries_the_annulment():
@@ -886,7 +1000,7 @@ def test_missing_control_reading_fails_health_check(monkeypatch):
     silently dropped from control_detail, letting the health check pass
     vacuously on exactly the degraded sessions it exists to catch."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     ctl_ok, ctl_missing = bench.CPU_CONFIRM_CONTROLS[:2]
@@ -914,7 +1028,7 @@ def test_out_of_band_control_excluded_from_calibration(monkeypatch):
     measuring session offset — their own in_band field says so); the
     health check still reports the session degraded."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     ctl_a, ctl_b, ctl_py = bench.CPU_CONFIRM_CONTROLS
@@ -938,7 +1052,7 @@ def test_all_controls_out_of_band_keeps_clamped_mean(monkeypatch):
     EVERY control reads out of band (all-fast quiet session), the clamped
     mean still applies and a genuinely regressed candidate is confirmed."""
     base = _baseline()
-    big = max(base, key=base.get)
+    big = _biggest(base)
     cur = dict(base)
     cur[big] = round(base[big] * 2.0, 2)
     ctl = bench.CPU_CONFIRM_CONTROLS
