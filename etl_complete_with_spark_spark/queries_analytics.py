@@ -1294,12 +1294,20 @@ def table_diff_customer_batches(spark, sf_dir):
 @query(
     "order_price_distribution",
     """
-    SELECT o_orderkey,
-           CAST(ntile(10) OVER w AS BIGINT) AS decile,
-           round(percent_rank() OVER w, 4) AS pct_rank,
-           round(cume_dist() OVER w, 4) AS cume
-    FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    WITH x AS (
+        SELECT o_orderkey,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               row_number() OVER w AS r,
+               count(*) OVER () AS n
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderkey, decile,
+           CASE WHEN n > 1
+                THEN CAST((20000 * (r - 1) + (n - 1)) // (2 * (n - 1))
+                          AS DOUBLE) / 10000.0
+                ELSE 0.0 END AS pct_rank,
+           CAST((20000 * r + n) // (2 * n) AS DOUBLE) / 10000.0 AS cume
+    FROM x
     """,
 )
 def order_price_distribution(spark, sf_dir):
@@ -1314,8 +1322,18 @@ def order_price_distribution(spark, sf_dir):
     ordering (price, key) is unique, so every peer group is a singleton
     and the distribution functions collapse to rank arithmetic:
     ntile(10) = SQL-standard uneven-bucket formula over (r, n),
-    percent_rank = (r-1)/(n-1), cume_dist = r/n — bit-identical to the
-    window forms the oracle runs."""
+    percent_rank = (r-1)/(n-1), cume_dist = r/n.
+
+    The 4dp rounding of those ratios runs in INTEGER space —
+    ``(20000*p + q) div (2*q)`` is round-half-up(p/q, 4) computed
+    exactly — because ``round(r/n, 4)`` on the double hits the same
+    cross-engine tie divergence as the money half-cent: the r14 sf1.0
+    sweep (n = 1.5M, a clean divisor) caught 573 rows where r/n sits
+    exactly on a 5e-5 boundary and Spark (HALF_UP on the decimal repr)
+    and DuckDB (binary-faithful) rounded opposite ways. Ties land
+    toward +inf in both engines by the same arithmetic. Overflow: the
+    20000*r product caps at ~4.6e14 input rows — far past any orders
+    cardinality (100 TB ~ 1e12 rows)."""
     from .operators.packing import global_row_ranks
 
     ranked = global_row_ranks(
@@ -1329,11 +1347,15 @@ def order_price_distribution(spark, sf_dir):
     decile = F.when(
         r <= rem * (q + 1), F.expr("(r - 1) div ((n div 10) + 1) + 1")
     ).otherwise(rem + F.expr("(r - (n % 10) * ((n div 10) + 1) - 1) div (n div 10) + 1"))
+    pct_rank4 = F.expr("(20000 * (r - 1) + (n - 1)) div (2 * (n - 1))")
+    cume4 = F.expr("(20000 * r + n) div (2 * n)")
     return ranked.select(
         "o_orderkey",
         decile.cast("long").alias("decile"),
-        F.when(n > 1, F.round((r - 1) / (n - 1), 4)).otherwise(0.0).alias("pct_rank"),
-        F.round(r / n, 4).alias("cume"),
+        F.when(n > 1, pct_rank4.cast("double") / 10000.0)
+        .otherwise(0.0)
+        .alias("pct_rank"),
+        (cume4.cast("double") / 10000.0).alias("cume"),
     )
 
 
@@ -1635,6 +1657,19 @@ def order_burst_components(spark, sf_dir):
         .localCheckpoint()
     )
     edges.createOrReplaceTempView("rec_edges")
+    # Every order lands in exactly ONE chain row, so the recursion's
+    # total output equals the input cardinality — but Spark's runaway
+    # guard (spark.sql.cteRecursionRowLimit, default 1M TOTAL rows
+    # across all levels) is a row-count cap, not a level cap, and the
+    # r14 sf1.0 sweep (1.5M orders) hit it. Scale the row cap to the
+    # input (2x headroom for the anchor+step union buffering); the
+    # LEVEL limit (default 100) stays untouched as the actual
+    # infinite-recursion guard. count() here reads parquet footers via
+    # the checkpointed edges, not a re-shuffle.
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, 2 * edges.count())),
+    )
     return spark.sql(
         """
         WITH RECURSIVE chain (c, k, d, root) AS (
