@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import explode_shingles, md5_hash60
+from .ratio import round_ratio
 
 CONTAMINATION_SEED = 7
 
@@ -79,5 +80,5 @@ def ngram_contamination(
         id_col,
         "n_grams",
         "n_shared",
-        F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("contamination"),
+        round_ratio(F.col("n_shared"), F.col("n_grams")).alias("contamination"),
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ratio import round_ratio
 from .text import normalized_text, tokens
 
 # ---------------------------------------------------------------------------
@@ -227,8 +228,12 @@ def ngram_jaccard_pairs(
         common.join(sa, "id1")
         .join(sb, "id2")
         .withColumn(
+            # integer-space 4dp rounding (operators/ratio.py): round(dbl, 4)
+            # diverges cross-engine on exact ties like 57/800 (r14)
             "jaccard",
-            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 4),
+            round_ratio(
+                F.col("n_common"), F.col("n1") + F.col("n2") - F.col("n_common")
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -556,7 +561,7 @@ def verify_est_jaccard(
     return (
         cands.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 4))
+        .withColumn("est_jaccard", round_ratio(agree, F.lit(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
     )
@@ -1327,7 +1332,7 @@ def containment_pairs(
         .join(sb, "id2")
         .withColumn(
             "containment",
-            F.round(F.col("n_common") / F.least("n1", "n2"), 4),
+            round_ratio(F.col("n_common"), F.least("n1", "n2")),
         )
         .filter(F.col("containment") >= threshold)
         .select("id1", "id2", "containment")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .ratio import round_ratio
+
 # Marker stopwords per language for the n-gram/stopword language heuristic.
 # Deliberately tiny: language ID at pipeline scale is a cheap filter, not a
 # classifier — a real deployment swaps in fastText/CLD3 behind the same
@@ -71,23 +73,24 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "avg_token_len",
             F.when(n == 0, F.lit(0.0)).otherwise(
-                F.round(
-                    F.aggregate("__tokens__", F.lit(0), lambda acc, w: acc + F.length(w))
-                    .cast("double") / n,
-                    4,
+                round_ratio(
+                    F.aggregate(
+                        "__tokens__", F.lit(0), lambda acc, w: acc + F.length(w)
+                    ),
+                    n,
                 )
             ),
         )
         .withColumn(
             "type_token_ratio",
             F.when(n == 0, F.lit(0.0)).otherwise(
-                F.round(F.size(F.array_distinct("__tokens__")).cast("double") / n, 4)
+                round_ratio(F.size(F.array_distinct("__tokens__")), n)
             ),
         )
         .withColumn(
             "stopword_ratio",
             F.when(n == 0, F.lit(0.0)).otherwise(
-                F.round(stop_hits.cast("double") / n, 4)
+                round_ratio(stop_hits, n)
             ),
         )
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.ratio import round_ratio
 from .queries import load, query, rev_e4, rev_e4_sql, rev_sum_sql, sum_money
 
 
@@ -3001,7 +3002,7 @@ def regression_price_vs_quantity(spark, sf_dir):
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
            round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
-           round(sum(delta_s) / (count(*) * 1.0), 2) AS avg_s
+           (CAST((200 * (sum(delta_s)) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 100.0) AS avg_s
     FROM d
     """,
 )
@@ -3029,7 +3030,7 @@ def time_to_purchase_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.round(F.expr("percentile(delta_s, 0.5)"), 4).alias("p50_s"),
         F.round(F.expr("percentile(delta_s, 0.9)"), 4).alias("p90_s"),
-        F.round(F.sum("delta_s") / (F.count(F.lit(1)) * 1.0), 2).alias("avg_s"),
+        round_ratio(F.sum("delta_s"), F.count(F.lit(1)), 2).alias("avg_s"),
     )
 
 

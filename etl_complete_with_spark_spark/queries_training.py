@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
+from .operators.ratio import round_ratio_sql
 from .operators import similarity as SIM
 from .operators import text as TX
 from .queries import load, query
@@ -46,13 +47,13 @@ def _hash60_sql(expr: str, seed: int) -> str:
            CAST(len(tk) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT) AS n_tokens_bpe,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 4)
+                ELSE (CAST((20000 * (list_sum(list_transform(tk, x -> length(x)))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
            END AS avg_token_len,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE round(len(list_distinct(tk)) * 1.0 / len(tk), 4)
+                ELSE (CAST((20000 * (len(list_distinct(tk))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
            END AS type_token_ratio,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE round(len(list_filter(tk, x -> lower(x) IN ({_STOPLIST}))) * 1.0 / len(tk), 4)
+                ELSE (CAST((20000 * (len(list_filter(tk, x -> lower(x) IN ({_STOPLIST})))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
            END AS stopword_ratio
     FROM t
     """,
@@ -201,11 +202,11 @@ def _jaccard_pairs(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     {_JACCARD_POSTING}
-    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+    SELECT id1, id2, (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) AS jaccard
     FROM common
     JOIN sizes s1 ON id1 = s1.id
     JOIN sizes s2 ON id2 = s2.id
-    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5
+    WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -264,11 +265,11 @@ def _minhash_oracle() -> str:
     cand AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2
         FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.id < b.id)
-    SELECT id1, id2, round(({agree}) / {float(_MH_K)}, 4) AS est_jaccard
+    SELECT id1, id2, (CAST((20000 * ({agree}) + {_MH_K}) // (2 * {_MH_K}) AS DOUBLE) / 10000.0) AS est_jaccard
     FROM cand
     JOIN sig s1 ON id1 = s1.id
     JOIN sig s2 ON id2 = s2.id
-    WHERE round(({agree}) / {float(_MH_K)}, 4) >= {_MH_T}
+    WHERE (CAST((20000 * ({agree}) + {_MH_K}) // (2 * {_MH_K}) AS DOUBLE) / 10000.0) >= {_MH_T}
     """
 
 
@@ -343,7 +344,7 @@ _CLUSTER_KEEP_ORACLE = f"""
         FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5),
+        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5),
     sym AS (SELECT id1 AS a, id2 AS b FROM pairs
             UNION SELECT id2, id1 FROM pairs),
     reach(id, r) AS (
@@ -403,7 +404,7 @@ def dedup_cluster_keep_star(spark, sf_dir):
         FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5),
+        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5),
     sym AS (SELECT id1 AS a, id2 AS b FROM pairs
             UNION SELECT id2, id1 FROM pairs),
     reach(id, r) AS (
@@ -741,7 +742,7 @@ _QUALITY_SQL = f"""
         SELECT DISTINCT id2 FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.5)
+        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5)
     SELECT doc_id, quality_score FROM exact
     WHERE doc_id NOT IN (SELECT id2 FROM neardup)
     """,
@@ -1835,7 +1836,7 @@ _FOURGRAMS = (
     sizes AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY id),
     shared AS (SELECT id, count(*) AS n_shared FROM tr JOIN ev USING (gh) GROUP BY id)
     SELECT sizes.id AS doc_id, n_grams, n_shared,
-           round(n_shared * 1.0 / n_grams, 4) AS contamination
+           (CAST((20000 * (n_shared) + (n_grams)) // (2 * (n_grams)) AS DOUBLE) / 10000.0) AS contamination
     FROM sizes JOIN shared ON sizes.id = shared.id
     """,
 )
@@ -2427,11 +2428,11 @@ def corpus_dup_ngram_profile(spark, sf_dir):
     "dedup_containment",
     f"""
     {_JACCARD_POSTING}
-    SELECT id1, id2, round(c * 1.0 / least(s1.n, s2.n), 4) AS containment
+    SELECT id1, id2, (CAST((20000 * (c) + (least(s1.n, s2.n))) // (2 * (least(s1.n, s2.n))) AS DOUBLE) / 10000.0) AS containment
     FROM common
     JOIN sizes s1 ON id1 = s1.id
     JOIN sizes s2 ON id2 = s2.id
-    WHERE round(c * 1.0 / least(s1.n, s2.n), 4) >= 0.6
+    WHERE (CAST((20000 * (c) + (least(s1.n, s2.n))) // (2 * (least(s1.n, s2.n))) AS DOUBLE) / 10000.0) >= 0.6
     """,
 )
 def dedup_containment(spark, sf_dir):

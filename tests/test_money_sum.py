@@ -119,3 +119,77 @@ class TestAnsiPinned:
         df = spark.createDataFrame([(2**62,), (2**62,)], "e4 long")
         with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
             df.agg(F.sum("e4")).collect()
+
+
+class TestRoundRatio:
+    """r14 policy extension: round(ratio-of-integers, k) feeding a
+    cross-engine hash must round in integer space — the real engines
+    provably diverge on e.g. 57/800 = 0.07125 (Spark HALF_UP on the
+    decimal repr -> 0.0713; DuckDB rounds the binary double, which sits
+    under the tie -> 0.0712). operators/ratio.round_ratio and its SQL
+    twin resolve the tie identically in integer arithmetic."""
+
+    def test_engines_diverge_on_the_raw_double_round(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(57, 800)], "p long, q long")
+        sp = df.select(
+            F.round(F.col("p") * 1.0 / F.col("q"), 4).alias("v")
+        ).collect()[0]["v"]
+        con = duckdb.connect()
+        dd = con.sql("SELECT round(57 * 1.0 / 800, 4)").fetchone()[0]
+        assert sp == 0.0713 and dd == 0.0712  # the disease this file pins
+
+    @pytest.mark.parametrize(
+        "p,q,digits",
+        [
+            (57, 800, 4),    # non-representable tie, double below it
+            (13, 32, 4),     # representable tie
+            (113, 800, 4),   # the order_price_distribution shape
+            (1, 3, 4),       # non-terminating
+            (0, 7, 4),       # zero
+            (7, 7, 4),       # exactly 1
+            (12345, 200, 2), # avg-seconds shape, 2dp tie (61.725)
+            (5, 8192, 4),    # minhash agree/num_hashes shape
+        ],
+    )
+    def test_round_ratio_matches_twin_and_halfup(self, spark, p, q, digits):
+        import math
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators.ratio import (
+            round_ratio,
+            round_ratio_sql,
+        )
+
+        df = spark.createDataFrame([(p, q)], "p long, q long")
+        got = df.select(
+            round_ratio(F.col("p"), F.col("q"), digits).alias("v")
+        ).collect()[0]["v"]
+        con = duckdb.connect()
+        dd = con.sql(
+            f"SELECT {round_ratio_sql(str(p), str(q), digits)} AS v"
+        ).fetchone()[0]
+        s = 10**digits
+        exact = math.floor((2 * s * p + q) / (2 * q)) / s  # true half-up
+        assert got == dd == exact
+
+    def test_corpus_scale_numerator_stays_exact(self, spark):
+        # avg-seconds over ~1e9 users: p ~ 4.6e16 at digits=2 is inside
+        # the LONG envelope (2*100*p + q < 2^63) and must stay exact —
+        # the r14 first-cut double-floor implementation lost exactness
+        # past 2^53 / 200.
+        from pyspark.sql import functions as F
+
+        from etl_complete_with_spark_spark.operators.ratio import round_ratio
+
+        p, q = 2**55 + 1, 3  # numerator 200*p+q ~ 7.2e18, < 2^63
+        df = spark.createDataFrame([(p, q)], "p long, q long")
+        got = df.select(round_ratio(F.col("p"), F.col("q"), 2).alias("v")).collect()[
+            0
+        ]["v"]
+        exact = ((200 * p + q) // (2 * q)) / 100.0
+        assert got == exact
