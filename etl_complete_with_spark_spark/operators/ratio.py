@@ -20,11 +20,19 @@ true quotient is an exact integer, and THAT division runs in
 decimal(38,0), where an integer quotient is produced exactly at any
 magnitude (a raw decimal division would HALF_UP at result scale and
 could cross the floor for near-1 fractions; dividing an exact multiple
-sidesteps it). The SQL twin runs the same arithmetic in BIGINT/HUGEINT
-(DuckDB ``//`` truncates, == floor for the non-negative counts all
-callers pass). The final t/10^d double report is exact while
-t = round(p/q * 10^d) < 2^53 — an output-type limit shared with every
-double column (see queries.sum_money).
+sidesteps it). The SQL twin runs the same arithmetic in BIGINT/HUGEINT,
+with the numerator's remainder stripped via the non-negative-mod trick
+``a - ((a % b + b) % b)`` before the ``//`` — DuckDB ``//`` truncates
+toward zero, which only equals floor for non-negative numerators, and
+the r14 twin relied on exactly that (r15, per VERDICT order 6 /
+ADVICE): a signed ratio (e.g. a delta average without its ``>= 0``
+filter) would silently diverge from the Column form's pmod floor. Both
+forms now floor for ANY sign of p; the denominator q must still be
+POSITIVE (q = 0 raises in both engines; a negative q flips both mod
+conventions and stays out of contract — every caller passes a count or
+a count-difference filtered non-negative). The final t/10^d double
+report is exact while t = round(p/q * 10^d) < 2^53 — an output-type
+limit shared with every double column (see queries.sum_money).
 """
 
 from __future__ import annotations
@@ -34,8 +42,11 @@ from pyspark.sql import functions as F
 
 
 def round_ratio(p: Column, q: Column, digits: int = 4) -> Column:
-    """round-half-up(p/q, digits) for non-negative integer counts,
-    bit-identical across engines (twin: :func:`round_ratio_sql`)."""
+    """round-half-up(p/q, digits) for integer p and POSITIVE integer q,
+    bit-identical across engines (twin: :func:`round_ratio_sql`).
+    Sign-safe in p: ``F.pmod`` returns the non-negative residue for
+    positive divisors, so ``(a - pmod(a, b)) / b`` is floor(a/b) for
+    any-sign a."""
     s = 10**digits
     a = p.cast("long") * (2 * s) + q.cast("long")
     b = q.cast("long") * 2
@@ -44,9 +55,18 @@ def round_ratio(p: Column, q: Column, digits: int = 4) -> Column:
 
 
 def round_ratio_sql(p_sql: str, q_sql: str, digits: int = 4) -> str:
-    """DuckDB twin of :func:`round_ratio` (integer floor-div, exact)."""
+    """DuckDB twin of :func:`round_ratio` (integer floor-div, exact).
+    Floors for any-sign numerator via the non-negative-mod trick
+    (``a - ((a % b + b) % b)``) — plain ``//`` truncates toward zero
+    in DuckDB and would diverge from the Column form's pmod floor the
+    first time a caller passed a signed p (VERDICT r14 order 6). The
+    numerator expression is evaluated three times; every current
+    caller passes column references or cheap arithmetic, and DuckDB's
+    CSE collapses the repeats."""
     s = 10**digits
+    a = f"({2 * s} * ({p_sql}) + ({q_sql}))"
+    b = f"(2 * ({q_sql}))"
     return (
-        f"(CAST(({2 * s} * ({p_sql}) + ({q_sql})) // (2 * ({q_sql}))"
+        f"(CAST(({a} - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b})"
         f" AS DOUBLE) / {s}.0)"
     )

@@ -1667,28 +1667,45 @@ def order_burst_components(spark, sf_dir):
     # LEVEL limit (default 100) stays untouched as the actual
     # infinite-recursion guard. count() here reads parquet footers via
     # the checkpointed edges, not a re-shuffle.
+    #
+    # The raise is SCOPED (r15, VERDICT r14 order 3): the conf is
+    # session-global, and the r14 form leaked the ratcheted cap to every
+    # later recursive query in the session — weakening the very guard it
+    # reasons about. The recursion therefore materializes eagerly inside
+    # a save/restore (localCheckpoint of the AGGREGATED result — one
+    # bounded row per burst, <= |orders| and tiny in practice), and the
+    # prior cap is back in force before this function returns. The conf
+    # is read at execution time, so a lazy return would re-expose the
+    # leak the moment a caller deferred the collect past the restore.
+    prev_cap = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set(
         "spark.sql.cteRecursionRowLimit",
         str(max(1_000_000, 2 * edges.count())),
     )
-    return spark.sql(
-        """
-        WITH RECURSIVE chain (c, k, d, root) AS (
-            SELECT c, k, d, k AS root FROM rec_edges
-            WHERE pd IS NULL OR datediff(d, pd) > 30
-            UNION ALL
-            SELECT e.c, e.k, e.d, chain.root
-            FROM rec_edges e
-            JOIN chain ON e.c = chain.c AND e.pk = chain.k
-            WHERE e.pd IS NOT NULL AND datediff(e.d, e.pd) <= 30
-        )
-        SELECT c AS o_custkey, CAST(root AS BIGINT) AS burst_id,
-               count(*) AS n_orders,
-               CAST(CAST(min(d) AS TIMESTAMP) AS STRING) AS burst_start,
-               CAST(CAST(max(d) AS TIMESTAMP) AS STRING) AS burst_end
-        FROM chain GROUP BY c, root
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            WITH RECURSIVE chain (c, k, d, root) AS (
+                SELECT c, k, d, k AS root FROM rec_edges
+                WHERE pd IS NULL OR datediff(d, pd) > 30
+                UNION ALL
+                SELECT e.c, e.k, e.d, chain.root
+                FROM rec_edges e
+                JOIN chain ON e.c = chain.c AND e.pk = chain.k
+                WHERE e.pd IS NOT NULL AND datediff(e.d, e.pd) <= 30
+            )
+            SELECT c AS o_custkey, CAST(root AS BIGINT) AS burst_id,
+                   count(*) AS n_orders,
+                   CAST(CAST(min(d) AS TIMESTAMP) AS STRING) AS burst_start,
+                   CAST(CAST(max(d) AS TIMESTAMP) AS STRING) AS burst_end
+            FROM chain GROUP BY c, root
+            """
+        ).localCheckpoint()
+    finally:
+        if prev_cap is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev_cap)
 
 
 @query(
@@ -2319,7 +2336,20 @@ def robust_outlier_prices(spark, sf_dir):
     standard that mean/stddev z-scores can't give you when the outliers
     themselves inflate the stddev. Two grouped median passes with the
     (tiny) per-group medians broadcast back between them; the flag
-    comparison is identical double arithmetic in both engines."""
+    comparison is identical double arithmetic in both engines.
+
+    Memory bound of the exact ``percentile`` aggregate (r15, VERDICT r14
+    order 7): Spark's exact percentile buffers an OpenHashMap of
+    (value -> count) per group — memory scales with the number of
+    DISTINCT values in the group, not its row count. Here the value is
+    l_extendedprice (bounded product of ~200k distinct part prices x
+    quantity 1-50, so low millions of distinct doubles per returnflag
+    group at ANY row scale) — bounded, but a corpus with genuinely
+    high-cardinality values (raw floats, timestamps) would grow the
+    buffer with the data. The documented 100-TB twin is
+    ``robust_outlier_prices_sampled`` (operators/quantiles.py): a
+    mergeable bottom-k uniform sample with partition-local pre-cut,
+    whose state is k-bounded regardless of cardinality."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"), F.col("l_extendedprice").alias("x")
     )
@@ -3012,7 +3042,17 @@ def time_to_purchase_stats(spark, sf_dir):
     integer-second deltas (epoch micros floored — both engines share the
     integer math), exact interpolated percentiles and an exact-ratio
     mean rounded once. The time-to-convert metric every growth dashboard
-    pairs with funnel_signup_click_purchase's conversion counts."""
+    pairs with funnel_signup_click_purchase's conversion counts.
+
+    Memory bound of the exact ``percentile`` aggregate (r15, VERDICT r14
+    order 7): the buffer holds one (value, count) entry per DISTINCT
+    delta_s in the (single, global) group — integer seconds, so at most
+    ~the span of observed delays (days x 86400 entries ~ tens of MB at
+    any row count), not one entry per user. Exactness is therefore
+    affordable here; a raw-microsecond delta (mostly-distinct values)
+    would not be, and the k-bounded sketch path
+    (``sketch_quantile_bottomk`` / operators/quantiles.py) is the
+    documented 100-TB substitute."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     f = ev.groupBy("user_id").agg(

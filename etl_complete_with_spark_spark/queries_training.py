@@ -47,13 +47,13 @@ def _hash60_sql(expr: str, seed: int) -> str:
            CAST(len(tk) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT) AS n_tokens_bpe,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE (CAST((20000 * (list_sum(list_transform(tk, x -> length(x)))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
+                ELSE {round_ratio_sql('list_sum(list_transform(tk, x -> length(x)))', 'len(tk)')}
            END AS avg_token_len,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE (CAST((20000 * (len(list_distinct(tk))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
+                ELSE {round_ratio_sql('len(list_distinct(tk))', 'len(tk)')}
            END AS type_token_ratio,
            CASE WHEN len(tk) = 0 THEN 0.0
-                ELSE (CAST((20000 * (len(list_filter(tk, x -> lower(x) IN ({_STOPLIST})))) + (len(tk))) // (2 * (len(tk))) AS DOUBLE) / 10000.0)
+                ELSE {round_ratio_sql(f'len(list_filter(tk, x -> lower(x) IN ({_STOPLIST})))', 'len(tk)')}
            END AS stopword_ratio
     FROM t
     """,
@@ -202,11 +202,11 @@ def _jaccard_pairs(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     {_JACCARD_POSTING}
-    SELECT id1, id2, (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) AS jaccard
+    SELECT id1, id2, {round_ratio_sql('c', 's1.n + s2.n - c')} AS jaccard
     FROM common
     JOIN sizes s1 ON id1 = s1.id
     JOIN sizes s2 ON id2 = s2.id
-    WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5
+    WHERE {round_ratio_sql('c', 's1.n + s2.n - c')} >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -265,11 +265,11 @@ def _minhash_oracle() -> str:
     cand AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2
         FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.id < b.id)
-    SELECT id1, id2, (CAST((20000 * ({agree}) + {_MH_K}) // (2 * {_MH_K}) AS DOUBLE) / 10000.0) AS est_jaccard
+    SELECT id1, id2, {round_ratio_sql(agree, str(_MH_K))} AS est_jaccard
     FROM cand
     JOIN sig s1 ON id1 = s1.id
     JOIN sig s2 ON id2 = s2.id
-    WHERE (CAST((20000 * ({agree}) + {_MH_K}) // (2 * {_MH_K}) AS DOUBLE) / 10000.0) >= {_MH_T}
+    WHERE {round_ratio_sql(agree, str(_MH_K))} >= {_MH_T}
     """
 
 
@@ -344,7 +344,7 @@ _CLUSTER_KEEP_ORACLE = f"""
         FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5),
+        WHERE {round_ratio_sql('c', 's1.n + s2.n - c')} >= 0.5),
     sym AS (SELECT id1 AS a, id2 AS b FROM pairs
             UNION SELECT id2, id1 FROM pairs),
     reach(id, r) AS (
@@ -404,7 +404,7 @@ def dedup_cluster_keep_star(spark, sf_dir):
         FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5),
+        WHERE {round_ratio_sql('c', 's1.n + s2.n - c')} >= 0.5),
     sym AS (SELECT id1 AS a, id2 AS b FROM pairs
             UNION SELECT id2, id1 FROM pairs),
     reach(id, r) AS (
@@ -742,7 +742,7 @@ _QUALITY_SQL = f"""
         SELECT DISTINCT id2 FROM common
         JOIN sizes s1 ON id1 = s1.id
         JOIN sizes s2 ON id2 = s2.id
-        WHERE (CAST((20000 * (c) + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)) AS DOUBLE) / 10000.0) >= 0.5)
+        WHERE {round_ratio_sql('c', 's1.n + s2.n - c')} >= 0.5)
     SELECT doc_id, quality_score FROM exact
     WHERE doc_id NOT IN (SELECT id2 FROM neardup)
     """,
@@ -1836,7 +1836,7 @@ _FOURGRAMS = (
     sizes AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY id),
     shared AS (SELECT id, count(*) AS n_shared FROM tr JOIN ev USING (gh) GROUP BY id)
     SELECT sizes.id AS doc_id, n_grams, n_shared,
-           (CAST((20000 * (n_shared) + (n_grams)) // (2 * (n_grams)) AS DOUBLE) / 10000.0) AS contamination
+           {round_ratio_sql('n_shared', 'n_grams')} AS contamination
     FROM sizes JOIN shared ON sizes.id = shared.id
     """,
 )
@@ -2428,11 +2428,11 @@ def corpus_dup_ngram_profile(spark, sf_dir):
     "dedup_containment",
     f"""
     {_JACCARD_POSTING}
-    SELECT id1, id2, (CAST((20000 * (c) + (least(s1.n, s2.n))) // (2 * (least(s1.n, s2.n))) AS DOUBLE) / 10000.0) AS containment
+    SELECT id1, id2, {round_ratio_sql('c', 'least(s1.n, s2.n)')} AS containment
     FROM common
     JOIN sizes s1 ON id1 = s1.id
     JOIN sizes s2 ON id2 = s2.id
-    WHERE (CAST((20000 * (c) + (least(s1.n, s2.n))) // (2 * (least(s1.n, s2.n))) AS DOUBLE) / 10000.0) >= 0.6
+    WHERE {round_ratio_sql('c', 'least(s1.n, s2.n)')} >= 0.6
     """,
 )
 def dedup_containment(spark, sf_dir):

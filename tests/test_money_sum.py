@@ -152,11 +152,17 @@ class TestRoundRatio:
             (7, 7, 4),       # exactly 1
             (12345, 200, 2), # avg-seconds shape, 2dp tie (61.725)
             (5, 8192, 4),    # minhash agree/num_hashes shape
+            # Signed numerators (r15, VERDICT r14 order 6): the SQL twin
+            # must FLOOR like the Column form's pmod, not truncate like
+            # a bare DuckDB `//` — e.g. a signed delta average without
+            # its >= 0 filter. Ties resolve toward +inf on both signs.
+            (-57, 800, 4),   # negative mirror of the disease case
+            (-1, 3, 4),      # negative non-terminating
+            (-7, 2, 4),      # negative exact half (tie at -3.5)
+            (-12345, 200, 2),# negative 2dp tie (-61.725 -> -61.72)
         ],
     )
     def test_round_ratio_matches_twin_and_halfup(self, spark, p, q, digits):
-        import math
-
         import duckdb
         from pyspark.sql import functions as F
 
@@ -174,7 +180,9 @@ class TestRoundRatio:
             f"SELECT {round_ratio_sql(str(p), str(q), digits)} AS v"
         ).fetchone()[0]
         s = 10**digits
-        exact = math.floor((2 * s * p + q) / (2 * q)) / s  # true half-up
+        # Python int // is floor division, exact at any magnitude — the
+        # true round-half-up(p/q, digits), ties toward +inf, any sign
+        exact = ((2 * s * p + q) // (2 * q)) / s
         assert got == dd == exact
 
     def test_corpus_scale_numerator_stays_exact(self, spark):
