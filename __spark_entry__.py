@@ -40,58 +40,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 13
+WINDOW_GENERATED_AFTER = 14
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "q15_top_supplier",  # 3 row(s), first r04
-    "q16_supplier_variety",  # 3 row(s), first r04
-    "q17_small_qty_revenue",  # 3 row(s), first r04
-    "q19_discount_revenue_bands",  # 3 row(s), first r04
-    "q20_excess_shippers",  # 3 row(s), first r04
-    "q2_min_cost_supplier",  # 3 row(s), first r04
-    "q11_important_stock",  # 3 row(s), first r04
-    "q21_suppliers_kept_waiting",  # 3 row(s), first r04
-    "golden_record_parts",  # 3 row(s), first r05
-    "sparse_tfidf_cosine_pairs",  # 3 row(s), first r05
-    "pyds_synthetic_rollup",  # 3 row(s), first r05
-    "mixture_kl_by_source",  # 3 row(s), first r05
-    "hits_customer_supplier",  # 3 row(s), first r05
-    "debounce_events",  # 3 row(s), first r05
-    "robust_outlier_prices",  # 3 row(s), first r05
-    "top_event_trigrams",  # 3 row(s), first r05
-    "kcore_coorder_parts",  # 3 row(s), first r05
-    "bfs_coorder_parts",  # 3 row(s), first r05
-    "item_cooccurrence_similarity",  # 3 row(s), first r05
-    "incremental_rollup_orders",  # 3 row(s), first r05
-    "stream_incremental_rollup",  # 3 row(s), first r05
-    "clustering_coefficient_parts",  # 3 row(s), first r05
-    "lpa_communities_parts",  # 3 row(s), first r05
-    "forecast_eval_seasonal_naive",  # 3 row(s), first r05
-    "regression_price_vs_quantity",  # 3 row(s), first r05
-    "time_to_purchase_stats",  # 3 row(s), first r05
-    "association_rules_parts",  # 3 row(s), first r05
-    "psi_order_price_drift",  # 3 row(s), first r05
-    "robust_outlier_prices_sampled",  # 3 row(s), first r05
-    "cluster_aware_split_docs",  # 3 row(s), first r06
-    "stream_scd2_dim",  # 3 row(s), first r06
-    "ann_ivf_topk_distributed",  # 3 row(s), first r07
-    "filter_range_halfopen",  # 4 row(s), first r01
-    "filter_between_inclusive",  # 4 row(s), first r01
-    "probe_bounds_date",  # 4 row(s), first r01
-    "probe_bounds_int",  # 4 row(s), first r01
-    "sk_hyphen",  # 4 row(s), first r01
-    "sk_concat",  # 4 row(s), first r01
-    "quality_check_dates",  # 4 row(s), first r01
-    "dedup_latest_per_key",  # 4 row(s), first r01
-    "agg_pricing_summary",  # 4 row(s), first r01
-    "join_revenue_by_nation",  # 4 row(s), first r01
-    "topk_orders_per_customer",  # 4 row(s), first r01
-    "text_token_stats",  # 4 row(s), first r01
-    "text_quality_score",  # 4 row(s), first r01
-    "text_language_id",  # 4 row(s), first r01
-    "text_fingerprint",  # 4 row(s), first r01
-    "dedup_exact",  # 4 row(s), first r01
+    "dedup_ngram_jaccard",  # 4 row(s), first r01
+    "dedup_minhash_lsh",  # 4 row(s), first r01
+    "dedup_simhash",  # 4 row(s), first r01
+    "dedup_embedding_cosine",  # 4 row(s), first r01
+    "dedup_cluster_keep",  # 4 row(s), first r01
+    "ann_cosine_topk",  # 4 row(s), first r01
+    "mm_frame_sample",  # 4 row(s), first r01
+    "stream_windowed_counts",  # 4 row(s), first r01
+    "corpus_clean_pipeline",  # 4 row(s), first r01
+    "chunk_documents_windows",  # 4 row(s), first r01
+    "scrub_pii_text",  # 4 row(s), first r01
+    "vocab_top_terms",  # 4 row(s), first r01
+    "tfidf_top_terms",  # 4 row(s), first r01
+    "sample_stratified_hash",  # 4 row(s), first r01
+    "stream_click_attribution",  # 4 row(s), first r01
+    "dedup_incremental_batch",  # 4 row(s), first r01
+    "text_repetition_signals",  # 4 row(s), first r01
+    "dedup_chunks_exact",  # 4 row(s), first r01
+    "set_ops_users",  # 4 row(s), first r01
+    "cube_revenue",  # 4 row(s), first r01
+    "distinct_users_per_type",  # 4 row(s), first r01
+    "pivot_user_event_matrix",  # 4 row(s), first r01
+    "sessionize_batch",  # 4 row(s), first r01
+    "asof_join_last_purchase",  # 4 row(s), first r01
+    "grouped_user_stats",  # 4 row(s), first r01
+    "range_join_event_windows",  # 4 row(s), first r01
+    "skew_salted_join",  # 4 row(s), first r01
+    "agg_quantiles",  # 4 row(s), first r01
+    "json_extract_props",  # 4 row(s), first r01
+    "ann_lsh_topk",  # 4 row(s), first r02
+    "mm_extract_features",  # 4 row(s), first r02
+    "emb_quantize_int8",  # 4 row(s), first r02
+    "emb_gram_int8",  # 4 row(s), first r02
+    "ann_int8_topk",  # 4 row(s), first r02
+    "emb_label_centroids",  # 4 row(s), first r02
+    "text_unigram_lm_score",  # 4 row(s), first r02
+    "stream_dedup_events",  # 4 row(s), first r02
+    "table_profile_orders",  # 4 row(s), first r02
+    "dedup_semantic_cluster",  # 4 row(s), first r02
+    "pack_training_shards",  # 4 row(s), first r02
+    "fuzzy_match_part_names",  # 4 row(s), first r02
+    "jsonl_roundtrip_orders",  # 4 row(s), first r02
+    "ann_ivf_topk",  # 4 row(s), first r03
+    "decontaminate_ngram_overlap",  # 4 row(s), first r03
+    "sample_token_budget_mix",  # 4 row(s), first r03
+    "stream_static_enrich",  # 4 row(s), first r03
+    "orc_roundtrip_orders",  # 4 row(s), first r03
+    "udtf_token_runs",  # 4 row(s), first r03
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has
