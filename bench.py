@@ -53,6 +53,12 @@ from etl_complete_with_spark_spark.session import get_spark  # noqa: E402
 # session restart cost stays <10% of catalog wall time.
 RECYCLE_EVERY = 24
 FRESH_CHECK_N = int(os.environ.get("SPARK_GRAFT_FRESH_CHECK", "5"))
+# Recorded/fresh ratio above which the cold-process re-time replaces the
+# catalog-session wall recording in the artifact (r15, VERDICT r14
+# order 5 — see the adoption block in main()). 1.10 sits above the
+# ~±5% ratio spread of clean same-day runs and below the 1.17-1.22
+# warm-inflation readings the last two closing artifacts recorded.
+FRESH_ADOPT_BAND = 1.10
 # Hard wall-clock bound per cold-process re-time (a cold JVM + one sf0.1
 # query is ~30-45 s; a hang must not eat the driver's bench budget).
 FRESH_CHECK_TIMEOUT_S = 150
@@ -354,6 +360,24 @@ def _fresh_check(names, sf_dir: str, timings) -> dict:
             "recorded_over_fresh": round(timings[name] / fresh, 3) if fresh else None,
         }
     return out
+
+
+def _adopt_fresh(timings: dict[str, float], fresh: dict) -> dict[str, dict]:
+    """Replace warmth-inflated catalog recordings with their cold-process
+    fresh re-times (mutates ``timings`` in place); returns the
+    substitution record for the artifact. See the FRESH_ADOPT_BAND
+    comment and the call site in main() for the policy rationale."""
+    adopted: dict[str, dict] = {}
+    for q, ev in fresh.items():
+        rof = ev.get("recorded_over_fresh")
+        if rof is not None and rof > FRESH_ADOPT_BAND and ev.get("fresh_s"):
+            adopted[q] = {
+                "catalog_recorded_s": timings[q],
+                "adopted_fresh_s": ev["fresh_s"],
+                "recorded_over_fresh": rof,
+            }
+            timings[q] = ev["fresh_s"]
+    return adopted
 
 
 def _adjudicate_floor(exceeding: dict, floor_candidates: list, fresh: dict) -> dict:
@@ -1119,10 +1143,234 @@ def _cpu_gate(executor_cpu: dict[str, float], box_factor: float | None = None) -
     }
 
 
+# -- sf1.0 mini-gate (round 15, per r14 VERDICT order 1) ----------------
+# The catalog gate's flag/ABAB discipline only watches sf0.1, where the
+# catalog's one real big join (lineitem-orders) runs as an AQE broadcast
+# with 0 MB shuffled — the 104 MB post-transition exchange that dominates
+# at sf1.0 (34.9x CPU, SCALING.md r14) is invisible to it, so a shuffle-
+# path regression would ship unflagged. This gate re-times the eight
+# plan shapes of the r14 10x sweep on the sf1.0 fixture
+# (tmp_scale_fixture/sf1.0, rebuildable via scripts/make_scale_fixture.py)
+# in ONE fresh session with the same methodology as the catalog run
+# (warmups, two runs including the first, quiesced totals-delta halved)
+# and the same box-canary normalization, compares per-shape executor-CPU
+# AND shuffle-write MB against the committed bench_sf10_baseline.json,
+# and single-confirms any flag in a second fresh session before it lands
+# as a violation. Run via `python bench.py --sf10` in the closing
+# routine (same cadence as the catalog artifact); rotate the baseline
+# with scripts/rotate_sf10_baseline.py.
+SF10_SHAPES = [
+    "agg_pricing_summary",        # scan + hash agg
+    "q9_product_profit",          # multi-join, dims broadcast
+    "dedup_minhash_lsh",          # banded LSH self-join
+    "corpus_dup_ngram_profile",   # posting-list join
+    "order_price_distribution",   # two-level global rank
+    "dedup_exact",                # hash groupBy
+    "ann_tiled_topk",             # fixed query set, corpus-linear
+    "join_revenue_by_nation",     # THE broadcast->shuffle transition
+]
+SF10_BASELINE_FILE = "bench_sf10_baseline.json"
+SF10_DIR_DEFAULT = "tmp_scale_fixture/sf1.0"
+# CPU flag: same band as the catalog gate. Shuffle flag: a plan-shape
+# tripwire, not a perf band — shuffle bytes for a fixed plan are
+# DETERMINISTIC (row count x row width), so growth beyond rounding means
+# the plan changed (lost broadcast, new exchange, wider rows). 20% + 5 MB
+# tolerates AQE coalesce jitter while catching any real new exchange.
+SF10_SHUFFLE_PCT = 20.0
+SF10_SHUFFLE_ABS_MB = 5.0
+
+
+def _sf10_measure(names: list[str], sf_dir: str) -> dict:
+    """One fresh session: canaries, warmups, then per-shape CPU-s/run and
+    shuffle-write MB/run (catalog methodology)."""
+    out: dict = {"shapes": {}}
+    spark = get_spark(app_name="bench-sf10", extra_conf=_UI_CONF)
+    try:
+        out["box_canary_cpu_s"] = _box_canary(spark)
+        out["box_canary_mem_cpu_s"] = _box_canary_mem(spark)
+        _confirm_session_warmup(spark, sf_dir)
+        for name in names:
+            before = _quiesced_totals(spark)
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                walls.append(time.perf_counter() - t0)
+            after = _quiesced_totals(spark)
+            rec: dict = {"wall_min_s": round(min(walls), 3)}
+            if before is not None and after is not None:
+                rec["cpu_s_per_run"] = round((after[4] - before[4]) / 2 / 1e9, 2)
+                rec["shuffle_write_mb_per_run"] = round(
+                    (after[1] - before[1]) / 2 / 1e6, 2
+                )
+            out["shapes"][name] = rec
+    finally:
+        spark.stop()
+    return out
+
+
+def run_sf10_gate() -> dict:
+    """The sf1.0 mini-gate: measure, normalize, compare, confirm, emit
+    BENCH_SF10.json. Never raises — the artifact carries the verdict."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(here, SF10_DIR_DEFAULT)
+    )
+    art: dict = {
+        "metric": "sf10_shape_gate",
+        "sf_dir": sf_dir,
+        "shapes_expected": SF10_SHAPES,
+        "os_loadavg_at_start": _loadavg(),
+    }
+    if not os.path.isdir(sf_dir):
+        art["error"] = (
+            f"fixture missing: {sf_dir} — rebuild with "
+            "`python scripts/make_scale_fixture.py 1.0`"
+        )
+        return art
+    try:
+        with open(os.path.join(here, SF10_BASELINE_FILE)) as f:
+            base = json.load(f)
+    except Exception:
+        base = None
+
+    run = _sf10_measure(SF10_SHAPES, sf_dir)
+    art["run"] = run
+
+    if base is None:
+        art["baseline"] = None
+        art["note"] = (
+            "no committed baseline — rotate one from this artifact with "
+            "scripts/rotate_sf10_baseline.py"
+        )
+        return art
+
+    art["baseline_round"] = base.get("round")
+    # Same factor policy as the catalog gate: memory canary preferred,
+    # ALU fallback, clamped so a wild reading cannot blind the gate.
+    alu_f = (
+        round(run["box_canary_cpu_s"] / base["box_canary_cpu_s"], 3)
+        if run.get("box_canary_cpu_s") and base.get("box_canary_cpu_s")
+        else None
+    )
+    mem_f = (
+        round(run["box_canary_mem_cpu_s"] / base["box_canary_mem_cpu_s"], 3)
+        if run.get("box_canary_mem_cpu_s") and base.get("box_canary_mem_cpu_s")
+        else None
+    )
+    factor, source = _select_box_factor(alu_f, mem_f)
+    if factor is not None:
+        lo, hi = CANARY_FACTOR_CLAMP
+        factor = round(min(max(factor, lo), hi), 3)
+    art["alu_factor"], art["mem_factor"] = alu_f, mem_f
+    art["box_factor"], art["box_factor_source"] = factor, source
+
+    base_shapes = base.get("shapes", {})
+    flags: dict[str, dict] = {}
+    for name in SF10_SHAPES:
+        cur, prev = run["shapes"].get(name, {}), base_shapes.get(name, {})
+        cpu, cpu0 = cur.get("cpu_s_per_run"), prev.get("cpu_s_per_run")
+        row: dict = {}
+        if cpu is not None and cpu0:
+            adj = round(cpu / factor, 2) if factor else cpu
+            pct = round((adj - cpu0) / cpu0 * 100.0, 1)
+            if adj - cpu0 > CPU_GATE_ABS_FLOOR_S and pct > CPU_GATE_PCT:
+                row["cpu"] = {"baseline_s": cpu0, "current_s": cpu,
+                              "current_adj_s": adj, "pct": pct}
+        mb, mb0 = (cur.get("shuffle_write_mb_per_run"),
+                   prev.get("shuffle_write_mb_per_run"))
+        if mb is not None and mb0 is not None:
+            if (mb - mb0 > SF10_SHUFFLE_ABS_MB
+                    and (mb0 == 0 or (mb - mb0) / mb0 * 100.0 > SF10_SHUFFLE_PCT)):
+                row["shuffle"] = {"baseline_mb": mb0, "current_mb": mb,
+                                  "delta_mb": round(mb - mb0, 2)}
+        if row:
+            flags[name] = row
+
+    # Single-confirm pass: a flagged shape re-measures in a SECOND fresh
+    # session (own canaries -> own factor); a flag must reproduce there
+    # to land as a violation. Shuffle flags re-check bytes the same way
+    # (deterministic for a fixed plan — a reproduced delta IS a plan
+    # change, no calibration question).
+    if flags:
+        conf = _sf10_measure(sorted(flags), sf_dir)
+        art["confirm"] = conf
+        c_mem = (
+            round(conf["box_canary_mem_cpu_s"] / base["box_canary_mem_cpu_s"], 3)
+            if conf.get("box_canary_mem_cpu_s") and base.get("box_canary_mem_cpu_s")
+            else None
+        )
+        c_alu = (
+            round(conf["box_canary_cpu_s"] / base["box_canary_cpu_s"], 3)
+            if conf.get("box_canary_cpu_s") and base.get("box_canary_cpu_s")
+            else None
+        )
+        c_factor, _src = _select_box_factor(c_alu, c_mem)
+        if c_factor is not None:
+            lo, hi = CANARY_FACTOR_CLAMP
+            c_factor = round(min(max(c_factor, lo), hi), 3)
+        for name, row in flags.items():
+            cshape = conf["shapes"].get(name, {})
+            if "cpu" in row:
+                ccpu = cshape.get("cpu_s_per_run")
+                cpu0 = row["cpu"]["baseline_s"]
+                if ccpu is None:
+                    row["cpu"]["verdict"] = "confirmed (unreadable)"
+                else:
+                    cadj = round(ccpu / c_factor, 2) if c_factor else ccpu
+                    row["cpu"]["confirm_s"] = ccpu
+                    row["cpu"]["confirm_adj_s"] = cadj
+                    if cadj - cpu0 <= CPU_GATE_ABS_FLOOR_S or (
+                        (cadj - cpu0) / cpu0 * 100.0 <= CPU_GATE_PCT
+                    ):
+                        row["cpu"]["verdict"] = "reverted-on-confirm (box noise)"
+                    else:
+                        row["cpu"]["verdict"] = "confirmed"
+            if "shuffle" in row:
+                cmb = cshape.get("shuffle_write_mb_per_run")
+                mb0 = row["shuffle"]["baseline_mb"]
+                row["shuffle"]["confirm_mb"] = cmb
+                if cmb is None:
+                    row["shuffle"]["verdict"] = "confirmed (unreadable)"
+                elif (cmb - mb0 > SF10_SHUFFLE_ABS_MB
+                        and (mb0 == 0
+                             or (cmb - mb0) / mb0 * 100.0 > SF10_SHUFFLE_PCT)):
+                    row["shuffle"]["verdict"] = "confirmed (plan change)"
+                else:
+                    row["shuffle"]["verdict"] = "reverted-on-confirm"
+
+    art["flags"] = flags
+    art["violations"] = sorted(
+        n for n, row in flags.items()
+        if any(not str(ax.get("verdict", "")).startswith("reverted")
+               for ax in row.values())
+    )
+    return art
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--sf10":
+        art = run_sf10_gate()
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_SF10.json"), "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        slim = {k: art.get(k) for k in
+                ("metric", "box_factor", "violations", "error", "note")
+                if art.get(k) is not None}
+        slim["shapes"] = {
+            n: (art.get("run", {}).get("shapes", {}).get(n, {}) or {}).get(
+                "cpu_s_per_run"
+            )
+            for n in SF10_SHAPES
+        }
+        print(json.dumps(slim))
+        return
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         print(round(run_one(sys.argv[2], sf_dir), 3))
@@ -1231,6 +1479,26 @@ def main() -> None:
         fresh = _fresh_check(sorted(set(slowest) | set(floor_candidates)),
                              sf_dir, timings)
         full["fresh_check"] = fresh
+
+    # Warmth-variance correction (r15, per r14 VERDICT order 5): the
+    # catalog-session recording of a short query can read 10-25% over
+    # its own cold-process re-time (r14 closing: dedup_minhash_lsh
+    # recorded 2.68 s vs fresh 2.20 — single-sample warm-cache noise on
+    # a sub-3 s query polluting the per-query history). When the
+    # self-check already paid for a fresh cold-JVM number and it shows
+    # the recorded one inflated past FRESH_ADOPT_BAND, the artifact
+    # records the FRESH value as the query's wall time — it is the
+    # truer fresh-session figure the recording methodology targets —
+    # with the substitution itself recorded in ["fresh_adopted"] and
+    # the original kept in the fresh_check row. Asymmetric by design:
+    # a recorded value BELOW fresh (warm caches helping) is the normal
+    # min-of-N discipline, not an inflation, and is never touched. CPU
+    # numbers (the gate column) are unaffected.
+    adopted = _adopt_fresh(timings, fresh)
+    if adopted:
+        full["fresh_adopted"] = adopted
+        total = round(sum(timings.values()), 3)
+        full["value"] = total
 
     full["perf_floor"] = _adjudicate_floor(exceeding, floor_candidates, fresh)
 

@@ -85,3 +85,44 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (+ sorted) managed parquet table on
+    ``key`` — the pay-once layout for a HOT JOIN AXIS.
+
+    Every join or aggregation on ``key`` against another table bucketed
+    with the SAME bucket count then reads matching buckets directly:
+    Spark's scan reports hash-distribution on the bucket column, so the
+    planner drops the Exchange on that side entirely (SortMergeJoin
+    keeps its Sort when upstream operators lose the bucket sort order —
+    the exchange, not the sort, is the scale cost: it is the all-to-all
+    network/disk hop whose bytes grow linearly with the fact table).
+
+    This is the documented remedy for the catalog's one real big-join
+    shuffle, the lineitem-orders axis: at sf0.1 AQE broadcasts orders
+    (0 MB shuffled) but at sf1.0 the join crosses the broadcast
+    threshold and becomes a 104 MB exchange (SCALING.md r14) — at
+    100 TB that axis IS the job. A daily pipeline MERGE-ing into or
+    joining against the same key (the reference's production MERGE on
+    ``sk``, witcher cloud_utils.py:515-524) amortizes one bucketed
+    write across every subsequent run; scripts/ab_bucketed_join.py
+    measures the delta at sf1.0.
+
+    ``buckets`` sizes the parallelism of every future bucket-local join
+    (pick ~= cluster cores at the target SF, like shuffle partitions);
+    ``sort_cols`` defaults to [key] so bucket files are also
+    merge-join-ready when read directly.
+    """
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

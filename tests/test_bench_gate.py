@@ -1091,3 +1091,149 @@ def test_calibrated_median_even_count_averages_middle():
     # average the two middle values instead
     assert bench._calibrated_median([4.0, 1.0, 2.0, 3.0]) == 2.5
     assert bench._calibrated_median([2.0, None, 4.0]) == 3.0
+
+
+# -- sf1.0 shape mini-gate (r15, VERDICT r14 order 1) -------------------
+
+
+def _sf10_baseline() -> dict:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, bench.SF10_BASELINE_FILE)) as f:
+        return json.load(f)
+
+
+def _fake_sf10_run(base: dict, scale: dict | None = None,
+                   shuffle_add: dict | None = None) -> dict:
+    """Synthesize a _sf10_measure result from the committed baseline:
+    per-shape CPU multiplied by ``scale``, shuffle MB shifted by
+    ``shuffle_add``; canaries copied so the factor is exactly 1.0."""
+    shapes = {}
+    for n, s in base["shapes"].items():
+        shapes[n] = {
+            "wall_min_s": 1.0,
+            "cpu_s_per_run": round(
+                s["cpu_s_per_run"] * (scale or {}).get(n, 1.0), 2
+            ),
+            "shuffle_write_mb_per_run": round(
+                s["shuffle_write_mb_per_run"] + (shuffle_add or {}).get(n, 0.0),
+                2,
+            ),
+        }
+    return {
+        "shapes": shapes,
+        "box_canary_cpu_s": base["box_canary_cpu_s"],
+        "box_canary_mem_cpu_s": base["box_canary_mem_cpu_s"],
+    }
+
+
+class TestSf10Gate:
+    """Pure-arithmetic coverage of run_sf10_gate: _sf10_measure is
+    monkeypatched, the committed bench_sf10_baseline.json is the ruler
+    (exactly what the real gate reads)."""
+
+    def _run(self, monkeypatch, runs: list[dict]) -> dict:
+        it = iter(runs)
+        monkeypatch.setattr(
+            bench, "_sf10_measure", lambda names, sf_dir: next(it)
+        )
+        return bench.run_sf10_gate()
+
+    def test_clean_run_zero_flags(self, monkeypatch):
+        base = _sf10_baseline()
+        art = self._run(monkeypatch, [_fake_sf10_run(base)])
+        assert art["flags"] == {} and art["violations"] == []
+        assert art["box_factor"] == 1.0
+
+    def test_cpu_regression_confirms(self, monkeypatch):
+        base = _sf10_baseline()
+        bad = {"join_revenue_by_nation": 1.6}
+        art = self._run(
+            monkeypatch,
+            [_fake_sf10_run(base, scale=bad), _fake_sf10_run(base, scale=bad)],
+        )
+        row = art["flags"]["join_revenue_by_nation"]["cpu"]
+        assert row["verdict"] == "confirmed"
+        assert art["violations"] == ["join_revenue_by_nation"]
+
+    def test_cpu_flag_reverts_when_confirm_reads_in_band(self, monkeypatch):
+        base = _sf10_baseline()
+        art = self._run(
+            monkeypatch,
+            [_fake_sf10_run(base, scale={"dedup_minhash_lsh": 1.6}),
+             _fake_sf10_run(base)],  # confirm session reads at baseline
+        )
+        row = art["flags"]["dedup_minhash_lsh"]["cpu"]
+        assert row["verdict"] == "reverted-on-confirm (box noise)"
+        assert art["violations"] == []
+
+    def test_shuffle_tripwire_is_a_plan_change_verdict(self, monkeypatch):
+        """A reproduced shuffle-byte jump (e.g. a lost broadcast turning
+        q9's dim joins into exchanges) lands as a violation even when
+        CPU stays in band — the blind spot this gate exists for."""
+        base = _sf10_baseline()
+        jump = {"q9_product_profit": 50.0}
+        art = self._run(
+            monkeypatch,
+            [_fake_sf10_run(base, shuffle_add=jump),
+             _fake_sf10_run(base, shuffle_add=jump)],
+        )
+        row = art["flags"]["q9_product_profit"]["shuffle"]
+        assert row["verdict"] == "confirmed (plan change)"
+        assert art["violations"] == ["q9_product_profit"]
+
+    def test_small_shuffle_jitter_not_flagged(self, monkeypatch):
+        base = _sf10_baseline()
+        art = self._run(
+            monkeypatch,
+            [_fake_sf10_run(base, shuffle_add={"join_revenue_by_nation": 4.0})],
+        )
+        assert art["flags"] == {}
+
+    def test_slow_box_normalized_not_flagged(self, monkeypatch):
+        """Uniform +30% CPU with the mem canary reading +30% too is box
+        state, not a regression — the factor divides it out."""
+        base = _sf10_baseline()
+        run = _fake_sf10_run(
+            base, scale={n: 1.3 for n in base["shapes"]}
+        )
+        run["box_canary_mem_cpu_s"] = round(
+            base["box_canary_mem_cpu_s"] * 1.3, 2
+        )
+        run["box_canary_cpu_s"] = round(base["box_canary_cpu_s"] * 1.3, 2)
+        art = self._run(monkeypatch, [run])
+        assert art["flags"] == {} and art["violations"] == []
+
+    def test_missing_fixture_is_loud_not_crash(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_SF10_DIR", "/nonexistent-sf10")
+        art = bench.run_sf10_gate()
+        assert "fixture missing" in art["error"]
+
+
+class TestFreshAdoption:
+    """r15 warmth-variance correction: a catalog recording more than
+    FRESH_ADOPT_BAND over its own cold-process re-time is replaced by
+    the fresh value (the truer fresh-session figure); in-band and
+    faster-than-fresh recordings are never touched."""
+
+    def test_inflated_recording_adopts_fresh(self):
+        timings = {"a": 2.68, "b": 1.0}
+        fresh = {"a": {"recorded_s": 2.68, "fresh_s": 2.20,
+                       "recorded_over_fresh": 1.218}}
+        adopted = bench._adopt_fresh(timings, fresh)
+        assert timings["a"] == 2.20 and timings["b"] == 1.0
+        assert adopted["a"]["catalog_recorded_s"] == 2.68
+
+    def test_in_band_and_fast_recordings_untouched(self):
+        timings = {"a": 2.0, "b": 3.0}
+        fresh = {
+            "a": {"fresh_s": 1.9, "recorded_over_fresh": 1.05},
+            "b": {"fresh_s": 3.8, "recorded_over_fresh": 0.79},
+        }
+        assert bench._adopt_fresh(timings, fresh) == {}
+        assert timings == {"a": 2.0, "b": 3.0}
+
+    def test_errored_fresh_rows_skipped(self):
+        timings = {"a": 2.0}
+        fresh = {"a": {"error": "timeout"}}
+        assert bench._adopt_fresh(timings, fresh) == {}
+        assert timings["a"] == 2.0
