@@ -446,7 +446,13 @@ def join_revenue_by_nation(spark, sf_dir):
     """Multi-join rollup (Q5-ish). nation (25 rows) is explicitly broadcast;
     customer is small relative to lineitem so AQE picks broadcast for it at
     these SFs, while the lineitem-orders join shuffles on the key — the
-    right 100 TB shape."""
+    right 100 TB shape. That orderkey exchange is invisible at sf0.1
+    (AQE broadcasts orders) and costs 104 MB at sf1.0; the measured
+    remedy for a pipeline that hits this axis repeatedly is the
+    bucketed layout (`operators/layout.write_bucketed` — exchange
+    104.34 -> 0.06 MB, wall halved at sf1.0, SCALING.md r15), and the
+    `bench.py --sf10` shape gate watches the transition round-over-
+    round."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
