@@ -44,6 +44,17 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Keep the lowest-id document per normalized-content fingerprint.
 
     One hash-aggregate shuffle on the fingerprint; deterministic winner.
+
+    r15 note (measured, then REVERTED): a ``min_by(struct(*cols), id)``
+    hash-aggregate twin (no per-partition sort, map-side partial) was
+    A/B'd and LOST — 0.98 -> 1.41 CPU s/run, shuffle 0.19 -> 1.17 MB on
+    ``dedup_exact`` at sf0.1. The window form wins because Catalyst
+    prunes columns THROUGH the window: a consumer selecting only
+    (doc_id, fingerprint) never ships ``text`` into the exchange, while
+    ``min_by`` over an all-columns struct is opaque to nested pruning
+    and forces the full payload through both the partial buffer and the
+    shuffle. A keep-one aggregate only wins when the caller consumes
+    every column (see queries.dedup_latest_per_key).
     """
     fp = F.md5(normalized_text(F.col(text_col)))
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())

@@ -342,7 +342,18 @@ def dedup_latest_per_key(spark, sf_dir):
     """A3, deterministic variant: the reference's dropDuplicates(["sk"])
     (utils.py:817) keeps an arbitrary row; the rebuild's testable form keeps
     the latest by (ts, event_id) via one row_number window — a single
-    shuffle on the key, same as the hash-aggregate dedup."""
+    shuffle on the key, same as the hash-aggregate dedup.
+
+    r15 plan-audit note: this rank-1 window is ALREADY shuffle-minimal —
+    Spark 4 plans a map-side ``WindowGroupLimit`` below the exchange
+    (plans/r15/dedup_latest_per_key_before.txt: Sort + WindowGroupLimit
+    BEFORE Exchange), so at most one candidate row per (map partition,
+    key) is shuffled. A ``max_by(struct(...), struct(ts, event_id))``
+    twin was A/B'd and REJECTED: struct ordering keys are not
+    hash-aggregate compatible, so it plans as Sort + SortAggregate on
+    BOTH sides of the exchange (same sorts, no pruning through the
+    struct), CPU flat-to-noise (0.61 vs 0.55 s/run). See
+    OPTIMIZATION_r15.md."""
     df = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (

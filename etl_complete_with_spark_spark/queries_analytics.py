@@ -325,10 +325,24 @@ def agg_quantiles(spark, sf_dir):
     is `percentile_approx` (t-digest sketch, one pass, no sort) — excluded
     from the oracle set because sketch estimates are engine-specific."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    # r15 (guide §1.2 per-task work): the two quantity percentiles share ONE
+    # aggregate buffer via the array form — two scalar `percentile(qty, p)`
+    # calls each built their own per-group (value -> count) OpenHashMap and
+    # walked every row twice; `percentile(qty, array(...))` builds one.
+    # Identical values (same aggregate, same interpolation), one less
+    # row-pass worth of buffer updates.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.5D, 0.9D))").alias("pq"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("pp"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pq")[0], 4).alias("p50_qty"),
+            F.round(F.col("pq")[1], 4).alias("p90_qty"),
+            F.round("pp", 4).alias("p50_price"),
+        )
     )
 
 
@@ -2350,6 +2364,15 @@ def robust_outlier_prices(spark, sf_dir):
     ``robust_outlier_prices_sampled`` (operators/quantiles.py): a
     mergeable bottom-k uniform sample with partition-local pre-cut,
     whose state is k-bounded regardless of cardinality."""
+    # r15 note (measured, then REVERTED): a (rf, price) histogram pre-
+    # aggregation ("aggregate before you shuffle", guide §2.3) was built
+    # and A/B'd — 1 scan + weighted percentiles instead of 4 scans. It
+    # measured 4.18 -> 9.78 CPU s/run at sf0.1: l_extendedprice is
+    # near-unique (594,330 distinct of 600,000 rows), so the histogram
+    # compresses nothing and the extra row-volume exchange + checkpoint +
+    # four checkpoint re-reads are pure cost. The direct form stays; the
+    # histogram twin only pays off when values repeat heavily (see
+    # OPTIMIZATION_r15.md).
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"), F.col("l_extendedprice").alias("x")
     )
@@ -3066,11 +3089,18 @@ def time_to_purchase_stats(spark, sf_dir):
     ).select(
         F.expr("(t_purchase - t_signup) div 1000000").alias("delta_s")
     )
+    # r15: one array-form percentile buffer instead of two scalar ones
+    # (same rationale as agg_quantiles — identical values, half the
+    # per-row aggregate-buffer updates for the percentile pair).
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.round(F.expr("percentile(delta_s, 0.5)"), 4).alias("p50_s"),
-        F.round(F.expr("percentile(delta_s, 0.9)"), 4).alias("p90_s"),
+        F.expr("percentile(delta_s, array(0.5D, 0.9D))").alias("pq"),
         round_ratio(F.sum("delta_s"), F.count(F.lit(1)), 2).alias("avg_s"),
+    ).select(
+        "n_users",
+        F.round(F.col("pq")[0], 4).alias("p50_s"),
+        F.round(F.col("pq")[1], 4).alias("p90_s"),
+        "avg_s",
     )
 
 
