@@ -1966,7 +1966,17 @@ _COORDER_CACHE: dict = {}
 def _coorder_edges_plan(spark, sf_dir):
     """The un-checkpointed edge construction (cohort filter pushes down
     to the parquet scan — asserted in test_plans.py, where the
-    checkpointed cached form would hide the scan node)."""
+    checkpointed cached form would hide the scan node).
+
+    r15 (guide §2.3/§2.4, the measured association_rules_parts rewrite):
+    basket form — ONE exchange by orderkey whose collect_set both dedups
+    (o, p) and builds the basket, with ordered pairs generated map-side
+    via sort_array + posexplode + tail slice. The previous
+    distinct + self-join form paid an (o, p) distinct exchange PLUS a
+    join exchange by o (AQE reuses the two identical join sides into
+    one, but the distinct's differently-keyed exchange can't be
+    reused). Emits the identical pair multiset: one (src < dst) row per
+    order containing both parts."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -1974,11 +1984,16 @@ def _coorder_edges_plan(spark, sf_dir):
             & (F.col("l_shipdate") < "1997-01-01")
         )
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
-    return a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        baskets.select(F.posexplode("ps").alias("i", "src"), "ps")
+        .select(
+            "src", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("dst")
+        )
+    )
 
 
 def _coorder_edges(spark, sf_dir):
