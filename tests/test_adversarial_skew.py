@@ -62,6 +62,11 @@ class TestSkewJoinFamily:
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "800",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "800",
+            # This test pins the SORT-MERGE skew path specifically; the
+            # session factory's r15 SMJ->SHJ conversion (64m threshold)
+            # would otherwise rewrite these KB-sized stages into a
+            # shuffled-hash join before the skew rule is consulted.
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "0",
         }
         saved = {k: spark.conf.get(k, None) for k in overrides}
         try:
