@@ -28,10 +28,10 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # ``QUERIES`` — 165 at the time of writing; tests/test_entry_contract.py
 # pins this comment's count against ``len(QUERIES)``).
 #
-# Round-14 window (VERDICT r13 order 4): the fourth-record pass FINISHES —
-# after r13, exactly 32 queries hold 3 green records; all of them get a
-# slot, and the remaining 16 free slots start the floor-5 pass on the
-# earliest-recorded 4-record queries (r01 firsts, registration order as
+# Round-16 window (floor-5 pass continues, policy per COVERAGE.md): the
+# 48 free slots rotate onto the least-recorded queries — after r15 every
+# catalog query holds >= 4 green records, so the floor-5 pass walks the
+# earliest-recorded 4-record queries (r03 firsts, registration order as
 # the tiebreak).  The union stays 165/165.
 #
 # WINDOW_GENERATED_AFTER stamps the newest CORRECTNESS artifact this window
@@ -40,58 +40,58 @@ from etl_complete_with_spark_spark.queries import ORACLE, QUERIES  # noqa: E402
 # artifacts with round <= this stamp ONLY, so the driver writing the
 # CURRENT round's artifact — which happens before every judging pass — no
 # longer trips the contract test (round-6 VERDICT order 1).
-WINDOW_GENERATED_AFTER = 14
+WINDOW_GENERATED_AFTER = 15
 PRIORITY_WINDOW: list[str] = [
     "pipeline_work_to_trusted",  # pinned
     "jdbc_resync_orders",  # pinned
-    "dedup_ngram_jaccard",  # 4 row(s), first r01
-    "dedup_minhash_lsh",  # 4 row(s), first r01
-    "dedup_simhash",  # 4 row(s), first r01
-    "dedup_embedding_cosine",  # 4 row(s), first r01
-    "dedup_cluster_keep",  # 4 row(s), first r01
-    "ann_cosine_topk",  # 4 row(s), first r01
-    "mm_frame_sample",  # 4 row(s), first r01
-    "stream_windowed_counts",  # 4 row(s), first r01
-    "corpus_clean_pipeline",  # 4 row(s), first r01
-    "chunk_documents_windows",  # 4 row(s), first r01
-    "scrub_pii_text",  # 4 row(s), first r01
-    "vocab_top_terms",  # 4 row(s), first r01
-    "tfidf_top_terms",  # 4 row(s), first r01
-    "sample_stratified_hash",  # 4 row(s), first r01
-    "stream_click_attribution",  # 4 row(s), first r01
-    "dedup_incremental_batch",  # 4 row(s), first r01
-    "text_repetition_signals",  # 4 row(s), first r01
-    "dedup_chunks_exact",  # 4 row(s), first r01
-    "set_ops_users",  # 4 row(s), first r01
-    "cube_revenue",  # 4 row(s), first r01
-    "distinct_users_per_type",  # 4 row(s), first r01
-    "pivot_user_event_matrix",  # 4 row(s), first r01
-    "sessionize_batch",  # 4 row(s), first r01
-    "asof_join_last_purchase",  # 4 row(s), first r01
-    "grouped_user_stats",  # 4 row(s), first r01
-    "range_join_event_windows",  # 4 row(s), first r01
-    "skew_salted_join",  # 4 row(s), first r01
-    "agg_quantiles",  # 4 row(s), first r01
-    "json_extract_props",  # 4 row(s), first r01
-    "ann_lsh_topk",  # 4 row(s), first r02
-    "mm_extract_features",  # 4 row(s), first r02
-    "emb_quantize_int8",  # 4 row(s), first r02
-    "emb_gram_int8",  # 4 row(s), first r02
-    "ann_int8_topk",  # 4 row(s), first r02
-    "emb_label_centroids",  # 4 row(s), first r02
-    "text_unigram_lm_score",  # 4 row(s), first r02
-    "stream_dedup_events",  # 4 row(s), first r02
-    "table_profile_orders",  # 4 row(s), first r02
-    "dedup_semantic_cluster",  # 4 row(s), first r02
-    "pack_training_shards",  # 4 row(s), first r02
-    "fuzzy_match_part_names",  # 4 row(s), first r02
-    "jsonl_roundtrip_orders",  # 4 row(s), first r02
-    "ann_ivf_topk",  # 4 row(s), first r03
-    "decontaminate_ngram_overlap",  # 4 row(s), first r03
-    "sample_token_budget_mix",  # 4 row(s), first r03
-    "stream_static_enrich",  # 4 row(s), first r03
-    "orc_roundtrip_orders",  # 4 row(s), first r03
-    "udtf_token_runs",  # 4 row(s), first r03
+    "bpe_top_pairs",  # 4 row(s), first r03
+    "rollup_revenue_by_nation_region",  # 4 row(s), first r03
+    "running_revenue_per_customer",  # 4 row(s), first r03
+    "left_outer_order_counts",  # 4 row(s), first r03
+    "anti_join_customers_without_orders",  # 4 row(s), first r03
+    "orders_above_customer_avg",  # 4 row(s), first r03
+    "agg_approx_accuracy",  # 4 row(s), first r03
+    "semi_join_priority_orders",  # 4 row(s), first r03
+    "case_agg_priority_split",  # 4 row(s), first r03
+    "top10_orders_global",  # 4 row(s), first r03
+    "unpivot_event_matrix",  # 4 row(s), first r03
+    "part_name_search",  # 4 row(s), first r03
+    "stats_price_quantity",  # 4 row(s), first r03
+    "rolling_24h_user_value",  # 4 row(s), first r03
+    "gapfill_hourly_counts",  # 4 row(s), first r03
+    "grouping_sets_revenue",  # 4 row(s), first r03
+    "zorder_morton_codes",  # 4 row(s), first r03
+    "dq_orders_expectations",  # 4 row(s), first r03
+    "dq_fk_orphan_events",  # 4 row(s), first r03
+    "scd2_customer_versions",  # 4 row(s), first r03
+    "order_price_distribution",  # 4 row(s), first r03
+    "q3_shipping_priority",  # 4 row(s), first r03
+    "q22_idle_rich_customers",  # 4 row(s), first r03
+    "order_burst_components",  # 4 row(s), first r03
+    "variant_props_stats",  # 4 row(s), first r03
+    "q8_market_share",  # 4 row(s), first r03
+    "q18_large_volume_customers",  # 4 row(s), first r03
+    "dedup_cluster_keep_star",  # 4 row(s), first r04
+    "ann_tiled_topk",  # 4 row(s), first r04
+    "sample_weighted_quality",  # 4 row(s), first r04
+    "text_gopher_rules",  # 4 row(s), first r04
+    "ann_pq_topk",  # 4 row(s), first r04
+    "heavy_hitter_tokens",  # 4 row(s), first r04
+    "pagerank_suppliers",  # 4 row(s), first r04
+    "stream_sessionize",  # 4 row(s), first r04
+    "corpus_dup_ngram_profile",  # 4 row(s), first r04
+    "dedup_containment",  # 4 row(s), first r04
+    "knn_label_vote",  # 4 row(s), first r04
+    "bm25_doc_search",  # 4 row(s), first r04
+    "kmeans_embeddings_int",  # 4 row(s), first r04
+    "agg_approx_stats",  # 4 row(s), first r04
+    "sketch_merge_daily_users",  # 4 row(s), first r04
+    "supplier_balance_by_nation",  # 4 row(s), first r04
+    "orders_monthly_rollup",  # 4 row(s), first r04
+    "embedding_vector_stats",  # 4 row(s), first r04
+    "first_last_event_per_user",  # 4 row(s), first r04
+    "funnel_signup_click_purchase",  # 4 row(s), first r04
+    "table_diff_customer_batches",  # 4 row(s), first r04
 ]
 # Rotation policy (documented in COVERAGE.md §artifacts): the two flagship
 # rows stay pinned every round; a query leaves the window only once it has

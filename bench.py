@@ -1168,6 +1168,10 @@ SF10_SHAPES = [
     "dedup_exact",                # hash groupBy
     "ann_tiled_topk",             # fixed query set, corpus-linear
     "join_revenue_by_nation",     # THE broadcast->shuffle transition
+    # r16 (VERDICT r15 order 3): the second §3 SHJ-converted join shape,
+    # pinned so a silent revert to SMJ (e.g. a conf regression) flags —
+    # the conversion's −26% CPU at sf1.0 lives in these two shapes.
+    "q3_shipping_priority",
 ]
 SF10_BASELINE_FILE = "bench_sf10_baseline.json"
 SF10_DIR_DEFAULT = "tmp_scale_fixture/sf1.0"
@@ -1350,45 +1354,72 @@ def run_sf10_gate() -> dict:
     return art
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+# Headline dirty-window guard (r16, per r15 VERDICT order 1): the
+# catalog's wall-clock `value` — the number PERF geomeans round-over-
+# round — had no dirty-window defense of its own (the gates do: canary
+# normalization, ABAB settle-and-retry, fresh-check), and r15's driver
+# pair recorded prev at box factor 0.896 / now at 1.251, a 40% window
+# swing that produced a phantom 0.78 geomean "regression" while the
+# load-insensitive CPU ruler in the same run read -10.2%. Policy
+# (mirrors the ABAB dirty path): when the start canaries of a catalog
+# attempt read past HEADLINE_DIRTY_BAND vs the committed baseline, the
+# whole attempt is recorded in BENCH_FULL["dirty_attempt"], the box
+# settles, and the catalog re-runs ONCE; the printed value comes from
+# the final attempt either way (a second dirty attempt is never hidden
+# — box_factor is printed next to value). Retry, not normalization:
+# wall time under contention is not a linear function of the canary
+# ratio, so the honest fix is a cleaner window, with both attempts on
+# record. Band: above the ~±5% spread of clean same-day runs and the
+# 1.10 fresh-adopt band, below r15's observed 1.251 dirty reading.
+# Disable (e.g. for quick local iterations) with
+# SPARK_GRAFT_HEADLINE_RETRY=0.
+HEADLINE_DIRTY_BAND = 1.15
 
-    if len(sys.argv) >= 2 and sys.argv[1] == "--sf10":
-        art = run_sf10_gate()
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_SF10.json"), "w") as f:
-            json.dump(art, f, indent=1, sort_keys=True)
-        slim = {k: art.get(k) for k in
-                ("metric", "box_factor", "violations", "error", "note")
-                if art.get(k) is not None}
-        slim["shapes"] = {
-            n: (art.get("run", {}).get("shapes", {}).get(n, {}) or {}).get(
-                "cpu_s_per_run"
-            )
-            for n in SF10_SHAPES
-        }
-        print(json.dumps(slim))
-        return
+# Minimum per-query entries in the printed one-line JSON (r15 VERDICT
+# order 2): the r15 line's inlined fresh_adopted block shrank the map
+# 37 -> 25, which the driver's round-over-round diff read as 12 dropped
+# queries. The slim-line builder drops optional scalars before it lets
+# the map go under this floor.
+SLIM_QUERY_FLOOR_N = 35
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
-        print(round(run_one(sys.argv[2], sf_dir), 3))
-        return
 
-    # co-tenancy evidence (r12): a recorded run taken in a dirty window
-    # (right after pytest / probes / oracle sweeps) reads inflated — the
-    # 1-minute load average at start is the cheapest stamp a later
-    # reader can use to judge whether an artifact was taken solo
+def _headline_retry_needed(box_factor: float | None) -> bool:
+    """True when a catalog attempt's start-canary factor is past the
+    dirty band and the retry policy is enabled."""
+    if os.environ.get("SPARK_GRAFT_HEADLINE_RETRY", "1") == "0":
+        return False
+    return box_factor is not None and box_factor > HEADLINE_DIRTY_BAND
+
+
+def _pick_cleaner_attempt(f1: float | None, f2: float | None) -> int:
+    """After a dirty-window retry, the headline comes from the attempt
+    with the LOWER start-canary factor — a 30 s settle does not
+    guarantee a cleaner window (first live firing: retry read 1.221 vs
+    the first attempt's 1.175), and keeping the dirtier re-run would
+    punish the retry policy for trying. Returns 0 (first) or 1 (retry);
+    unreadable factors lose to readable ones, both-unreadable keeps the
+    retry (fresher box state)."""
+    if f1 is None and f2 is None:
+        return 1
+    if f1 is None:
+        return 1
+    if f2 is None:
+        return 0
+    return 0 if f1 < f2 else 1
+
+
+def _catalog_attempt(sf_dir: str) -> dict:
+    """One full catalog pass: the timed loop exactly as every prior
+    round ran it (segmented sessions, two noop-sink runs per query, min
+    reported, quiesced UI totals for shuffle/CPU attribution, box
+    canaries at the first segment's start and the last segment's end)."""
     loadavg_start = _loadavg()
     timings: dict[str, float] = {}
     shuffle: dict[str, dict[str, float]] = {}
     executor_s: dict[str, float] = {}
     executor_cpu: dict[str, float] = {}
     canary_start: float | None = None
-    canary_end: float | None = None
     canary_mem_start: float | None = None
-    canary_mem_end: float | None = None
     spark = None
     prev_snapshot = None
     n_segments = 0
@@ -1424,11 +1455,218 @@ def main() -> None:
     # Stop the catalog session BEFORE the fresh-check subprocesses spawn:
     # a lingering idle local[32] JVM contends with the cold processes and
     # skews the recorded/fresh ratio the check certifies (round-6 ADVICE).
+    canary_end = None
+    canary_mem_end = None
     if spark is not None:
         canary_end = _box_canary(spark)
         canary_mem_end = _box_canary_mem(spark)
         spark.stop()
-        spark = None
+
+    return {
+        "loadavg_start": loadavg_start,
+        "timings": timings,
+        "shuffle": shuffle,
+        "executor_s": executor_s,
+        "executor_cpu": executor_cpu,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
+        "canary_mem_start": canary_mem_start,
+        "canary_mem_end": canary_mem_end,
+        "n_segments": n_segments,
+    }
+
+
+def _attempt_factors(
+    attempt: dict, canary_base: float | None, canary_mem_base: float | None
+) -> tuple[float | None, float | None, float | None, str | None]:
+    """(alu_factor, mem_factor, selected factor, source) for a catalog
+    attempt's START canaries vs the committed baseline — the start
+    readings share the session (and box state) of the first catalog
+    segment; the end readings only show within-run drift."""
+    alu_factor = (
+        round(attempt["canary_start"] / canary_base, 3)
+        if attempt["canary_start"] and canary_base
+        else None
+    )
+    mem_factor = (
+        round(attempt["canary_mem_start"] / canary_mem_base, 3)
+        if attempt["canary_mem_start"] and canary_mem_base
+        else None
+    )
+    box_factor, factor_source = _select_box_factor(alu_factor, mem_factor)
+    return alu_factor, mem_factor, box_factor, factor_source
+
+
+def _build_slim_line(full: dict, timings: dict[str, float],
+                     line_budget: int = 1900) -> dict:
+    """The ONE printed JSON line, budgeted to the driver's 2000-char
+    stdout tail. r16 (per r15 VERDICT order 2): scalars only — the r15
+    line inlined the fresh_adopted block (~500 chars) and the two canary
+    dicts, silently shrinking the per-query map 37 -> 25, which the
+    driver read as 12 dropped queries. Detail blocks live in
+    BENCH_FULL.json; the line carries one-scalar summaries of each
+    (fresh_adopted_n, alu/mem/box factors, dirty-attempt count) and
+    spends the rest of the budget on the per-query map, slowest first."""
+    slim: dict = {}
+    for k in ("metric", "value", "unit", "n_queries", "sf",
+              "os_loadavg_at_start", "executor_sec_total",
+              "executor_cpu_sec_total"):
+        if full.get(k) is not None:
+            slim[k] = full[k]
+    slim["alu_factor"] = (full.get("box_canary") or {}).get("alu_factor")
+    slim["mem_factor"] = (full.get("box_canary_mem") or {}).get("mem_factor")
+    gate = full.get("cpu_gate") or {}
+    if "total_pct" in gate:
+        # three scalars make the primary ruler visible in the driver's
+        # recorded line; the full per-query comparison is in BENCH_FULL
+        slim["cpu_vs_prev_pct"] = gate["total_pct"]
+        slim["cpu_median_pct"] = gate.get("median_pct")
+        slim["cpu_gate_violations"] = len(gate.get("violations", []))
+        slim["box_factor"] = gate.get("box_factor")
+    slim["box_factor_source"] = full.get("box_factor_source")
+    slim["fresh_adopted_n"] = len(full.get("fresh_adopted") or {})
+    slim["headline_attempts"] = full.get("headline_attempts", 1)
+    if "dirty_attempt" in full:
+        slim["dirty_attempt_value"] = full["dirty_attempt"].get("value")
+
+    def fill(slim_now: dict) -> dict[str, float]:
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        shown: dict[str, float] = {}
+        for name, sec in by_cost:
+            candidate = dict(shown)
+            candidate[name] = sec
+            probe = dict(slim_now)
+            probe["queries"] = candidate
+            probe["queries_shown"] = len(candidate)
+            probe["detail"] = "BENCH_FULL.json"
+            if len(json.dumps(probe)) > line_budget:
+                break
+            shown = candidate
+        return shown
+
+    # Floor on the per-query map (r15 VERDICT order 2: the shrinking map
+    # destabilized PERF's round-over-round common set): when the greedy
+    # fill lands under SLIM_QUERY_FLOOR_N, optional scalars yield their
+    # chars to the map, least-essential first. Every dropped key still
+    # lives in BENCH_FULL.json.
+    shown = fill(slim)
+    droppable = ["os_loadavg_at_start", "alu_factor", "mem_factor",
+                 "box_factor_source", "cpu_median_pct",
+                 "executor_sec_total"]
+    while len(shown) < min(SLIM_QUERY_FLOOR_N, len(timings)) and droppable:
+        slim.pop(droppable.pop(0), None)
+        shown = fill(slim)
+    out = dict(slim)
+    out["queries"] = shown
+    out["queries_shown"] = len(shown)
+    out["detail"] = "BENCH_FULL.json"
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--sf10":
+        art = run_sf10_gate()
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_SF10.json"), "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        slim = {k: art.get(k) for k in
+                ("metric", "box_factor", "violations", "error", "note")
+                if art.get(k) is not None}
+        slim["shapes"] = {
+            n: (art.get("run", {}).get("shapes", {}).get(n, {}) or {}).get(
+                "cpu_s_per_run"
+            )
+            for n in SF10_SHAPES
+        }
+        print(json.dumps(slim))
+        return
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        print(round(run_one(sys.argv[2], sf_dir), 3))
+        return
+
+    # The canary baseline is loaded BEFORE the catalog runs: the dirty-
+    # window retry decision needs the attempt's start-canary factor.
+    here = os.path.dirname(os.path.abspath(__file__))
+    canary_base = None
+    canary_mem_base = None
+    try:
+        with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
+            _b = json.load(f)
+            canary_base = _b.get("box_canary_cpu_s")
+            canary_mem_base = _b.get("box_canary_mem_cpu_s")
+    except Exception:
+        pass
+
+    # co-tenancy evidence (r12): a recorded run taken in a dirty window
+    # (right after pytest / probes / oracle sweeps) reads inflated — the
+    # 1-minute load average at start is the cheapest stamp a later
+    # reader can use to judge whether an artifact was taken solo
+    attempt = _catalog_attempt(sf_dir)
+    alu_factor, mem_factor, box_factor, factor_source = _attempt_factors(
+        attempt, canary_base, canary_mem_base
+    )
+    dirty_attempt: dict | None = None
+    headline_attempts = 1
+
+    def _attempt_summary(att: dict, factors: tuple) -> dict:
+        alu, mem, box, src = factors
+        return {
+            "value": round(sum(att["timings"].values()), 3),
+            "queries": att["timings"],
+            "executor_cpu_sec_total": round(
+                sum(att["executor_cpu"].values()), 1
+            ),
+            "os_loadavg_at_start": att["loadavg_start"],
+            "alu_factor": alu,
+            "mem_factor": mem,
+            "box_factor": box,
+            "box_factor_source": src,
+        }
+
+    if _headline_retry_needed(box_factor):
+        # Record the whole dirty attempt (per-query map included — a
+        # reader can still geomean it), settle, re-run ONCE, then keep
+        # whichever attempt saw the cleaner window (_pick_cleaner_attempt
+        # — both stay on record; box_factor is printed next to value
+        # either way).
+        first = (attempt, (alu_factor, mem_factor, box_factor,
+                           factor_source))
+        try:
+            settle = float(
+                os.environ.get(
+                    "SPARK_GRAFT_ABAB_SETTLE_S", str(ABAB_DIRTY_SETTLE_S)
+                )
+            )
+        except ValueError:
+            settle = ABAB_DIRTY_SETTLE_S
+        time.sleep(settle)
+        retry = _catalog_attempt(sf_dir)
+        retry_factors = _attempt_factors(retry, canary_base, canary_mem_base)
+        headline_attempts = 2
+        pick = _pick_cleaner_attempt(first[1][2], retry_factors[2])
+        chosen, passed_over = (
+            ((retry, retry_factors), first) if pick == 1
+            else (first, (retry, retry_factors))
+        )
+        attempt, (alu_factor, mem_factor, box_factor, factor_source) = chosen
+        dirty_attempt = _attempt_summary(passed_over[0], passed_over[1])
+        dirty_attempt["was_retry"] = pick == 0
+
+    loadavg_start = attempt["loadavg_start"]
+    timings = attempt["timings"]
+    shuffle = attempt["shuffle"]
+    executor_s = attempt["executor_s"]
+    executor_cpu = attempt["executor_cpu"]
+    canary_start = attempt["canary_start"]
+    canary_end = attempt["canary_end"]
+    canary_mem_start = attempt["canary_mem_start"]
+    canary_mem_end = attempt["canary_mem_end"]
+    n_segments = attempt["n_segments"]
 
     total = round(sum(timings.values()), 3)
 
@@ -1502,30 +1740,15 @@ def main() -> None:
 
     full["perf_floor"] = _adjudicate_floor(exceeding, floor_candidates, fresh)
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    canary_base = None
-    canary_mem_base = None
-    try:
-        with open(os.path.join(here, "bench_cpu_baseline.json")) as f:
-            _b = json.load(f)
-            canary_base = _b.get("box_canary_cpu_s")
-            canary_mem_base = _b.get("box_canary_mem_cpu_s")
-    except Exception:
-        pass
-    # start-of-run canaries are the factor source: they share the session
-    # (and box state) of the first catalog segment; the end-of-run
-    # readings show whether the box drifted WITHIN the run
-    alu_factor = (
-        round(canary_start / canary_base, 3)
-        if canary_start and canary_base
-        else None
-    )
-    mem_factor = (
-        round(canary_mem_start / canary_mem_base, 3)
-        if canary_mem_start and canary_mem_base
-        else None
-    )
-    box_factor, factor_source = _select_box_factor(alu_factor, mem_factor)
+    full["headline_attempts"] = headline_attempts
+    full["headline_dirty_band"] = HEADLINE_DIRTY_BAND
+    if dirty_attempt is not None:
+        full["dirty_attempt"] = dirty_attempt
+
+    # start-of-run canaries are the factor source (computed above, before
+    # the retry decision): they share the session (and box state) of the
+    # first catalog segment; the end-of-run readings show whether the box
+    # drifted WITHIN the run.
     # Per-canary ratios carry their axis in the field NAME (alu_factor /
     # mem_factor, r8 ADVICE): in r<=7 artifacts box_canary.factor WAS the
     # gate's factor; once the memory canary landed that stopped being
@@ -1554,41 +1777,7 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # Budget the printed line to stay inside the driver's 2000-char stdout
-    # tail: include the slowest queries first, drop the fastest until the
-    # serialized line fits with headroom.
-    line_budget = 1800
-    slim = {
-        k: v for k, v in full.items()
-        if k not in ("shuffle_mb_per_run", "fresh_check", "methodology",
-                     "perf_floor", "executor_sec_per_run",
-                     "executor_cpu_sec_per_run", "cpu_gate")
-    }
-    gate = full.get("cpu_gate") or {}
-    if "total_pct" in gate:
-        # three scalars make the primary ruler visible in the driver's
-        # recorded line; the full per-query comparison is in BENCH_FULL
-        slim["cpu_vs_prev_pct"] = gate["total_pct"]
-        slim["cpu_median_pct"] = gate.get("median_pct")
-        slim["cpu_gate_violations"] = len(gate.get("violations", []))
-        slim["box_factor"] = gate.get("box_factor")
-    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
-    shown: dict[str, float] = {}
-    for name, sec in by_cost:
-        candidate = dict(shown)
-        candidate[name] = sec
-        probe = dict(slim)
-        probe["queries"] = candidate
-        probe["queries_shown"] = len(candidate)
-        probe["detail"] = "BENCH_FULL.json"
-        if len(json.dumps(probe)) > line_budget:
-            break
-        shown = candidate
-    out = dict(slim)
-    out["queries"] = shown
-    out["queries_shown"] = len(shown)
-    out["detail"] = "BENCH_FULL.json"
-    print(json.dumps(out))
+    print(json.dumps(_build_slim_line(full, timings)))
 
 
 if __name__ == "__main__":

@@ -60,9 +60,14 @@ def get_spark(
         # every post-shuffle build partition is under this threshold, the
         # SMJ's two per-partition sorts are replaced by an in-memory hash
         # build. Size-gated at runtime by AQE (unlike the blanket
-        # preferSortMergeJoin=false), so the build side is bounded by the
-        # threshold and OOM-safe wherever a 64 MB task buffer is — the
-        # same order as one advisory-size shuffle partition. Measured
+        # preferSortMergeJoin=false), so the build is bounded by one
+        # advisory-size shuffle partition. Caveat (r15 ADVICE): the
+        # threshold compares COMPRESSED map-output bytes; the deserialized
+        # hash relation can be several times 64 MB, SHJ's build side
+        # cannot spill like SMJ, and N concurrent tasks multiply the
+        # peak — on memory-starved executors set
+        # SPARK_GRAFT_SHJ_THRESHOLD=0 to keep SMJ's graceful spill
+        # (multiplier math in SCALING.md). Measured
         # (r15 ABAB at sf1.0, scripts/ab_shj.py): join_revenue_by_nation
         # 32.4/31.6 -> 19.7/22.9 CPU s/run (-34%), q3_shipping_priority
         # 18.8/23.4 -> 14.4/15.4 (-26%), shuffle bytes byte-identical.

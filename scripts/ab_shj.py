@@ -38,7 +38,11 @@ def main() -> None:
     conf["spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"] = threshold
     spark = get_spark(app_name=f"ab-shj-{threshold}", extra_conf=conf)
     try:
-        print(json.dumps({"threshold": threshold,
+        # sf_dir in the first record (r15 ADVICE): the documented SHJ
+        # numbers were taken at sf1.0 — a run without SPARK_GRAFT_SF_DIR
+        # silently measures sf0.1, where the big joins broadcast and the
+        # conversion is dormant.
+        print(json.dumps({"threshold": threshold, "sf_dir": sf_dir,
                           "box_canary_cpu_s": _box_canary(spark)}))
         for name in names:
             fn = QUERIES[name]

@@ -1,4 +1,4 @@
-"""Dump per-query `.explain("formatted")` output to plans/r15/<name>_<tag>.txt.
+"""Dump per-query `.explain("formatted")` output to plans/<round>/<name>_<tag>.txt.
 
 Optimization-round evidence files: the judge checks plan claims
 (Exchange counts, join strategy, PushedFilters, codegen spans) against
@@ -8,9 +8,10 @@ these captures. Static AQE plans (isFinalPlan=false) — the same thing
 Usage::
 
     python scripts/dump_plan_files.py <tag> <query> [query ...]
-    # writes plans/r15/<query>_<tag>.txt (tag: before|after)
+    # writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (tag: before|after)
 
-SPARK_GRAFT_SF_DIR selects the data dir (default the bench SF, sf0.1).
+SPARK_GRAFT_SF_DIR selects the data dir (default the bench SF, sf0.1);
+SPARK_GRAFT_PLAN_ROUND the plans/ subdir (default r16).
 """
 
 from __future__ import annotations
@@ -32,7 +33,9 @@ def main() -> None:
     from etl_complete_with_spark_spark.queries import QUERIES
     from etl_complete_with_spark_spark.session import get_spark
 
-    out_dir = os.path.join(ROOT, "plans", "r15")
+    out_dir = os.path.join(
+        ROOT, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"dump-plan-files-{tag}")
     try:

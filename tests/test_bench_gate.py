@@ -1244,3 +1244,117 @@ class TestFreshAdoption:
         fresh = {"a": {"error": "timeout"}}
         assert bench._adopt_fresh(timings, fresh) == {}
         assert timings["a"] == 2.0
+
+
+# -- headline dirty-window guard + slim line (r16, r15 VERDICT 1-2) -----
+
+
+class TestHeadlineGuard:
+    def test_retry_needed_past_band(self, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_HEADLINE_RETRY", raising=False)
+        assert bench._headline_retry_needed(bench.HEADLINE_DIRTY_BAND + 0.01)
+        # r15's observed dirty reading must trip the guard
+        assert bench._headline_retry_needed(1.251)
+
+    def test_no_retry_inside_band_or_unknown(self, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_HEADLINE_RETRY", raising=False)
+        assert not bench._headline_retry_needed(bench.HEADLINE_DIRTY_BAND)
+        assert not bench._headline_retry_needed(1.0)
+        # no canary baseline -> no factor -> never retry (prior behavior)
+        assert not bench._headline_retry_needed(None)
+
+    def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_HEADLINE_RETRY", "0")
+        assert not bench._headline_retry_needed(2.0)
+
+    def test_attempt_factors_select_memory_axis(self):
+        attempt = {"canary_start": 14.2, "canary_mem_start": 38.46}
+        alu, mem, box, src = bench._attempt_factors(attempt, 10.21, 30.75)
+        assert alu == 1.391 and mem == 1.251
+        assert box == 1.251 and src == "mem"
+
+    def test_attempt_factors_without_baseline(self):
+        attempt = {"canary_start": 14.2, "canary_mem_start": 38.46}
+        alu, mem, box, src = bench._attempt_factors(attempt, None, None)
+        assert (alu, mem, box, src) == (None, None, None, None)
+
+
+class TestSlimLine:
+    def _full(self, timings, **extra):
+        full = {
+            "metric": "catalog_total_runtime", "value": 142.6, "unit": "sec",
+            "n_queries": len(timings), "sf": 0.1,
+            "os_loadavg_at_start": [5.27, 11.24, 10.31],
+            "executor_sec_total": 181.6, "executor_cpu_sec_total": 105.6,
+            "box_canary": {"alu_factor": 1.391},
+            "box_canary_mem": {"mem_factor": 1.251},
+            "box_factor_source": "mem",
+            "cpu_gate": {"total_pct": -10.2, "median_pct": -4.8,
+                         "violations": [], "box_factor": 1.251},
+        }
+        full.update(extra)
+        return full
+
+    def test_floor_35_queries_with_every_block_present(self):
+        """The r15 failure mode: fresh_adopted + canary dicts ate the
+        budget and shrank the printed map to 25. Worst case now (retry
+        recorded, adoptions present, realistically long names) must
+        still show >= 35 queries inside the 1800-char budget."""
+        timings = {f"robust_outlier_prices_sampled_{i:03d}": round(3.7 - i * 0.01, 3)
+                   for i in range(165)}
+        full = self._full(
+            timings,
+            fresh_adopted={"a": {}, "b": {}, "c": {}},
+            headline_attempts=2,
+            dirty_attempt={"value": 150.0, "queries": timings},
+        )
+        line = bench._build_slim_line(full, timings)
+        # the driver parses the FINAL line out of a 2000-char stdout
+        # tail; 1900 + newline still fits with headroom
+        assert len(json.dumps(line)) <= 1900
+        assert line["queries_shown"] >= 35
+        assert len(line["queries"]) == line["queries_shown"]
+
+    def test_detail_blocks_become_scalars(self):
+        timings = {"q1": 2.0, "q2": 1.0}
+        full = self._full(
+            timings,
+            fresh_adopted={"q1": {"catalog_recorded_s": 4.0}},
+            headline_attempts=2,
+            dirty_attempt={"value": 150.0, "queries": timings},
+        )
+        line = bench._build_slim_line(full, timings)
+        assert line["fresh_adopted_n"] == 1
+        assert line["headline_attempts"] == 2
+        assert line["dirty_attempt_value"] == 150.0
+        # the dict-valued blocks themselves must NOT be inlined
+        assert "fresh_adopted" not in line
+        assert "dirty_attempt" not in line
+        assert "box_canary" not in line and "box_canary_mem" not in line
+        # but their one-scalar summaries are
+        assert line["alu_factor"] == 1.391
+        assert line["mem_factor"] == 1.251
+        assert line["box_factor"] == 1.251
+
+    def test_slowest_queries_listed_first(self):
+        timings = {"fast": 0.5, "slow": 9.0, "mid": 3.0}
+        line = bench._build_slim_line(self._full(timings), timings)
+        assert list(line["queries"]) == ["slow", "mid", "fast"]
+
+
+class TestPickCleanerAttempt:
+    def test_first_live_firing_case(self):
+        # the r16 opening run: first attempt 1.175, retry 1.221 — the
+        # first attempt's window was cleaner and must win
+        assert bench._pick_cleaner_attempt(1.175, 1.221) == 0
+
+    def test_retry_cleaner_wins(self):
+        assert bench._pick_cleaner_attempt(1.251, 1.02) == 1
+
+    def test_unreadable_factors(self):
+        assert bench._pick_cleaner_attempt(None, None) == 1
+        assert bench._pick_cleaner_attempt(None, 1.3) == 1
+        assert bench._pick_cleaner_attempt(1.3, None) == 0
+
+    def test_tie_keeps_retry(self):
+        assert bench._pick_cleaner_attempt(1.2, 1.2) == 1
